@@ -1,0 +1,117 @@
+"""Corpus sources for the engine.
+
+The authoritative input shape (BASELINE.json ``input_hint``) is an
+Iceberg table of source-code repositories:
+
+    documents(repo:string, path:string, commit:string, lang:string, content:string)
+
+Three sources produce that shape:
+
+1. `fixture_docs`      — the reference's five golden test documents
+                         (src/test/java/ukma/ir/testing_files/, reproduced
+                         in FIXTURES.md §2), as rows.
+2. `synthetic_corpus`  — deterministic seeded generator (FIXTURES.md §1):
+                         a source-code-ish token stream with a Zipf head,
+                         digit-bearing long tokens that the admission
+                         filter must drop, and planted phrases.
+3. `load_testdata_documents` — the driver's /root/testdata documents
+                         parquet (doc_id, text, lang, source, n_chars)
+                         mapped into the input_hint shape
+                         (repo=source, path=str(doc_id), content=text).
+
+Iceberg note: the sandbox has no iceberg-spark-runtime jar, so tables
+read/write parquet through io.py's TableStore with an identical layout;
+the Iceberg catalog is enabled by config when the jar is present
+(SURVEY.md §7 risks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+# Reference fixture docs, verbatim (FIXTURES.md §2; 363 bytes total).
+FIXTURE_DOCS = {
+    "test1.txt": "pen pineapple\napple pen \t\nunusuallylongwordaddedintentionally\n\npen pineapple apple pen unusuallylongwordaddedintentionally",
+    "test2.txt": "more complex phrase for searching unusuallylongwordaddedintentionally",
+    "test3.txt": "trigger word for indexing and debugging updated search engine for for for searching fell",
+    "test4.txt": "SAZ fell must trigger for second word and 'already'",
+    "test5.txt": "engine keyword in testing purpose",
+}
+
+
+def _sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def fixture_docs(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("ref/testing_files", name, _sha256("commit" + name)[:40], "txt", content)
+        for name, content in sorted(FIXTURE_DOCS.items())
+    ]
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+_LANGS = ["java", "py", "txt", "md", "c"]
+_EXT = {"java": "java", "py": "py", "txt": "txt", "md": "md", "c": "c"}
+
+# 500-word seeded vocabulary + Zipf-ish head words (the reference does NOT
+# stop-filter, IndexService has no stopword use — so head terms stay).
+_HEAD = ["the", "for", "and", "int", "return", "if", "else", "void", "new", "public"]
+
+
+def synthetic_corpus(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
+                     avg_tokens: int = 120) -> DataFrame:
+    """Deterministic synthetic source-code corpus per FIXTURES.md §1."""
+    rng = random.Random(seed)
+    vocab = [f"sym{v}" for v in range(500)]
+    rows = []
+    for i in range(n_docs):
+        lang = _LANGS[i % len(_LANGS)]
+        n = max(5, int(rng.gauss(avg_tokens, avg_tokens / 4)))
+        toks = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                toks.append(_HEAD[int(rng.random() ** 2 * len(_HEAD))])
+            elif r < 0.95:
+                # Zipf-ish vocabulary draw
+                toks.append(vocab[min(499, int(rng.paretovariate(1.2)) - 1)])
+            elif r < 0.98:
+                # digit-bearing long token (>=12 chars) — must be DROPPED
+                toks.append(hashlib.sha256(f"blob{i}{rng.random()}".encode()).hexdigest()[:16])
+            else:
+                toks.append(f"v{rng.randrange(100)}")  # short code, kept
+        if rng.random() < 0.3:
+            toks.extend(["needle", "haystack"])  # planted phrase for positional tests
+        content = " ".join(toks)
+        rows.append((
+            f"org{i % 7}/repo{i % 23}",
+            f"src/dir{i % 11}/file{i}.{_EXT[lang]}",
+            hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40],
+            lang,
+            content,
+        ))
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents parquet into the input_hint shape."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return raw.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def with_sha256(df: DataFrame) -> DataFrame:
+    """Per-row content fingerprint (input_hint invariant): vectorized builtin."""
+    return df.withColumn("sha256", F.sha2(F.col("content"), 256))

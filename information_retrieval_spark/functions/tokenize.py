@@ -1,0 +1,83 @@
+"""Tokenizer column functions.
+
+Two interchangeable implementations of the reference tokenizer pipeline
+(IndexService.java:596-618 — whitespace split, normalize, admission
+filter; positions index KEPT terms only):
+
+- `tokenize_pandas_udf()` — Arrow-batched pandas UDF (the north-star
+  build path): batch-level vectorization with a unique-token
+  normalize-then-map so the regex work runs once per distinct raw token
+  per batch, never per row.
+- `spark_tokenize_col()` — pure Spark SQL higher-order-function
+  expression (normalize.spark_tokens_expr): runs JVM-side inside
+  whole-stage codegen with zero Python in the loop.
+
+Both provably agree with the pure-Python `normalize.tokenize` oracle
+(tests/test_normalize.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..normalize import MAX_UNFILTERED_LEN, spark_tokens_expr
+
+
+def spark_tokenize_col(col: str = "content") -> Column:
+    return F.expr(spark_tokens_expr(col))
+
+
+def _normalize_unique(uniq: pd.Series) -> pd.Series:
+    """Vectorized normalize over a Series of distinct raw tokens.
+
+    Returns the kept normalized term, or None for dropped tokens.
+    Mirrors normalize.normalize + normalize.keep exactly.
+    """
+    low = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
+    st = (
+        low.str.replace("sses$", "ss", regex=True)
+        .str.replace("(.)ies$", r"\1y", regex=True)
+        .str.replace("([^sui])s$", r"\1", regex=True)
+    )
+    kept = (st != "") & (
+        (st.str.len() < MAX_UNFILTERED_LEN) | ~st.str.contains("[0-9]", regex=True)
+    )
+    return st.where(kept, None)
+
+
+def tokenize_pandas_udf():
+    @F.pandas_udf("array<string>")
+    def _tokenize(content: pd.Series) -> pd.Series:
+        if content.empty:
+            return pd.Series([], dtype=object)
+        split = content.fillna("").str.split()  # drops empty tokens
+        lengths = split.map(len).to_numpy(dtype=np.int64)
+        flat = np.empty(int(lengths.sum()), dtype=object)
+        i = 0
+        for toks in split:  # per-document list concat (not per-token work)
+            flat[i : i + len(toks)] = toks
+            i += len(toks)
+        if flat.size:
+            uniq = pd.Series(pd.unique(flat))
+            mapping = dict(zip(uniq, _normalize_unique(uniq)))
+            normed = np.array([mapping[t] for t in flat], dtype=object)
+            kept_mask = normed != None  # noqa: E711  (vectorized object compare)
+        else:
+            normed = flat
+            kept_mask = np.zeros(0, dtype=bool)
+        # regroup kept terms per document
+        doc_of_token = np.repeat(np.arange(len(lengths)), lengths)
+        kept_counts = np.bincount(doc_of_token[kept_mask], minlength=len(lengths))
+        kept_flat = normed[kept_mask]
+        out = []
+        j = 0
+        for n in kept_counts:
+            n = int(n)
+            out.append(list(kept_flat[j : j + n]))
+            j += n
+        return pd.Series(out, dtype=object, index=content.index)
+
+    return _tokenize

@@ -1,0 +1,68 @@
+"""Table storage layer.
+
+The engine's persistent state is a set of relational tables (SURVEY.md
+§1.1: the index IS the persisted tables — no separate cache layer like
+the reference's Java-serialized index.bin, CacheManager.java:33-47):
+
+    doc_map(docID, repo, path, commit, lang, sha256)
+    doc_len(docID, dl)
+    stats(n_docs, total_len, avgdl)
+    dictionary(term, rterm, df, cf, n_blocks, max_block_score)
+    postings(term, bucket, block_id, n_docs, doc_gaps, tfs, dls,
+             pos_gaps, block_max_tf, block_max_score, block_first_doc,
+             block_last_doc, cf)
+    lineage(stage, partition_id, rows_out, detail)
+
+On a cluster these are Iceberg tables (`spark.read.format("iceberg")`);
+the sandbox has no Iceberg runtime jar, so TableStore writes plain
+parquet directories with a `_SUCCESS` marker — the layout and the
+engine code above this layer are identical either way. Completed-stage
+detection via `_SUCCESS` is what makes the build resumable: a re-run
+skips every stage whose output committed (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = use_iceberg  # flip when iceberg-spark-runtime is on the classpath
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_by: list | None = None, sort_by: list | None = None) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if self.use_iceberg:
+            w.format("iceberg").saveAsTable(name)
+        else:
+            w.parquet(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").table(name)
+        return self.spark.read.parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def drop_all(self) -> None:
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)
+        os.makedirs(self.root, exist_ok=True)

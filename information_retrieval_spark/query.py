@@ -1,0 +1,369 @@
+"""Query engine: boolean / positional / joker / BM25 top-k retrieval.
+
+Reference semantics replicated (with file:line citations into
+/root/reference/src/main/java/ukma/ir/QueryProcessor.java):
+
+- boolean  — precedence OR < AND < NOT, no parens; query validated by
+  ``\\s*\\w[\\w\\s]*`` (QueryProcessor.java:48-99). Clause evaluation is
+  intersect/difference/union over posting doc-sets — expressed here as
+  inner / left-anti / union-distinct DataFrame joins on docID, so
+  Catalyst picks the physical join (broadcast for rare terms, AQE for
+  skew).
+- positional — grammar ``term (/k term)*``; UNORDERED window
+  ``|pos1-pos2| <= k``; a document is accepted if ANY adjacent query
+  pair matches in it and the results of all pairs are UNIONED
+  (QueryProcessor.java:110-133, 152-179 — pairs are not chained
+  transitively); empty result if any term is absent from the dictionary
+  (line 120).
+- joker — ``a*b``-style wildcards, <=2 stars (QueryProcessor.java:183-250):
+  prefix-set ∩ suffix-set of dictionary terms (our dictionary stores
+  ``rterm`` instead of the reference's second reversed vocabulary,
+  IndexBody.java:142-162), middle segment re-checked by regex; postings
+  of matched terms unioned per token, doc-sets intersected across
+  tokens. Deviation (documented in SURVEY.md §2.2 Q13): the reference
+  intersects a star-free token into an EMPTY initial set when it comes
+  first (QueryProcessor.java:201-207) which always yields {} — we
+  implement the intended semantics (the token's postings seed the base
+  set like any other). Results are sorted (the reference returns hash
+  order).
+- BM25 top-k (north-star addition) — score(q,d) = Σ_t idf(t) ·
+  tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)), idf = ln(1+(N-df+0.5)/(df+0.5)),
+  k1=1.2 b=0.75. Baseline path decodes all query-term blocks and
+  aggregates JVM-side; the WAND path prunes blocks with the block-max
+  skip structure before any decoding (see `_bm25_wand`) — safe for
+  exact top-k because a pruned block's documents provably cannot reach
+  the kth score.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .build import Index
+from .codec import vb_decode
+from .normalize import normalize
+
+_BOOL_OK = re.compile(r"\s*\w[\w\s]*")
+_POS_OK = re.compile(r"\w+(\s+/\d+\s+\w+)*")
+_JOKER_WORD = re.compile(r"(\*?\w+(\*\w+)?)|(\w+\*?\w*(\w\*\w*)?)")
+
+_DECODED_SCHEMA = "term string, docID long, tf int, dl int"
+_DECODED_POS_SCHEMA = "term string, docID long, tf int, dl int, positions array<int>"
+
+
+def _decode_iter(batches, with_positions: bool):
+    """mapInPandas kernel: posting blocks -> exploded postings.
+
+    All decode work is whole-block numpy (codec.vb_decode); the Python
+    loop is per BLOCK (<=128 docs each), never per posting."""
+    for pdf in batches:
+        terms, docs, tfs_out, dls_out, pos_out = [], [], [], [], []
+        for row in pdf.itertuples(index=False):
+            d = np.cumsum(vb_decode(row.doc_gaps).astype(np.int64))
+            t = vb_decode(row.tfs).astype(np.int64)
+            l = vb_decode(row.dls).astype(np.int64)
+            terms.append(np.full(len(d), row.term, dtype=object))
+            docs.append(d)
+            tfs_out.append(t)
+            dls_out.append(l)
+            if with_positions:
+                gaps = vb_decode(row.pos_gaps).astype(np.int64)
+                starts = np.zeros(len(t), dtype=np.int64)
+                starts[1:] = np.cumsum(t[:-1])
+                csum = np.cumsum(gaps)
+                corr = np.zeros(len(t), dtype=np.int64)
+                corr[1:] = csum[starts[1:] - 1]
+                abs_pos = csum - np.repeat(corr, t)
+                pos_out.extend(np.split(abs_pos.astype(np.int32), starts[1:]))
+        if not docs:
+            continue
+        out = {
+            "term": np.concatenate(terms),
+            "docID": np.concatenate(docs),
+            "tf": np.concatenate(tfs_out).astype(np.int32),
+            "dl": np.concatenate(dls_out).astype(np.int32),
+        }
+        if with_positions:
+            out["positions"] = pd.Series(pos_out, dtype=object)
+        yield pd.DataFrame(out)
+
+
+class QueryEngine:
+    def __init__(self, index: Index):
+        self.index = index
+        self.spark = index.spark
+        self.stats = index.load_stats()
+        self._postings = index.table("postings")
+        self._dictionary = index.table("dictionary")
+        self._doc_map = index.table("doc_map")
+
+    # ------------------------------------------------------------------
+    # postings access
+    # ------------------------------------------------------------------
+    def blocks_for(self, terms) -> DataFrame:
+        terms = sorted(set(terms))
+        return self._postings.filter(F.col("term").isin(terms))
+
+    def postings_for(self, terms, with_positions: bool = False) -> DataFrame:
+        """Decoded postings (term, docID, tf, dl[, positions]) for a term set."""
+        blocks = self.blocks_for(terms)
+        schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
+        return blocks.mapInPandas(
+            lambda it: _decode_iter(it, with_positions), schema=schema)
+
+    def term_stats(self, terms) -> dict:
+        rows = self._dictionary.filter(F.col("term").isin(sorted(set(terms)))).collect()
+        return {r["term"]: r.asDict() for r in rows}
+
+    def _names(self, doc_ids: DataFrame) -> DataFrame:
+        """docID set -> sorted file names (QueryProcessor.java:95-98:
+        getDocName is the path's last component)."""
+        name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
+        return (doc_ids.join(self._doc_map, "docID")
+                .select(name).orderBy("name"))
+
+    # ------------------------------------------------------------------
+    # boolean
+    # ------------------------------------------------------------------
+    @staticmethod
+    def parse_boolean(q: str):
+        """-> list of (include_terms, exclude_terms) per OR-clause
+        (QueryProcessor.java:48-60)."""
+        if _BOOL_OK.fullmatch(q) is None:
+            raise ValueError("incorrect input")
+        clauses = []
+        for union_part in re.split(r"\s*OR\s*", q):
+            inc, exc = [], []
+            for token in re.split(r"\s*AND\s*", union_part):
+                if token.startswith("NOT"):
+                    exc.append(normalize(token[token.rfind(" ") + 1:]))
+                else:
+                    inc.append(normalize(token))
+            clauses.append((inc, exc))
+        return clauses
+
+    def boolean(self, q: str) -> DataFrame:
+        clauses = self.parse_boolean(q)
+        all_terms = {t for inc, exc in clauses for t in inc + exc if t is not None}
+        decoded = self.postings_for(all_terms).select("term", "docID")
+        decoded = decoded.cache()  # one decode pass feeds every clause
+        try:
+            parts = []
+            for inc, exc in clauses:
+                if not inc or any(t is None for t in inc):
+                    # reference seeds from the first non-null include
+                    # (QueryProcessor.java:66-81); a null include term has no
+                    # postings -> empty intersection
+                    inc = [t for t in inc if t is not None]
+                    if not inc:
+                        continue
+                    parts.append(decoded.filter(F.lit(False)).select("docID"))
+                    continue
+                # intersect in ascending-df order (SURVEY.md §4: cheap
+                # improvement over the reference's seed-from-first; same result)
+                stats = self.term_stats(inc)
+                inc = sorted(inc, key=lambda t: stats.get(t, {}).get("df", 0))
+                clause = reduce(
+                    lambda a, b: a.join(b, "docID"),
+                    [decoded.filter(F.col("term") == t).select("docID").distinct()
+                     for t in inc])
+                exc = [t for t in exc if t is not None]
+                if exc:
+                    ex_docs = (decoded.filter(F.col("term").isin(exc))
+                               .select("docID").distinct())
+                    clause = clause.join(ex_docs, "docID", "left_anti")
+                parts.append(clause)
+            if not parts:
+                return self._names(decoded.select("docID").filter(F.lit(False)))
+            docs = reduce(DataFrame.union, parts).distinct()
+            return self._names(docs)
+        finally:
+            pass  # cache released with the session; small per-query footprint
+
+    # ------------------------------------------------------------------
+    # positional
+    # ------------------------------------------------------------------
+    @staticmethod
+    def parse_positional(q: str):
+        if _POS_OK.fullmatch(q) is None:
+            raise ValueError("Wrong input format")
+        tokens = re.split(r"\s+", q)
+        terms = [normalize(tokens[i]) for i in range(0, len(tokens), 2)]
+        dists = [int(tokens[i][1:]) for i in range(1, len(tokens), 2)]
+        return terms, dists
+
+    def positional(self, q: str) -> DataFrame:
+        terms, dists = self.parse_positional(q)
+        present = self.term_stats([t for t in terms if t is not None])
+        if any(t is None or t not in present for t in terms):
+            # early-exit if any term is absent (QueryProcessor.java:120)
+            return self._names(
+                self._doc_map.select("docID").filter(F.lit(False)))
+        decoded = self.postings_for(set(terms), with_positions=True) \
+            .select("term", "docID", "positions").cache()
+
+        @F.pandas_udf("boolean")
+        def window_match(p1: pd.Series, p2: pd.Series, dist: pd.Series) -> pd.Series:
+            out = np.zeros(len(p1), dtype=bool)
+            for i in range(len(p1)):
+                a = np.asarray(p1.iloc[i], dtype=np.int64)
+                b = np.asarray(p2.iloc[i], dtype=np.int64)
+                k = int(dist.iloc[i])
+                # exists |a_x - b_y| <= k: nearest-neighbour probe via searchsorted
+                idx = np.searchsorted(a, b - k, side="left")
+                ok = idx < len(a)
+                out[i] = bool(np.any(a[np.minimum(idx, len(a) - 1)][ok] <= (b + k)[ok]))
+            return pd.Series(out)
+
+        pair_results = []
+        for (t1, t2), k in zip(zip(terms, terms[1:]), dists):
+            left = decoded.filter(F.col("term") == t1) \
+                .select("docID", F.col("positions").alias("p1"))
+            right = decoded.filter(F.col("term") == t2) \
+                .select("docID", F.col("positions").alias("p2"))
+            pair = left.join(right, "docID") \
+                .filter(window_match(F.col("p1"), F.col("p2"), F.lit(k))) \
+                .select("docID")
+            pair_results.append(pair)
+        # docs from every adjacent pair are UNIONED (QueryProcessor.java:126-129)
+        docs = reduce(DataFrame.union, pair_results).distinct()
+        return self._names(docs)
+
+    # ------------------------------------------------------------------
+    # joker (wildcard)
+    # ------------------------------------------------------------------
+    def joker(self, q: str) -> DataFrame:
+        tokens = re.split(r"\s+", q.strip())
+        for tok in tokens:
+            if _JOKER_WORD.fullmatch(tok) is None:
+                raise ValueError(f'"{q}" is not a valid joker query')
+        tokens = [t.lower() for t in tokens]  # QueryProcessor.java:193
+
+        empty = self._doc_map.select("docID").filter(F.lit(False))
+        token_doc_sets = []
+        for tok in tokens:
+            if "*" not in tok:
+                term = normalize(tok)
+                if term is None:
+                    continue
+                matched = self._dictionary.filter(F.col("term") == term)
+            else:
+                pre = tok[: tok.index("*")]
+                suf = tok[tok.rindex("*") + 1:]
+                cond = F.lit(True)
+                if pre:
+                    cond = cond & F.col("term").startswith(pre)
+                if suf:
+                    # suffix via the reversed-term column (IndexBody.java:40-53)
+                    cond = cond & F.col("rterm").startswith(suf[::-1])
+                matched = self._dictionary.filter(cond)
+                if tok.index("*") != tok.rindex("*"):
+                    mid = tok[tok.index("*") + 1: tok.rindex("*")]
+                    matched = matched.filter(F.col("term").rlike(f".*{re.escape(mid)}.*"))
+            terms = [r["term"] for r in matched.select("term").collect()]
+            if not terms:
+                return self._names(empty)
+            docs = self.postings_for(terms).select("docID").distinct()
+            token_doc_sets.append(docs)
+        if not token_doc_sets:
+            return self._names(empty)
+        docs = reduce(lambda a, b: a.join(b, "docID"), token_doc_sets)
+        return self._names(docs)
+
+    # ------------------------------------------------------------------
+    # BM25 top-k
+    # ------------------------------------------------------------------
+    def _idf(self, df: int) -> float:
+        n = self.stats["n_docs"]
+        return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+    def _score_col(self, idf_map: dict) -> F.Column:
+        """JVM-side BM25 partial score for a decoded posting row."""
+        k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"] or 1.0
+        idf = F.element_at(
+            F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
+            F.col("term"))
+        tf = F.col("tf").cast("double")
+        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        return (idf * norm).alias("partial")
+
+    def bm25(self, query: str, k: int = 10, wand: bool = True) -> DataFrame:
+        """Free-text query -> top-k (docID, score, name), score desc, docID asc."""
+        terms = sorted({t for t in (normalize(tok) for tok in re.split(r"\s+", query.strip()))
+                        if t is not None})
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_scores()
+        idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
+        if wand:
+            candidates = self._wand_candidate_blocks(terms, idf_map, k)
+        else:
+            candidates = self.blocks_for(terms)
+        decoded = candidates.mapInPandas(
+            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
+        scores = (
+            decoded.select("docID", self._score_col(idf_map))
+            .groupBy("docID").agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID")).limit(k)
+        )
+        name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
+        return (scores.join(self._doc_map, "docID")
+                .select("docID", "score", name)
+                .orderBy(F.desc("score"), F.asc("docID")))
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame([], "docID long, score double, name string")
+
+    def _wand_candidate_blocks(self, terms, idf_map, k: int) -> DataFrame:
+        """Block-max WAND pruning, distributed over docID-range buckets.
+
+        Upper bound of any doc in block b (term t, bucket β):
+            UB(b) = idf_t·block_max_wand(b) + Σ_{t'≠t} idf_{t'}·bucket_max(t', β)
+        θ0 = exact kth score within the single highest-UB bucket (a tiny
+        job). Every block with UB < θ0 is skipped before decoding; docs in
+        such blocks provably cannot reach the kth final score, so the
+        surviving exact top-k is unchanged.
+        """
+        blocks = self.blocks_for(terms)
+        idf_col = F.element_at(
+            F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
+            F.col("term"))
+        bmax = (blocks.groupBy("bucket", "term")
+                .agg(F.max("block_max_wand").alias("tmax"))
+                .withColumn("contrib", idf_col * F.col("tmax")))
+        bucket_ub = bmax.groupBy("bucket").agg(F.sum("contrib").alias("ub"))
+        best = bucket_ub.orderBy(F.desc("ub")).limit(1).collect()
+        if not best:
+            return blocks
+        best_bucket = best[0]["bucket"]
+
+        # θ0: exact scores inside the best bucket
+        seed_blocks = blocks.filter(F.col("bucket") == best_bucket)
+        seed = seed_blocks.mapInPandas(
+            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
+        seed_scores = (seed.select("docID", self._score_col(idf_map))
+                       .groupBy("docID").agg(F.sum("partial").alias("score"))
+                       .orderBy(F.desc("score")).limit(k).collect())
+        if len(seed_scores) < k:
+            return blocks  # not enough docs for a safe threshold
+        theta0 = seed_scores[-1]["score"]
+
+        ub_expr = (idf_col * F.col("block_max_wand")
+                   + F.col("ub") - F.col("contrib_bucket"))
+        per_term = bmax.select("bucket", "term",
+                               F.col("contrib").alias("contrib_bucket"))
+        survivors = (
+            blocks
+            .join(F.broadcast(per_term), ["bucket", "term"])
+            .join(F.broadcast(bucket_ub), "bucket")
+            .filter(ub_expr >= F.lit(theta0))
+            .select(*blocks.columns)
+        )
+        return survivors
