@@ -1,0 +1,64 @@
+"""BM25 rank-identity vs the pure-Python oracle (BASELINE.json
+north_star: top-k docIDs AND scores rank-identical), and WAND-pruned
+top-k == unpruned top-k."""
+
+import math
+
+import pytest
+
+from information_retrieval_spark.corpus import FIXTURE_DOCS
+from information_retrieval_spark.oracle import OracleIndex
+
+QUERIES = [
+    "fell trigger word",
+    "pen pineapple",
+    "engine searching",
+    "already complex purpose",
+]
+
+SYNTH_QUERIES = [
+    "sym0 sym1 sym2",
+    "needle haystack",
+    "the for sym10",
+    "sym3",
+    "sym100 sym200 v5",
+]
+
+
+def _check_rank_identity(engine, oracle, query, k=10):
+    got = engine.bm25(query, k=k, wand=False).collect()
+    want = oracle.bm25(query, k=k)
+    assert [r["docID"] for r in got] == [d for d, _, _ in want]
+    assert [r["name"] for r in got] == [n for _, _, n in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_bm25_fixture_rank_identity(fixture_engine, q):
+    oracle = OracleIndex(
+        ("ref/testing_files", name, content) for name, content in FIXTURE_DOCS.items())
+    _check_rank_identity(fixture_engine, oracle, q, k=5)
+
+
+@pytest.fixture(scope="module")
+def synth_oracle(synth_docs):
+    rows = synth_docs.select("repo", "path", "content").collect()
+    return OracleIndex((r["repo"], r["path"], r["content"]) for r in rows)
+
+
+@pytest.mark.parametrize("q", SYNTH_QUERIES)
+def test_bm25_synth_rank_identity(synth_engine, synth_oracle, q):
+    _check_rank_identity(synth_engine, synth_oracle, q, k=10)
+
+
+@pytest.mark.parametrize("q", SYNTH_QUERIES)
+def test_bm25_wand_equals_baseline(synth_engine, q):
+    base = synth_engine.bm25(q, k=10, wand=False).collect()
+    wand = synth_engine.bm25(q, k=10, wand=True).collect()
+    assert [(r["docID"], round(r["score"], 10)) for r in base] == \
+           [(r["docID"], round(r["score"], 10)) for r in wand]
+
+
+def test_bm25_absent_terms(synth_engine):
+    assert synth_engine.bm25("zzzmissing qqqabsent", k=5).collect() == []

@@ -1,0 +1,119 @@
+"""Build pipeline invariants: docID order, sha256, doc_len, block
+structure, resumability, partitioning-independence (determinism)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.build import IndexBuilder, IndexConfig
+from information_retrieval_spark.codec import vb_decode
+from information_retrieval_spark.corpus import synthetic_corpus, with_sha256
+from information_retrieval_spark.normalize import tokenize
+from information_retrieval_spark.query import QueryEngine
+
+
+def test_doc_ids_are_dense_rank_of_repo_path(synth_index, synth_docs):
+    dm = synth_index.table("doc_map").orderBy("docID").collect()
+    ids = [r["docID"] for r in dm]
+    assert ids == list(range(len(ids)))
+    keys = [(r["repo"], r["path"]) for r in dm]
+    assert keys == sorted(keys)
+
+
+def test_sha256_invariant(synth_index, synth_docs):
+    # per-row content sha256 equality vs the source table (input_hint)
+    src = with_sha256(synth_docs).select("repo", "path", F.col("sha256").alias("src_sha"))
+    joined = synth_index.table("doc_map").join(src, ["repo", "path"])
+    bad = joined.filter(F.col("sha256") != F.col("src_sha")).count()
+    assert bad == 0
+    assert joined.count() == synth_docs.count()
+
+
+def test_doc_len_matches_tokenizer(synth_index, synth_docs):
+    want = {(r["repo"], r["path"]): len(tokenize(r["content"]))
+            for r in synth_docs.collect()}
+    dm = {r["docID"]: (r["repo"], r["path"])
+          for r in synth_index.table("doc_map").collect()}
+    got = {dm[r["docID"]]: r["dl"] for r in synth_index.table("doc_len").collect()}
+    assert got == want
+
+
+def test_dictionary_df_cf(synth_index, synth_docs):
+    from collections import Counter
+    df_want, cf_want = Counter(), Counter()
+    for r in synth_docs.collect():
+        toks = tokenize(r["content"])
+        cf_want.update(toks)
+        df_want.update(set(toks))
+    d = {r["term"]: r for r in synth_index.table("dictionary").collect()}
+    assert set(d) == set(cf_want)
+    for t in cf_want:
+        assert d[t]["df"] == df_want[t], t
+        assert d[t]["cf"] == cf_want[t], t
+        assert d[t]["rterm"] == t[::-1]
+
+
+def test_block_structure(synth_index):
+    cfg = synth_index.config
+    rows = synth_index.table("postings").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_docs"] <= cfg.docs_per_block
+        docs = np.cumsum(vb_decode(r["doc_gaps"]).astype(np.int64))
+        assert len(docs) == r["n_docs"]
+        assert (np.diff(docs) > 0).all()            # strictly ascending
+        assert docs[0] == r["block_first_doc"]
+        assert docs[-1] == r["block_last_doc"]
+        assert docs[0] // cfg.docs_per_bucket == r["bucket"]
+        assert docs[-1] // cfg.docs_per_bucket == r["bucket"]
+        tfs = vb_decode(r["tfs"])
+        assert int(tfs.max()) == r["block_max_tf"]
+        assert int(tfs.sum()) == r["cf"]
+    # blocks of one term are globally ascending in docID by block_id
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, blocks in by_term.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        for a, b in zip(blocks, blocks[1:]):
+            assert a["block_last_doc"] < b["block_first_doc"], term
+
+
+def _index_signature(index):
+    """Order-insensitive full-content signature of the queryable index."""
+    post = []
+    for r in index.table("postings").collect():
+        post.append((r["term"], r["block_id"], r["n_docs"], r["doc_gaps"],
+                     r["tfs"], r["dls"], r["pos_gaps"]))
+    dicts = [(r["term"], r["df"], r["cf"]) for r in index.table("dictionary").collect()]
+    return sorted(post), sorted(dicts)
+
+
+def test_determinism_across_partitioning(spark, work_dir, synth_docs, synth_index):
+    # same corpus, different partition count -> byte-identical blocks
+    cfg = IndexConfig(docs_per_block=16, blocks_per_bucket=4, n_partitions=3)
+    other = IndexBuilder(spark, f"{work_dir}/synth_idx_p3", cfg).build(synth_docs, resume=False)
+    assert _index_signature(other) == _index_signature(synth_index)
+
+
+def test_resume_skips_completed_and_rebuilds_missing(spark, work_dir):
+    docs = synthetic_corpus(spark, n_docs=60, seed=7)
+    d = f"{work_dir}/resume_idx"
+    cfg = IndexConfig(docs_per_block=8, blocks_per_bucket=4)
+    idx1 = IndexBuilder(spark, d, cfg).build(docs, resume=False)
+    sig1 = _index_signature(idx1)
+    # simulate a crash after the partials stage: postings + dictionary lost
+    idx1.store.drop("postings")
+    idx1.store.drop("dictionary")
+    idx2 = IndexBuilder(spark, d, cfg).build(docs, resume=True)
+    assert _index_signature(idx2) == sig1
+    # resumed index answers queries
+    qe = QueryEngine(idx2)
+    assert qe.bm25("sym0 sym1", k=3, wand=False).count() > 0
+
+
+def test_lineage_recorded(synth_index):
+    stages = {r["stage"] for r in synth_index.table("lineage").collect()}
+    assert {"doc_map", "partials", "doc_len", "postings", "dictionary"} <= stages
+    fan_in = [r["detail"] for r in synth_index.table("lineage").collect()
+              if r["stage"] == "postings"]
+    assert any("merge_fan_in=" in d for d in fan_in)

@@ -1,0 +1,85 @@
+"""Tokenizer parity: pure Python == Spark SQL expr == pandas UDF == DuckDB.
+
+Golden cases from FIXTURES.md §5 (reference semantics
+IndexService.java:159-166, 610-616)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark.corpus import FIXTURE_DOCS
+from information_retrieval_spark.functions.tokenize import (
+    spark_tokenize_col,
+    tokenize_pandas_udf,
+)
+from information_retrieval_spark.normalize import (
+    duckdb_tokens_expr,
+    keep,
+    normalize,
+    tokenize,
+)
+
+
+@pytest.mark.parametrize("token,expected", [
+    ("PiNeApPlE", "pineapple"),           # lowercase fold
+    ("'already'", "already"),             # \W stripped
+    ("unusuallylongwordaddedintentionally", "unusuallylongwordaddedintentionally"),
+    ("a1b2", "a1b2"),                     # short code kept
+    ("queries", "query"),                 # stemmer ies->y
+    ("classes", "class"),                 # stemmer sses->ss
+    ("joins", "join"),                    # plural strip
+    ("pineapples", "pineapple"),
+    ("this", "this"),                     # -is untouched
+    ("corpus", "corpus"),                 # -us untouched
+])
+def test_normalize_golden(token, expected):
+    term = normalize(token)
+    assert term == expected
+    assert keep(term)
+
+
+@pytest.mark.parametrize("token", ["deadbeef1234cafebabe", "!!!", "", "++--"])
+def test_normalize_dropped(token):
+    term = normalize(token)
+    assert not keep(term)
+
+
+def test_positions_count_kept_terms_only():
+    # rejected tokens do not consume positions (IndexService.java:221-225)
+    toks = tokenize("alpha deadbeef1234cafebabe beta !!! gamma")
+    assert toks == ["alpha", "beta", "gamma"]
+
+
+def _spark_tokens(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    return [r["toks"] for r in df.select(col.alias("toks")).collect()]
+
+
+def test_parity_spark_sql_vs_python(spark):
+    texts = list(FIXTURE_DOCS.values()) + [
+        "  Mixed CASE   tokens\twith\nnewlines 'quoted' a1b2 deadbeef1234cafebabe",
+        "", "   ", "queries classes joins pineapples this",
+    ]
+    got = _spark_tokens(spark, texts, spark_tokenize_col("content"))
+    assert got == [tokenize(t) for t in texts]
+
+
+def test_parity_pandas_udf_vs_python(spark):
+    texts = list(FIXTURE_DOCS.values()) + [
+        "  Mixed CASE   tokens\twith\nnewlines 'quoted' a1b2 deadbeef1234cafebabe",
+        "", "   ", "queries classes joins pineapples this",
+    ]
+    got = _spark_tokens(spark, texts, tokenize_pandas_udf()(F.col("content")))
+    assert got == [tokenize(t) for t in texts]
+
+
+def test_parity_duckdb_vs_python():
+    texts = list(FIXTURE_DOCS.values()) + [
+        "  Mixed CASE   tokens 'quoted' a1b2 deadbeef1234cafebabe",
+        "queries classes joins pineapples this",
+    ]
+    con = duckdb.connect()
+    expr = duckdb_tokens_expr("t")
+    for text in texts:
+        got = con.execute(f"select {expr} from (select ? as t)", [text]).fetchone()[0]
+        assert got == tokenize(text), text

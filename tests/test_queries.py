@@ -1,0 +1,104 @@
+"""Golden query tests — the reference's own test set
+(TestBooleanRetrieval.java:25-50, FIXTURES.md §2) plus positional/joker
+goldens the reference omits, plus oracle cross-checks on a larger
+synthetic corpus."""
+
+import pytest
+
+from information_retrieval_spark.corpus import FIXTURE_DOCS
+from information_retrieval_spark.oracle import OracleIndex
+
+
+def names(df):
+    return [r["name"] for r in df.collect()]
+
+
+# --- reference golden tests (verbatim) --------------------------------
+
+def test_golden_and(fixture_engine):
+    assert names(fixture_engine.boolean("fell AND already")) == ["test4.txt"]
+
+
+def test_golden_or_and_not(fixture_engine):
+    got = names(fixture_engine.boolean(
+        "fell AND already OR engine AND NOT trigger OR pen AND PiNeApPlE"))
+    assert sorted(got) == ["test1.txt", "test4.txt", "test5.txt"]
+
+
+def test_golden_empty_intersection(fixture_engine):
+    assert names(fixture_engine.boolean("fell AND already AND off")) == []
+
+
+def test_golden_invalid_input(fixture_engine):
+    with pytest.raises(ValueError):
+        fixture_engine.boolean("fell $! off")
+
+
+# --- positional goldens (FIXTURES.md §2) -------------------------------
+
+def test_positional_trigger_word(fixture_engine):
+    got = sorted(names(fixture_engine.positional("trigger /3 word")))
+    assert got == ["test3.txt", "test4.txt"]
+
+
+def test_positional_pen_pineapple(fixture_engine):
+    assert names(fixture_engine.positional("pen /1 pineapple")) == ["test1.txt"]
+
+
+def test_positional_absent_term(fixture_engine):
+    assert names(fixture_engine.positional("pen /1 zzzmissing")) == []
+
+
+def test_positional_invalid(fixture_engine):
+    with pytest.raises(ValueError):
+        fixture_engine.positional("pen // pineapple")
+
+
+# --- joker goldens ------------------------------------------------------
+
+@pytest.mark.parametrize("q", ["pen*", "*ing", "s*ing", "pine*le", "p*apple wor*"])
+def test_joker_vs_oracle(fixture_engine, q):
+    oracle = OracleIndex(
+        ("ref/testing_files", name, content) for name, content in FIXTURE_DOCS.items())
+    assert sorted(names(fixture_engine.joker(q))) == oracle.joker(q)
+
+
+def test_joker_no_match(fixture_engine):
+    assert names(fixture_engine.joker("zzz*")) == []
+
+
+def test_joker_invalid(fixture_engine):
+    with pytest.raises(ValueError):
+        fixture_engine.joker("ab**c")
+
+
+# --- oracle sweeps on the synthetic corpus ------------------------------
+
+@pytest.fixture(scope="module")
+def synth_oracle(synth_docs):
+    rows = synth_docs.select("repo", "path", "content").collect()
+    return OracleIndex((r["repo"], r["path"], r["content"]) for r in rows)
+
+
+BOOLEAN_SWEEP = [
+    "sym0 AND sym1",
+    "sym0 OR sym5 AND NOT sym1",
+    "needle AND haystack",
+    "the AND for AND sym2",
+    "sym0 AND NOT the OR sym3 AND sym4",
+]
+
+
+@pytest.mark.parametrize("q", BOOLEAN_SWEEP)
+def test_boolean_oracle_sweep(synth_engine, synth_oracle, q):
+    assert sorted(names(synth_engine.boolean(q))) == synth_oracle.boolean(q)
+
+
+@pytest.mark.parametrize("q", ["needle /1 haystack", "sym0 /5 sym1", "the /2 for /3 sym0"])
+def test_positional_oracle_sweep(synth_engine, synth_oracle, q):
+    assert sorted(names(synth_engine.positional(q))) == synth_oracle.positional(q)
+
+
+@pytest.mark.parametrize("q", ["sym1*", "*le", "sym*0", "need*"])
+def test_joker_oracle_sweep(synth_engine, synth_oracle, q):
+    assert sorted(names(synth_engine.joker(q))) == synth_oracle.joker(q)
