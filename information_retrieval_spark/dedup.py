@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transforms over a documents table
+(id column + text column), built from Spark SQL builtins (sha2,
+higher-order array functions, joins) so Catalyst owns the physical
+plan. Hash functions are sha256-based because sha256 is bit-identical
+across Spark, DuckDB (the correctness oracle) and Python — no engine-
+specific hash leaks into results.
+
+Scale notes (100 TB / 10^12 docs):
+- exact: a single hash-aggregate; combiner-side partial agg means the
+  shuffle carries one row per distinct hash.
+- minhash LSH: the classic shingle->minhash->band->bucket-join pipeline;
+  shuffle volume is n_docs * n_bands rows of (band_key) — tunable via
+  num_hashes/band_size. The self-join is on band buckets, so only
+  near-duplicate candidates ever pair up (no O(n^2)).
+- simhash: 64-bit signature via per-term sha256 bits weighted by tf;
+  grouping by signature (or banded substrings of it) finds near-dups.
+- ngram jaccard: exact verification operator — use after LSH candidate
+  generation at scale; here also exposed as a standalone all-pairs op
+  for small candidate sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .normalize import spark_tokens_expr
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("__toks", F.expr(spark_tokens_expr(text_col)))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, canonical_id).
+
+    canonical_id = min id of the group; only groups with >=2 members.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs; shingles are n-grams of normalized terms."""
+    toks = _tokens(df, text_col)
+    # docs with fewer than n terms contribute no shingles (CASE guard:
+    # sequence(0, -1) would otherwise produce a DESCENDING range)
+    shingles = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))) "
+        f"ELSE array() END")
+    return (
+        toks.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram-shingle Jaccard >= threshold.
+
+    inter/union computed relationally: shared-shingle join -> count,
+    |A∪B| = |A| + |B| - inter. At scale, run on LSH candidates instead
+    of the full corpus.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8) -> DataFrame:
+    """(id, seed, minhash): minhash[i] = min over distinct terms of
+    sha256(i || '|' || term) — a seeded-permutation stand-in that is
+    identical across engines (hex strings compare lexicographically)."""
+    toks = _tokens(df, text_col)
+    term_df = (toks.select(F.col(id_col).alias("id"),
+                           F.explode(F.array_distinct("__toks")).alias("term")))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    return (
+        term_df.select("id", "term", seeds)
+        .withColumn("h", F.sha2(F.concat(F.col("seed").cast("string"),
+                                         F.lit("|"), F.col("term")), 256))
+        .groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
+
+    bands = num_hashes / band_size; band key = concat of the band's
+    minhashes. Returns distinct (id_a < id_b) pairs.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("", F.array_sort(
+            F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash")))
+        )).alias("band_key"))
+    )
+    l = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    r = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, simhash) where simhash is a `bits`-char '0'/'1' string.
+
+    Per-term 64-bit hash = first bits/4 hex chars of sha256(term);
+    bit b contributes +tf / -tf; sign of the column sum is the output
+    bit. Bitstring (not int64) so both engines avoid 1<<63 overflow.
+    """
+    toks = _tokens(df, text_col)
+    tf = (toks.select(F.col(id_col).alias("id"), F.explode("__toks").alias("term"))
+          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    tf = tf.withColumn("h", F.substring(F.sha2(F.col("term"), 256), 1, bits // 4))
+    b = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("b")
+    # nibble = hex digit at b//4; bit = (nibble >> (3 - b%4)) & 1
+    contrib = F.expr(
+        "tf * (2 * ((instr('0123456789abcdef', substring(h, cast(b / 4 as int) + 1, 1)) - 1) "
+        "div cast(pow(2, 3 - b % 4) as int) % 2) - 1)")
+    per_bit = (
+        tf.select("id", "tf", "h", b)
+        .withColumn("c", contrib)
+        .groupBy("id", "b").agg(F.sum("c").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return (
+        per_bit.groupBy("id")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "bit"))),
+            lambda x: x["bit"])).alias("simhash"))
+    )
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Groups of docs with identical simhash (near-dup at Hamming 0)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    return (sig.groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_id"))
+            .filter(F.col("n_docs") >= 2))

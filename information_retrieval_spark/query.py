@@ -149,6 +149,9 @@ class QueryEngine:
         return clauses
 
     def boolean(self, q: str) -> DataFrame:
+        return self._names(self.boolean_docs(q))
+
+    def boolean_docs(self, q: str) -> DataFrame:
         clauses = self.parse_boolean(q)
         all_terms = {t for inc, exc in clauses for t in inc + exc if t is not None}
         decoded = self.postings_for(all_terms).select("term", "docID")
@@ -180,9 +183,8 @@ class QueryEngine:
                     clause = clause.join(ex_docs, "docID", "left_anti")
                 parts.append(clause)
             if not parts:
-                return self._names(decoded.select("docID").filter(F.lit(False)))
-            docs = reduce(DataFrame.union, parts).distinct()
-            return self._names(docs)
+                return decoded.select("docID").filter(F.lit(False))
+            return reduce(DataFrame.union, parts).distinct()
         finally:
             pass  # cache released with the session; small per-query footprint
 
@@ -199,12 +201,14 @@ class QueryEngine:
         return terms, dists
 
     def positional(self, q: str) -> DataFrame:
+        return self._names(self.positional_docs(q))
+
+    def positional_docs(self, q: str) -> DataFrame:
         terms, dists = self.parse_positional(q)
         present = self.term_stats([t for t in terms if t is not None])
         if any(t is None or t not in present for t in terms):
             # early-exit if any term is absent (QueryProcessor.java:120)
-            return self._names(
-                self._doc_map.select("docID").filter(F.lit(False)))
+            return self._doc_map.select("docID").filter(F.lit(False))
         decoded = self.postings_for(set(terms), with_positions=True) \
             .select("term", "docID", "positions").cache()
 
@@ -232,13 +236,15 @@ class QueryEngine:
                 .select("docID")
             pair_results.append(pair)
         # docs from every adjacent pair are UNIONED (QueryProcessor.java:126-129)
-        docs = reduce(DataFrame.union, pair_results).distinct()
-        return self._names(docs)
+        return reduce(DataFrame.union, pair_results).distinct()
 
     # ------------------------------------------------------------------
     # joker (wildcard)
     # ------------------------------------------------------------------
     def joker(self, q: str) -> DataFrame:
+        return self._names(self.joker_docs(q))
+
+    def joker_docs(self, q: str) -> DataFrame:
         tokens = re.split(r"\s+", q.strip())
         for tok in tokens:
             if _JOKER_WORD.fullmatch(tok) is None:
@@ -268,13 +274,12 @@ class QueryEngine:
                     matched = matched.filter(F.col("term").rlike(f".*{re.escape(mid)}.*"))
             terms = [r["term"] for r in matched.select("term").collect()]
             if not terms:
-                return self._names(empty)
+                return empty
             docs = self.postings_for(terms).select("docID").distinct()
             token_doc_sets.append(docs)
         if not token_doc_sets:
-            return self._names(empty)
-        docs = reduce(lambda a, b: a.join(b, "docID"), token_doc_sets)
-        return self._names(docs)
+            return empty
+        return reduce(lambda a, b: a.join(b, "docID"), token_doc_sets)
 
     # ------------------------------------------------------------------
     # BM25 top-k

@@ -1,0 +1,96 @@
+"""Text-analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting.
+
+All pure Spark SQL builtins (vectorized, whole-stage codegen); every
+constant is fixed so the DuckDB oracle can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .normalize import spark_tokens_expr
+
+# marker-word profiles for the n-gram/stopword language heuristic
+LANG_PROFILES = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS = ["the", "a", "and", "for", "of", "to", "in", "is"]
+
+
+def _toks(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("__toks", F.expr(spark_tokens_expr(text_col)))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_terms, n_distinct_terms, n_chars).
+
+    n_ws_tokens is the raw whitespace token count (a BPE-ish proxy for
+    token budget); n_terms counts kept normalized terms.
+    """
+    toks = _toks(df, text_col)
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    return toks.select(
+        F.col(id_col).alias("id"),
+        ws.alias("n_ws_tokens"),
+        F.size("__toks").alias("n_terms"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_terms"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, pred_lang): argmax over marker-word profile hit ratios;
+    'unknown' when no profile scores > 0. Ties break on profile order
+    en < de < fr (deterministic)."""
+    toks = _toks(df, text_col)
+    n = F.greatest(F.size("__toks"), F.lit(1))
+    scores = [
+        (lang, F.size(F.filter(
+            F.col("__toks"), lambda t: t.isin(words))) / n)
+        for lang, words in LANG_PROFILES.items()
+    ]
+    score_cols = [s.alias(f"s_{lang}") for lang, s in scores]
+    out = toks.select(F.col(id_col).alias("id"), *score_cols)
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PROFILES])
+    pred2 = F.lit("unknown")
+    for lang in reversed(list(LANG_PROFILES)):
+        pred2 = F.when((F.col(f"s_{lang}") == m) & (m > 0), F.lit(lang)).otherwise(pred2)
+    return out.select("id", pred2.alias("pred_lang"))
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, quality): 0.4·min(1, n_terms/50) + 0.3·(1-punct_ratio)
+    + 0.3·min(1, 5·stopword_ratio), rounded to 6 dp."""
+    toks = _toks(df, text_col)
+    n_terms = F.size("__toks")
+    n_chars = F.greatest(F.length(text_col), F.lit(1))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9_\s]", ""))
+    stop_hits = F.size(F.filter(F.col("__toks"), lambda t: t.isin(STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(n_terms, F.lit(1))
+    q = (0.4 * F.least(F.lit(1.0), n_terms / F.lit(50.0))
+         + 0.3 * (1.0 - punct / n_chars)
+         + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio))
+    return toks.select(F.col(id_col).alias("id"), F.round(q, 6).alias("quality"))
+
+
+def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 5) -> DataFrame:
+    """(id, fingerprint): winnowing-style fingerprint = min sha256 over
+    n-term shingles (falls back to the whole-term-stream hash for docs
+    shorter than n terms). Engine-portable (sha256 hex min)."""
+    toks = _toks(df, text_col)
+    shingles = F.expr(
+        f"transform(sequence(0, greatest(size(__toks) - {n}, 0)), "
+        f"i -> sha2(concat_ws(' ', slice(__toks, i + 1, {n})), 256))")
+    return toks.select(
+        F.col(id_col).alias("id"),
+        F.array_min(shingles).alias("fingerprint"),
+    )
