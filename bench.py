@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: index build + headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": <sf>, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from information_retrieval_spark import dedup, similarity, textstats
+from information_retrieval_spark.build import IndexBuilder, IndexConfig
+from information_retrieval_spark.corpus import load_testdata_documents
+from information_retrieval_spark.query import QueryEngine
+from information_retrieval_spark.session import get_spark
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="irs-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, 2 * int(cpus)))
+    spark.range(1000).count()  # JVM warmup
+
+    docs = load_testdata_documents(spark, sf_dir).cache()
+    n_docs = docs.count()
+
+    idx_dir = f"/tmp/irs_bench_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    results: dict[str, float] = {}
+
+    t_build, idx = timed(lambda: IndexBuilder(
+        spark, idx_dir, IndexConfig()).build(docs, resume=False))
+    results["index_build"] = round(t_build, 3)
+
+    qe = QueryEngine(idx)
+    steps = {
+        "bm25_wand": lambda: qe.bm25("spark join window", k=10, wand=True).collect(),
+        "bm25_full": lambda: qe.bm25("spark join window", k=10, wand=False).collect(),
+        "boolean": lambda: qe.boolean_docs(
+            "table AND NOT merge OR spark AND window").count(),
+        "positional": lambda: qe.positional_docs("spark /3 join").count(),
+        "joker": lambda: qe.joker_docs("st* *ow").count(),
+        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+            docs, id_col="path", text_col="content", n=3, threshold=0.3).count(),
+        "dedup_simhash": lambda: dedup.simhash_signatures(
+            docs, id_col="path", text_col="content").count(),
+        "text_quality": lambda: textstats.quality_scores(
+            docs, id_col="path", text_col="content").count(),
+    }
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        steps["ann_cosine_topk"] = lambda: similarity.cosine_topk(
+            emb, qv, k=10).collect()
+        steps["ann_lsh_topk"] = lambda: similarity.lsh_bucket_topk(
+            emb, qv, k=10, nbits=8).collect()
+
+    for name, fn in steps.items():
+        dt, _ = timed(fn)
+        results[name] = round(dt, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "index_build_plus_query_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec_build": round(n_docs / t_build, 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,7 @@ table so the build is resumable (north_rule):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -53,6 +54,61 @@ from .codec import vb_encode
 from .corpus import with_sha256
 from .functions.tokenize import spark_tokenize_col, tokenize_pandas_udf
 from .io import TableStore
+
+def _spimi_invert(batches):
+    """content batches -> (term, docID, tf, positions, dl) rows.
+
+    Shares _normalize_unique with the tokenizer UDF so the two paths
+    cannot diverge (tested in tests/test_normalize.py / test_build.py).
+    """
+    from .functions.tokenize import _normalize_unique
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        split = pdf["content"].fillna("").str.split()
+        lengths = split.map(len).to_numpy(dtype=np.int64)
+        total = int(lengths.sum())
+        flat = np.empty(total, dtype=object)
+        i = 0
+        for toks in split:
+            flat[i: i + len(toks)] = toks
+            i += len(toks)
+        doc_idx = np.repeat(np.arange(len(pdf)), lengths)
+        if total:
+            uniq = pd.Series(pd.unique(flat))
+            mapping = dict(zip(uniq, _normalize_unique(uniq)))
+            normed = np.array([mapping[t] for t in flat], dtype=object)
+            kept = normed != None  # noqa: E711
+        else:
+            normed = flat
+            kept = np.zeros(0, dtype=bool)
+        k_terms = normed[kept]
+        k_doc = doc_idx[kept]
+        dl_per_doc = np.bincount(k_doc, minlength=len(pdf)).astype(np.int64)
+        # position within doc over KEPT terms only (IndexService.java:221-225)
+        kept_starts = np.zeros(len(pdf), dtype=np.int64)
+        kept_starts[1:] = np.cumsum(dl_per_doc[:-1])
+        pos = np.arange(len(k_terms), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
+        # group by (doc, term): stable lexsort keeps positions ascending
+        order = np.lexsort((pos, k_terms.astype("U"), k_doc))
+        g_doc, g_term, g_pos = k_doc[order], k_terms[order], pos[order]
+        if len(g_doc) == 0:
+            continue
+        new_group = np.ones(len(g_doc), dtype=bool)
+        new_group[1:] = (g_doc[1:] != g_doc[:-1]) | (g_term[1:] != g_term[:-1])
+        starts = np.flatnonzero(new_group)
+        tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
+        doc_ids = pdf["docID"].to_numpy(dtype=np.int64)
+        yield pd.DataFrame({
+            "term": g_term[starts],
+            "docID": doc_ids[g_doc[starts]],
+            "tf": tf,
+            "positions": pd.Series(np.split(g_pos.astype(np.int32), starts[1:]),
+                                   dtype=object),
+            "dl": dl_per_doc[g_doc[starts]].astype(np.int32),
+        })
+
 
 POSTINGS_SCHEMA = (
     "term string, bucket long, block_id long, n_docs int, "
@@ -135,16 +191,18 @@ class IndexBuilder:
             self.spark.conf.get("spark.sql.shuffle.partitions"))
 
     def _record_lineage(self, stage: str, df_name: str, detail: str = "") -> None:
-        """Per-partition row counts of a committed stage output (cheap:
-        columnar count over the written files)."""
-        per_part = (
-            self.store.read(df_name)
-            .groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
-        for r in per_part:
-            self._lineage_rows.append((stage, int(r["partition_id"]), int(r["count"]), detail))
+        """Per-partition row counts of a committed stage output, read from
+        the parquet file footers — metadata only, no Spark job, no data
+        scan (matters at 10^12 rows: lineage bookkeeping must not re-read
+        the tables it describes)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.store.path(df_name), "*.parquet")))
+        for i, fp in enumerate(files):
+            n = pq.ParquetFile(fp).metadata.num_rows
+            self._lineage_rows.append((stage, i, int(n), detail))
 
     # -- stage 1: docID assignment -------------------------------------
     def _build_doc_map(self, docs: DataFrame) -> None:
@@ -164,10 +222,10 @@ class IndexBuilder:
 
         numbered_schema = "repo string, path string, commit string, lang string, sha256 string, pid int, local_idx long"
         numbered = slim.mapInPandas(number_within_partition, schema=numbered_schema)
-        # materialize once so offsets and final ids derive from the same pass
-        self.store.write(numbered, "_doc_order")
-        numbered = self.store.read("_doc_order")
-
+        # materialize once so offsets and final ids derive from the same
+        # pass (persist, not a parquet round-trip: one write saved; at
+        # cluster scale use DISK_ONLY or a checkpoint table here)
+        numbered = numbered.persist()
         counts = {r["pid"]: r["cnt"] for r in
                   numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
@@ -182,26 +240,39 @@ class IndexBuilder:
                     "repo", "path", "commit", "lang", "sha256")
         )
         self.store.write(doc_map, "doc_map")
-        self.store.drop("_doc_order")
+        numbered.unpersist()
         self._record_lineage("doc_map", "doc_map")
 
     # -- stage 2: SPIMI partials ---------------------------------------
     def _build_partials(self, docs: DataFrame) -> None:
+        """Map-side SPIMI: tokenize + per-doc inversion fused into ONE
+        Arrow kernel with NO shuffle.
+
+        A document lives entirely inside one partition, so the
+        (term, docID) aggregation the reference does under a lock
+        (IndexService.java:215-233) is partition-local here — the only
+        wide exchange in the whole build is the later term-range shuffle
+        before block encoding. The kernel is batch-vectorized numpy:
+        regex normalization runs once per DISTINCT raw token per batch,
+        and the (doc, term) grouping is one stable lexsort.
+        """
         doc_ids = self.store.read("doc_map").select("docID", "repo", "path")
         base = docs.select("repo", "path", "content").join(doc_ids, ["repo", "path"])
         if self.config.tokenizer == "sql":
             tokens_col = spark_tokenize_col("content")
+            tok = base.select("docID", tokens_col.alias("tokens"))
+            tok = tok.withColumn("dl", F.size("tokens"))
+            ex = tok.select("docID", "dl", F.posexplode("tokens").alias("pos", "term"))
+            partials = (
+                ex.groupBy("term", "docID")
+                .agg(F.count("*").cast("int").alias("tf"),
+                     F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+                     F.first("dl").alias("dl"))
+            )
         else:
-            tokens_col = tokenize_pandas_udf()(F.col("content"))
-        tok = base.select("docID", tokens_col.alias("tokens"))
-        tok = tok.withColumn("dl", F.size("tokens"))
-        ex = tok.select("docID", "dl", F.posexplode("tokens").alias("pos", "term"))
-        partials = (
-            ex.groupBy("term", "docID")
-            .agg(F.count("*").cast("int").alias("tf"),
-                 F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
-                 F.first("dl").alias("dl"))
-        )
+            partials = base.select("docID", "content").mapInPandas(
+                _spimi_invert, schema="term string, docID long, tf int, "
+                                      "positions array<int>, dl int")
         self.store.write(partials, "partials")
         self._record_lineage("partials", "partials", detail="postings_emitted")
 

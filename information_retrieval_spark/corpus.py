@@ -100,6 +100,62 @@ def synthetic_corpus(spark: SparkSession, n_docs: int = 1000, seed: int = 42,
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
 
 
+def synthetic_corpus_distributed(spark: SparkSession, n_docs: int = 100_000,
+                                 seed: int = 42, avg_tokens: int = 400,
+                                 n_partitions: int | None = None) -> DataFrame:
+    """Deterministic synthetic corpus generated ON THE EXECUTORS.
+
+    Each document's RNG is keyed by (seed, doc index) — Philox counter
+    streams — so the corpus is bit-identical regardless of partitioning
+    or cluster size (the property the two-parallelism scaling benchmark
+    depends on). This is the 10^12-file-scale generation path: no
+    driver-side materialization.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vocab = np.array([f"sym{v}" for v in range(500)], dtype=object)
+    head = np.array(_HEAD, dtype=object)
+    langs = np.array(_LANGS, dtype=object)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, 0, i]))
+                n = max(5, int(rng.normal(avg_tokens, avg_tokens / 4)))
+                r = rng.random(n)
+                zipf = np.minimum(rng.pareto(1.2, n).astype(np.int64), 499)
+                headpick = head[(rng.random(n) ** 2 * len(head)).astype(np.int64)]
+                toks = vocab[zipf]
+                toks = np.where(r < 0.35, headpick, toks)
+                long_mask = (r >= 0.95) & (r < 0.98)
+                if long_mask.any():
+                    import hashlib as _h
+                    toks[long_mask] = [
+                        _h.sha256(f"blob{i}{k}".encode()).hexdigest()[:16]
+                        for k in np.flatnonzero(long_mask)]
+                code_mask = r >= 0.98
+                if code_mask.any():
+                    toks[code_mask] = [f"v{v}" for v in
+                                       rng.integers(0, 100, int(code_mask.sum()))]
+                content = " ".join(toks)
+                if rng.random() < 0.3:
+                    content += " needle haystack"
+                lang = langs[i % len(langs)]
+                rows.append((
+                    f"org{i % 7}/repo{i % 23}",
+                    f"src/dir{i % 11}/file{i}.{_EXT[lang]}",
+                    hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40],
+                    lang, content))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, n_partitions)
+    return base.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
 def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's documents parquet into the input_hint shape."""
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")

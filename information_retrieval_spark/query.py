@@ -307,7 +307,12 @@ class QueryEngine:
         if not terms:
             return self._empty_scores()
         idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
-        if wand:
+        # cost gate: pruning pays off only when there is enough to skip —
+        # below ~64 blocks the extra threshold-estimation jobs cost more
+        # than decoding everything (dictionary stats are already in hand,
+        # so this gate is free)
+        total_blocks = sum(int(stats[t]["n_blocks"]) for t in terms)
+        if wand and total_blocks >= 64:
             candidates = self._wand_candidate_blocks(terms, idf_map, k)
         else:
             candidates = self.blocks_for(terms)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling benchmark (north_rule evidence).
+
+The sandbox has no multi-node cluster, so N vs 4N executors is stood in
+for by local[8] vs local[32] over the SAME on-disk input (task brief /
+BASELINE.md). The corpus is generated once (deterministic, executor-side
+Philox streams) and written to parquet; each level then runs the full
+index build from that parquet.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from information_retrieval_spark.build import IndexBuilder, IndexConfig
+from information_retrieval_spark.corpus import synthetic_corpus_distributed
+from information_retrieval_spark.query import QueryEngine
+from information_retrieval_spark.session import get_spark
+
+N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "40000"))
+AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
+LEVELS = (8, 32)
+CORPUS = f"/tmp/irs_scale_corpus_{N_DOCS}"
+
+
+def prepare_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    spark = get_spark(app_name="irs-scale-gen", master="local[32]",
+                      shuffle_partitions=64)
+    docs = synthetic_corpus_distributed(spark, n_docs=N_DOCS, seed=42,
+                                        avg_tokens=AVG_TOKENS, n_partitions=64)
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    docs.write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    spark = get_spark(app_name=f"irs-scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(16, 2 * cores))
+    spark.range(1000).count()  # warmup
+    docs = spark.read.parquet(CORPUS)
+    idx_dir = f"/tmp/irs_scale_idx_{cores}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    idx = IndexBuilder(spark, idx_dir,
+                       IndexConfig(n_partitions=max(16, 2 * cores))
+                       ).build(docs, resume=False)
+    build_s = time.time() - t0
+
+    qe = QueryEngine(idx)
+    lat = []
+    for q in ["spark join window", "needle haystack", "sym1 sym2 sym3",
+              "the for sym10", "sym100 v5"] * 4:
+        t0 = time.time()
+        qe.bm25(q, k=10, wand=True).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p95 = lat[int(0.95 * len(lat)) - 1]
+    spark.stop()
+    return {"cores": cores, "build_sec": round(build_s, 2),
+            "docs_per_sec": round(N_DOCS / build_s, 1),
+            "bm25_p95_sec": round(p95, 3), "n_queries": len(lat)}
+
+
+def main() -> None:
+    prepare_corpus()
+    levels = [run_level(c) for c in LEVELS]
+    lo, hi = levels[0], levels[-1]
+    speedup = lo["build_sec"] / hi["build_sec"]
+    eff = speedup / (hi["cores"] / lo["cores"])
+    out = {"metric": "build_scaling_efficiency", "value": round(eff, 3),
+           "unit": "ratio", "levels": levels, "n_docs": N_DOCS,
+           "avg_tokens": AVG_TOKENS, "speedup": round(speedup, 2)}
+    print(json.dumps(out))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured numbers\n\n"
+            "Two-parallelism scaling run (north_rule: throughput scaling "
+            "efficiency >=0.8 from N to 4N executors; sandbox stand-in = "
+            "local[8] vs local[32] on the same parquet input, per task "
+            "brief).\n\n"
+            f"Corpus: {N_DOCS} synthetic source-code docs, ~{AVG_TOKENS} "
+            "tokens/doc, deterministic executor-side generation "
+            "(corpus.synthetic_corpus_distributed, seed=42).\n\n"
+            "| cores | build sec | docs/sec | BM25 top-10 p95 (s) |\n"
+            "|---|---|---|---|\n")
+        for lv in levels:
+            f.write(f"| local[{lv['cores']}] | {lv['build_sec']} | "
+                    f"{lv['docs_per_sec']} | {lv['bm25_p95_sec']} |\n")
+        f.write(
+            f"\nSpeedup {lo['cores']}->{hi['cores']} cores: "
+            f"**{speedup:.2f}x** over a {hi['cores'] // lo['cores']}x core "
+            f"increase -> scaling efficiency **{eff:.3f}** "
+            f"(target >=0.8).\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
