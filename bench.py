@@ -20,7 +20,7 @@ from information_retrieval_spark import dedup, similarity, textstats
 from information_retrieval_spark.build import IndexBuilder, IndexConfig
 from information_retrieval_spark.corpus import load_testdata_documents
 from information_retrieval_spark.query import QueryEngine
-from information_retrieval_spark.session import get_spark
+from information_retrieval_spark.session import get_spark, warm_python_workers
 
 
 def timed(fn):
@@ -37,6 +37,7 @@ def main() -> None:
     spark = get_spark(app_name="irs-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(8, 2 * int(cpus)))
     spark.range(1000).count()  # JVM warmup
+    warm_python_workers(spark, int(cpus))
 
     docs = load_testdata_documents(spark, sf_dir).cache()
     n_docs = docs.count()

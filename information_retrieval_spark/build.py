@@ -46,7 +46,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,11 +54,85 @@ from .corpus import with_sha256
 from .functions.tokenize import spark_tokenize_col, tokenize_pandas_udf
 from .io import TableStore
 
+def _spimi_invert_arrow(batches):
+    """Arrow-native SPIMI kernel (mapInArrow): tokenize + per-doc
+    inversion with ZERO per-token Python objects.
+
+    Token splitting / flattening / dictionary-encoding run in Arrow C++
+    (pc.utf8_split_whitespace, pc.dictionary_encode); Python sees only
+    the per-batch DISTINCT raw tokens (a few hundred strings) for the
+    regex normalization, and all grouping is integer numpy. Output
+    posting rows are assembled straight into Arrow buffers
+    (ListArray.from_arrays), so the 10^8-row partials stream never
+    materializes Python objects. Semantics identical to the pandas and
+    SQL tokenizer paths (tests/test_build.py::test_tokenizer_paths_agree).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.tokenize import _normalize_unique
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        content = pc.fill_null(rb.column(rb.schema.get_field_index("content")), "")
+        doc_ids = rb.column(rb.schema.get_field_index("docID")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lists = pc.utf8_split_whitespace(content)
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        if len(flat) == 0:
+            continue
+        enc = pc.dictionary_encode(flat)
+        raw_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_uniq = enc.dictionary.to_pandas()
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+
+        norm_uniq = _normalize_unique(raw_uniq).to_numpy(dtype=object)
+        kept_uniq = norm_uniq != None  # noqa: E711
+        term_of_raw = np.full(len(norm_uniq), -1, dtype=np.int64)
+        term_codes, term_uniq = pd.factorize(pd.Series(norm_uniq[kept_uniq]))
+        term_of_raw[kept_uniq] = term_codes
+
+        tok_term = term_of_raw[raw_codes]
+        kept = tok_term >= 0
+        k_term = tok_term[kept]
+        k_doc = doc_idx[kept]
+        dl_per_doc = np.bincount(k_doc, minlength=len(lengths)).astype(np.int64)
+        kept_starts = np.zeros(len(lengths), dtype=np.int64)
+        kept_starts[1:] = np.cumsum(dl_per_doc[:-1])
+        # position within doc over KEPT terms only (IndexService.java:221-225)
+        pos = np.arange(len(k_term), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
+        if len(k_term) == 0:
+            continue
+        order = np.lexsort((k_term, k_doc))  # stable -> positions stay ascending
+        g_doc, g_term, g_pos = k_doc[order], k_term[order], pos[order]
+        new_group = np.ones(len(g_doc), dtype=bool)
+        new_group[1:] = (g_doc[1:] != g_doc[:-1]) | (g_term[1:] != g_term[:-1])
+        starts = np.flatnonzero(new_group)
+        tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
+
+        term_arr = pc.take(pa.array(np.asarray(term_uniq, dtype=object), type=pa.string()),
+                           pa.array(g_term[starts]))
+        offsets = np.append(starts, len(g_pos)).astype(np.int32)
+        pos_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                           pa.array(g_pos.astype(np.int32), type=pa.int32()))
+        yield pa.RecordBatch.from_arrays(
+            [term_arr,
+             pa.array(doc_ids[g_doc[starts]], type=pa.int64()),
+             pa.array(tf, type=pa.int32()),
+             pos_arr,
+             pa.array(dl_per_doc[g_doc[starts]].astype(np.int32), type=pa.int32())],
+            names=["term", "docID", "tf", "positions", "dl"])
+
+
 def _spimi_invert(batches):
     """content batches -> (term, docID, tf, positions, dl) rows.
 
     Shares _normalize_unique with the tokenizer UDF so the two paths
     cannot diverge (tested in tests/test_normalize.py / test_build.py).
+    Strings are factorized to int codes up front so every grouping step
+    is integer numpy — no unicode comparisons in the hot path.
     """
     from .functions.tokenize import _normalize_unique
 
@@ -75,24 +148,27 @@ def _spimi_invert(batches):
             flat[i: i + len(toks)] = toks
             i += len(toks)
         doc_idx = np.repeat(np.arange(len(pdf)), lengths)
-        if total:
-            uniq = pd.Series(pd.unique(flat))
-            mapping = dict(zip(uniq, _normalize_unique(uniq)))
-            normed = np.array([mapping[t] for t in flat], dtype=object)
-            kept = normed != None  # noqa: E711
-        else:
-            normed = flat
-            kept = np.zeros(0, dtype=bool)
-        k_terms = normed[kept]
+        if total == 0:
+            continue
+        # normalize once per DISTINCT raw token, then propagate via codes
+        raw_codes, raw_uniq = pd.factorize(pd.Series(flat))
+        norm_uniq = _normalize_unique(pd.Series(raw_uniq)).to_numpy(dtype=object)
+        kept_uniq = norm_uniq != None  # noqa: E711
+        term_of_raw = np.full(len(raw_uniq), -1, dtype=np.int64)
+        term_codes, term_uniq = pd.factorize(pd.Series(norm_uniq[kept_uniq]))
+        term_of_raw[kept_uniq] = term_codes
+        tok_term = term_of_raw[raw_codes]
+        kept = tok_term >= 0
+        k_term = tok_term[kept]
         k_doc = doc_idx[kept]
         dl_per_doc = np.bincount(k_doc, minlength=len(pdf)).astype(np.int64)
         # position within doc over KEPT terms only (IndexService.java:221-225)
         kept_starts = np.zeros(len(pdf), dtype=np.int64)
         kept_starts[1:] = np.cumsum(dl_per_doc[:-1])
-        pos = np.arange(len(k_terms), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
-        # group by (doc, term): stable lexsort keeps positions ascending
-        order = np.lexsort((pos, k_terms.astype("U"), k_doc))
-        g_doc, g_term, g_pos = k_doc[order], k_terms[order], pos[order]
+        pos = np.arange(len(k_term), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
+        # group by (doc, term): stable int lexsort keeps positions ascending
+        order = np.lexsort((k_term, k_doc))
+        g_doc, g_term, g_pos = k_doc[order], k_term[order], pos[order]
         if len(g_doc) == 0:
             continue
         new_group = np.ones(len(g_doc), dtype=bool)
@@ -101,13 +177,124 @@ def _spimi_invert(batches):
         tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
         doc_ids = pdf["docID"].to_numpy(dtype=np.int64)
         yield pd.DataFrame({
-            "term": g_term[starts],
+            "term": term_uniq.to_numpy(dtype=object)[g_term[starts]]
+            if hasattr(term_uniq, "to_numpy") else np.asarray(term_uniq, dtype=object)[g_term[starts]],
             "docID": doc_ids[g_doc[starts]],
             "tf": tf,
             "positions": pd.Series(np.split(g_pos.astype(np.int32), starts[1:]),
                                    dtype=object),
             "dl": dl_per_doc[g_doc[starts]].astype(np.int32),
         })
+
+
+def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
+    """Arrow kernel factory: sorted (term, bucket, docID) record batches
+    -> varbyte posting-block rows. Stateful across batches: the last
+    (term, bucket) group of each batch is held back until the stream
+    moves past it (groups never span partitions)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k1, b, B = cfg.k1, cfg.b, cfg.docs_per_block
+    blocks_per_bucket = cfg.blocks_per_bucket
+    store_positions = cfg.store_positions
+    avgdl = avgdl or 1.0
+
+    out_names = ["term", "bucket", "block_id", "n_docs", "doc_gaps", "tfs", "dls",
+                 "pos_gaps", "block_max_tf", "block_max_wand",
+                 "block_first_doc", "block_last_doc", "cf"]
+    out_types = [pa.string(), pa.int64(), pa.int64(), pa.int32(), pa.binary(),
+                 pa.binary(), pa.binary(), pa.binary(), pa.int32(), pa.float64(),
+                 pa.int64(), pa.int64(), pa.int64()]
+
+    def encode_group(rows_out, term, bucket, d, t, l, pos_flat):
+        # per-posting gap coding + BM25 tf-norm upper bound (block-max WAND)
+        if store_positions and len(pos_flat):
+            starts = np.zeros(len(t), dtype=np.int64)
+            starts[1:] = np.cumsum(t[:-1])
+            pos_gaps_all = np.diff(pos_flat, prepend=0)
+            pos_gaps_all[starts] = pos_flat[starts]
+        tfnorm = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
+        for i in range(0, len(d), B):
+            j = min(i + B, len(d))
+            gaps = np.diff(d[i:j], prepend=0)
+            gaps[0] = d[i]  # first docID absolute per block (independent decode)
+            if store_positions:
+                pg = vb_encode(pos_gaps_all[starts[i]: starts[j - 1] + t[j - 1]])
+            else:
+                pg = b""
+            tb = t[i:j]
+            rows_out.append((
+                term, bucket, bucket * blocks_per_bucket + i // B, int(j - i),
+                vb_encode(gaps), vb_encode(tb), vb_encode(l[i:j]), pg,
+                int(tb.max()), float(tfnorm[i:j].max()),
+                int(d[i]), int(d[j - 1]), int(tb.sum())))
+
+    def kernel(batches):
+        pending = None  # (term:str, bucket:int, d, t, l, pos_flat)
+
+        def flush(rows_out, span):
+            encode_group(rows_out, *span)
+
+        def to_batch(rows_out):
+            cols = list(zip(*rows_out))
+            return pa.RecordBatch.from_arrays(
+                [pa.array(list(c), type=ty) for c, ty in zip(cols, out_types)],
+                names=out_names)
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            col = {nm: rb.column(i) for i, nm in enumerate(names)}
+            term_enc = pc.dictionary_encode(col["term"])
+            t_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            t_uniq = term_enc.dictionary.to_pylist()
+            bucket = col["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = col["docID"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = col["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            l = col["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if store_positions:
+                plist = col["positions"]
+                if isinstance(plist, pa.ChunkedArray):
+                    plist = plist.combine_chunks()
+                pos_flat_all = plist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+                pos_offsets = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                pos_flat_all = np.empty(0, dtype=np.int64)
+                pos_offsets = np.zeros(rb.num_rows + 1, dtype=np.int64)
+
+            change = np.ones(rb.num_rows, dtype=bool)
+            change[1:] = (t_codes[1:] != t_codes[:-1]) | (bucket[1:] != bucket[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], rb.num_rows)
+
+            rows_out: list = []
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                span = (t_uniq[t_codes[s]], int(bucket[s]), d[s:e], t[s:e], l[s:e],
+                        pos_flat_all[pos_offsets[s]: pos_offsets[e]])
+                if pending is not None:
+                    if pending[0] == span[0] and pending[1] == span[1]:
+                        span = (span[0], span[1],
+                                np.concatenate([pending[2], span[2]]),
+                                np.concatenate([pending[3], span[3]]),
+                                np.concatenate([pending[4], span[4]]),
+                                np.concatenate([pending[5], span[5]]))
+                    else:
+                        flush(rows_out, pending)
+                    pending = None
+                if gi == len(starts) - 1:
+                    pending = span  # may continue in the next batch
+                else:
+                    flush(rows_out, span)
+            if rows_out:
+                yield to_batch(rows_out)
+        if pending is not None:
+            rows_out = []
+            flush(rows_out, pending)
+            yield to_batch(rows_out)
+
+    return kernel
 
 
 POSTINGS_SCHEMA = (
@@ -121,10 +308,14 @@ POSTINGS_SCHEMA = (
 @dataclass
 class IndexConfig:
     docs_per_block: int = 128
-    blocks_per_bucket: int = 4096          # bucket spans docs_per_block * blocks_per_bucket docIDs
+    # bucket spans docs_per_block * blocks_per_bucket docIDs (=65536 at the
+    # defaults): small enough that a Zipf head term splits into many encode
+    # groups (parallelism + bounded memory), large enough that block ids
+    # stay dense. At 10^12 docIDs a head term spans ~1.5e7 buckets.
+    blocks_per_bucket: int = 512
     k1: float = 1.2
     b: float = 0.75
-    tokenizer: str = "pandas"              # "pandas" (north-star Arrow UDF) or "sql" (JVM codegen)
+    tokenizer: str = "arrow"               # "arrow" (mapInArrow, fastest) | "pandas" | "sql"
     n_partitions: int | None = None        # defaults to spark.sql.shuffle.partitions
     store_positions: bool = True
 
@@ -206,41 +397,40 @@ class IndexBuilder:
 
     # -- stage 1: docID assignment -------------------------------------
     def _build_doc_map(self, docs: DataFrame) -> None:
+        """Dense docID = global rank of (repo, path), without a global sort.
+
+        Range-partition the slim key projection, count per partition,
+        exclusive-prefix-sum the counts, then docID = offset +
+        partition-local row_number. The result is invariant to where the
+        range boundaries fall (rank within a range partition + offset of
+        everything before it IS the global rank), so the two passes over
+        the same DataFrame need not even produce identical boundaries —
+        though they do, since Spark's range sampler is seeded by RDD id.
+        All JVM (whole-stage codegen); only the two key columns shuffle.
+        """
+        from pyspark.sql import Window
+
         n = self._n_partitions()
         slim = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
-        slim = slim.repartitionByRange(n, "repo", "path").sortWithinPartitions("repo", "path")
-
-        def number_within_partition(it):
-            pid = TaskContext.get().partitionId()
-            local = 0
-            for pdf in it:
-                pdf = pdf.copy()
-                pdf["pid"] = np.int32(pid)
-                pdf["local_idx"] = np.arange(local, local + len(pdf), dtype=np.int64)
-                local += len(pdf)
-                yield pdf
-
-        numbered_schema = "repo string, path string, commit string, lang string, sha256 string, pid int, local_idx long"
-        numbered = slim.mapInPandas(number_within_partition, schema=numbered_schema)
-        # materialize once so offsets and final ids derive from the same
-        # pass (persist, not a parquet round-trip: one write saved; at
-        # cluster scale use DISK_ONLY or a checkpoint table here)
-        numbered = numbered.persist()
+        slim = (slim.repartitionByRange(n, "repo", "path")
+                .sortWithinPartitions("repo", "path")
+                .withColumn("pid", F.spark_partition_id()))
         counts = {r["pid"]: r["cnt"] for r in
-                  numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+                  slim.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
         offsets_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
+        w = Window.partitionBy("pid").orderBy("repo", "path")
         doc_map = (
-            numbered.join(F.broadcast(offsets_df), "pid")
+            slim.withColumn("local_idx", F.row_number().over(w) - 1)
+            .join(F.broadcast(offsets_df), "pid")
             .select((F.col("offset") + F.col("local_idx")).alias("docID"),
                     "repo", "path", "commit", "lang", "sha256")
         )
         self.store.write(doc_map, "doc_map")
-        numbered.unpersist()
         self._record_lineage("doc_map", "doc_map")
 
     # -- stage 2: SPIMI partials ---------------------------------------
@@ -269,10 +459,14 @@ class IndexBuilder:
                      F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
                      F.first("dl").alias("dl"))
             )
-        else:
+        elif self.config.tokenizer == "pandas":
             partials = base.select("docID", "content").mapInPandas(
                 _spimi_invert, schema="term string, docID long, tf int, "
                                       "positions array<int>, dl int")
+        else:  # "arrow" (default)
+            partials = base.select("docID", "content").mapInArrow(
+                _spimi_invert_arrow, schema="term string, docID long, tf int, "
+                                            "positions array<int>, dl int")
         self.store.write(partials, "partials")
         self._record_lineage("partials", "partials", detail="postings_emitted")
 
@@ -300,65 +494,32 @@ class IndexBuilder:
 
     # -- stage 4: block encode -----------------------------------------
     def _build_postings(self) -> None:
+        """Shuffle partials once by (term, bucket-of-docID-range), sort
+        within partitions, and stream the sorted run through an Arrow
+        encode kernel that cuts varbyte blocks at group boundaries.
+
+        This is the k-way merge of the reference (IndexService.java:
+        290-419) re-expressed as Spark's sort-merge shuffle; the bucket
+        key bounds any single group so Zipf head terms spread across
+        tasks (skew-proof). The kernel is stateful across record batches
+        (a group may span batches) but never across partitions (hash
+        partitioning on the group key guarantees that).
+        """
         cfg = self.config
         stats = self.store.read("stats").collect()[0]
         avgdl = float(stats["avgdl"]) or 1.0
-        k1, b = cfg.k1, cfg.b
-        B = cfg.docs_per_block
-        blocks_per_bucket = cfg.blocks_per_bucket
-        store_positions = cfg.store_positions
-
-        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("docID")
-            term = pdf["term"].iloc[0]
-            bucket = int(pdf["bucket"].iloc[0])
-            doc_ids = pdf["docID"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
-            if store_positions:
-                pos_lists = pdf["positions"].to_numpy()
-                flat_pos = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists]) \
-                    if len(pos_lists) else np.empty(0, dtype=np.int64)
-                starts = np.zeros(len(tfs), dtype=np.int64)
-                starts[1:] = np.cumsum(tfs[:-1])
-                # gap-code positions per doc: diff then restore absolute firsts
-                pos_gaps_all = np.diff(flat_pos, prepend=0)
-                pos_gaps_all[starts] = flat_pos[starts]
-            tfnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-
-            rows = []
-            for i in range(0, len(doc_ids), B):
-                j = min(i + B, len(doc_ids))
-                d = doc_ids[i:j]
-                t = tfs[i:j]
-                gaps = np.diff(d, prepend=0)
-                gaps[0] = d[0]  # first docID absolute per block (independent decode)
-                if store_positions:
-                    pg = vb_encode(pos_gaps_all[starts[i]: starts[j - 1] + tfs[j - 1]])
-                else:
-                    pg = b""
-                rows.append((
-                    term, bucket,
-                    bucket * blocks_per_bucket + i // B,
-                    int(j - i),
-                    vb_encode(gaps), vb_encode(t), vb_encode(dls[i:j]), pg,
-                    int(t.max()), float(tfnorm[i:j].max()),
-                    int(d[0]), int(d[-1]), int(t.sum()),
-                ))
-            return pd.DataFrame(rows, columns=[
-                "term", "bucket", "block_id", "n_docs", "doc_gaps", "tfs", "dls",
-                "pos_gaps", "block_max_tf", "block_max_wand",
-                "block_first_doc", "block_last_doc", "cf"])
-
+        encode = _make_block_encoder(cfg, avgdl)
         partials = self.store.read("partials")
-        cols = ["term", "docID", "tf", "dl"] + (["positions"] if store_positions else [])
+        n = self._n_partitions()
+        cols = ["term", "docID", "tf", "dl"] + \
+            (["positions"] if cfg.store_positions else [])
         enc = (
             partials.select(*cols)
             .withColumn("bucket", (F.col("docID") / F.lit(cfg.docs_per_bucket)).cast("long"))
-            .groupBy("term", "bucket")
-            .applyInPandas(encode, schema=POSTINGS_SCHEMA)
+            .repartition(n, "term", "bucket")
+            .sortWithinPartitions("term", "bucket", "docID")
+            .mapInArrow(encode, schema=POSTINGS_SCHEMA)
         )
-        n = self._n_partitions()
         enc = enc.repartitionByRange(n, "term", "bucket").sortWithinPartitions("term", "bucket")
         self.store.write(enc, "postings")
         self._record_lineage("postings", "postings",

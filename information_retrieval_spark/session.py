@@ -31,8 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("IRS_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # local[N] packs N task threads into ONE JVM: size the heap for all
+        # of them (a real cluster sizes per-executor memory instead)
+        .config("spark.driver.memory", os.environ.get("IRS_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
@@ -42,6 +44,23 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> None:
+    """Spawn + warm the session's Python UDF workers (imports of
+    numpy/pandas happen once per worker). A one-time session cost on any
+    cluster — benchmarks call this so build timings measure the build,
+    not interpreter start-up."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    n = parallelism or spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf("long")
+    def _noop(x):
+        return x
+
+    spark.range(4 * n, numPartitions=4 * n).select(F.sum(_noop(F.col("id")))).collect()
 
 
 def _parallelism_of(master: str) -> int:

@@ -3,9 +3,12 @@
 
 The sandbox has no multi-node cluster, so N vs 4N executors is stood in
 for by local[8] vs local[32] over the SAME on-disk input (task brief /
-BASELINE.md). The corpus is generated once (deterministic, executor-side
-Philox streams) and written to parquet; each level then runs the full
-index build from that parquet.
+BASELINE.md). Each level runs in a subprocess pinned to exactly that
+many machine cores with `taskset`: in local mode Python UDF workers are
+separate processes, so without pinning a local[8] run would silently
+borrow the other 24 cores and understate the true speedup. Pinning
+models a real cluster, where executor cores bound ALL of a task's
+compute (JVM and Python alike).
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -15,15 +18,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
-from information_retrieval_spark.build import IndexBuilder, IndexConfig
-from information_retrieval_spark.corpus import synthetic_corpus_distributed
-from information_retrieval_spark.query import QueryEngine
-from information_retrieval_spark.session import get_spark
-
-N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "40000"))
+N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "300000"))
 AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
 LEVELS = (8, 32)
 CORPUS = f"/tmp/irs_scale_corpus_{N_DOCS}"
@@ -32,6 +31,8 @@ CORPUS = f"/tmp/irs_scale_corpus_{N_DOCS}"
 def prepare_corpus() -> None:
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
+    from information_retrieval_spark.corpus import synthetic_corpus_distributed
+    from information_retrieval_spark.session import get_spark
     spark = get_spark(app_name="irs-scale-gen", master="local[32]",
                       shuffle_partitions=64)
     docs = synthetic_corpus_distributed(spark, n_docs=N_DOCS, seed=42,
@@ -41,10 +42,16 @@ def prepare_corpus() -> None:
     spark.stop()
 
 
-def run_level(cores: int) -> dict:
+def run_level_inprocess(cores: int) -> dict:
+    """Executed inside the taskset-pinned subprocess."""
+    from information_retrieval_spark.build import IndexBuilder, IndexConfig
+    from information_retrieval_spark.query import QueryEngine
+    from information_retrieval_spark.session import get_spark, warm_python_workers
+
     spark = get_spark(app_name=f"irs-scale-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=max(16, 2 * cores))
-    spark.range(1000).count()  # warmup
+    spark.range(1000).count()  # JVM warmup
+    warm_python_workers(spark, cores)
     docs = spark.read.parquet(CORPUS)
     idx_dir = f"/tmp/irs_scale_idx_{cores}"
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -69,7 +76,21 @@ def run_level(cores: int) -> dict:
             "bm25_p95_sec": round(p95, 3), "n_queries": len(lat)}
 
 
+def run_level(cores: int) -> dict:
+    cpu_list = f"0-{cores - 1}"
+    env = dict(os.environ)
+    env["IRS_SCALE_DOCS"] = str(N_DOCS)
+    env["IRS_SCALE_TOKENS"] = str(AVG_TOKENS)
+    out = subprocess.run(
+        ["taskset", "-c", cpu_list, sys.executable, __file__, "--level", str(cores)],
+        capture_output=True, text=True, env=env, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--level":
+        print(json.dumps(run_level_inprocess(int(sys.argv[2]))))
+        return
     prepare_corpus()
     levels = [run_level(c) for c in LEVELS]
     lo, hi = levels[0], levels[-1]
@@ -87,7 +108,10 @@ def main() -> None:
             "Two-parallelism scaling run (north_rule: throughput scaling "
             "efficiency >=0.8 from N to 4N executors; sandbox stand-in = "
             "local[8] vs local[32] on the same parquet input, per task "
-            "brief).\n\n"
+            "brief). Each level runs in a subprocess pinned with "
+            "`taskset` to exactly that many machine cores, so Python UDF "
+            "workers cannot borrow cores beyond the level's budget — the "
+            "honest analogue of per-executor core limits on a cluster.\n\n"
             f"Corpus: {N_DOCS} synthetic source-code docs, ~{AVG_TOKENS} "
             "tokens/doc, deterministic executor-side generation "
             "(corpus.synthetic_corpus_distributed, seed=42).\n\n"
