@@ -411,12 +411,15 @@ class IndexBuilder:
         from pyspark.sql import Window
 
         n = self._n_partitions()
-        slim = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
-        slim = (slim.repartitionByRange(n, "repo", "path")
+        # rank over the KEY COLUMNS ONLY: the two sampling/counting passes
+        # touch just (repo, path) — content and its sha256 are scanned
+        # exactly once, in the metadata join below
+        keys = (docs.select("repo", "path")
+                .repartitionByRange(n, "repo", "path")
                 .sortWithinPartitions("repo", "path")
                 .withColumn("pid", F.spark_partition_id()))
         counts = {r["pid"]: r["cnt"] for r in
-                  slim.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+                  keys.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -424,14 +427,18 @@ class IndexBuilder:
         offsets_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
         w = Window.partitionBy("pid").orderBy("repo", "path")
-        doc_map = (
-            slim.withColumn("local_idx", F.row_number().over(w) - 1)
+        ids = (
+            keys.withColumn("local_idx", F.row_number().over(w) - 1)
             .join(F.broadcast(offsets_df), "pid")
             .select((F.col("offset") + F.col("local_idx")).alias("docID"),
-                    "repo", "path", "commit", "lang", "sha256")
+                    "repo", "path")
         )
+        meta = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
+        doc_map = ids.join(meta, ["repo", "path"]).select(
+            "docID", "repo", "path", "commit", "lang", "sha256")
         self.store.write(doc_map, "doc_map")
         self._record_lineage("doc_map", "doc_map")
+        self._n_docs = acc
 
     # -- stage 2: SPIMI partials ---------------------------------------
     def _build_partials(self, docs: DataFrame) -> None:
@@ -480,9 +487,14 @@ class IndexBuilder:
             .fillna({"dl": 0})
         )
         self.store.write(doc_len, "doc_len")
-        agg = self.store.read("doc_len").agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")).collect()[0]
-        n_docs, total_len = int(agg["n_docs"]), int(agg["total_len"] or 0)
+        # N from parquet footers (no scan); total_len = Σ tf over partials
+        # (Σ_docs dl == Σ postings tf), a single column-pruned agg
+        import glob
+
+        import pyarrow.parquet as pq
+        n_docs = sum(pq.ParquetFile(fp).metadata.num_rows for fp in
+                     glob.glob(os.path.join(self.store.path("doc_len"), "*.parquet")))
+        total_len = int(partials.agg(F.sum("tf")).collect()[0][0] or 0)
         avgdl = (total_len / n_docs) if n_docs else 0.0
         stats = self.spark.createDataFrame(
             [(n_docs, total_len, float(avgdl), self.config.k1, self.config.b,
@@ -520,7 +532,9 @@ class IndexBuilder:
             .sortWithinPartitions("term", "bucket", "docID")
             .mapInArrow(encode, schema=POSTINGS_SCHEMA)
         )
-        enc = enc.repartitionByRange(n, "term", "bucket").sortWithinPartitions("term", "bucket")
+        # output rides the sorted run: each parquet file is term-ordered, so
+        # query-time term filters prune on row-group min/max stats without a
+        # second (range) shuffle of the encoded blocks
         self.store.write(enc, "postings")
         self._record_lineage("postings", "postings",
                              detail=f"merge_fan_in={partials.rdd.getNumPartitions()}")

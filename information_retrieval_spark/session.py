@@ -35,7 +35,9 @@ def get_spark(
         # local[N] packs N task threads into ONE JVM: size the heap for all
         # of them (a real cluster sizes per-executor memory instead)
         .config("spark.driver.memory", os.environ.get("IRS_DRIVER_MEM", "48g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # doc_map-sized dimension joins should broadcast in local mode (one
+        # copy per JVM); a multi-executor deployment would tune this down
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
