@@ -1,0 +1,230 @@
+"""Unit tests for the training-data pipeline operators: dedup, text
+stats, similarity search, multimodal plumbing — each checked against a
+small pure-Python oracle."""
+
+import hashlib
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_spark import dedup, multimodal, similarity, textstats
+from information_retrieval_spark.normalize import tokenize
+
+DOCS = [
+    (0, "spark join window table scan spark"),
+    (1, "spark join window table scan spark"),            # exact dup of 0
+    (2, "spark join window table scan merge"),            # near dup
+    (3, "completely different words entirely here now"),
+    (4, "the the the a a of is and spark!! ??"),
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    rows = dedup.exact_duplicates(docs_df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["canonical_id"] == 0
+    assert rows[0]["content_hash"] == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+
+
+def _shingles(text, n):
+    toks = tokenize(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs_df, n=2, threshold=0.3).collect()}
+    want = {}
+    for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _shingles(ta, 2), _shingles(tb, 2)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_identical_docs_always_pair(docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 1) in pairs  # identical docs share every band
+    # disjoint-vocab docs never collide on a band of 2 exact minhashes
+    assert (0, 3) not in pairs
+
+
+def test_minhash_matches_python_oracle(docs_df):
+    sig = {(r["id"], r["seed"]): r["minhash"]
+           for r in dedup.minhash_signatures(docs_df, num_hashes=4).collect()}
+    for doc_id, text in DOCS:
+        terms = set(tokenize(text))
+        for seed in range(4):
+            if not terms:
+                continue
+            want = min(hashlib.sha256(f"{seed}|{t}".encode()).hexdigest()
+                       for t in terms)
+            assert sig[(doc_id, seed)] == want
+
+
+def test_simhash_properties(docs_df):
+    sig = {r["id"]: r["simhash"] for r in
+           dedup.simhash_signatures(docs_df).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sig.values())
+    assert sig[0] == sig[1]  # identical docs
+    ham02 = sum(a != b for a, b in zip(sig[0], sig[2]))
+    ham03 = sum(a != b for a, b in zip(sig[0], sig[3]))
+    assert ham02 < ham03  # near-dup closer than unrelated
+
+
+def test_token_counts(docs_df):
+    got = {r["id"]: r for r in textstats.token_counts(docs_df).collect()}
+    for doc_id, text in DOCS:
+        toks = tokenize(text)
+        assert got[doc_id]["n_terms"] == len(toks)
+        assert got[doc_id]["n_distinct_terms"] == len(set(toks))
+        assert got[doc_id]["n_ws_tokens"] == len(text.split())
+        assert got[doc_id]["n_chars"] == len(text)
+
+
+def test_language_id(docs_df):
+    got = {r["id"]: r["pred_lang"] for r in textstats.language_id(docs_df).collect()}
+    assert got[4] == "en"       # stopword-heavy doc
+    assert got[3] == "unknown"  # no profile markers
+
+
+def test_quality_scores(docs_df):
+    got = {r["id"]: r["quality"] for r in textstats.quality_scores(docs_df).collect()}
+    for doc_id, text in DOCS:
+        toks = tokenize(text)
+        punct = sum(1 for c in text if not (c.isalnum() or c == "_" or c.isspace()))
+        stop = sum(1 for t in toks if t in textstats.STOPWORDS)
+        want = (0.4 * min(1.0, len(toks) / 50.0)
+                + 0.3 * (1.0 - punct / max(len(text), 1))
+                + 0.3 * min(1.0, 5.0 * stop / max(len(toks), 1)))
+        assert math.isclose(got[doc_id], round(want, 6), abs_tol=1e-6), doc_id
+
+
+def test_fingerprints(docs_df):
+    got = {r["id"]: r["fingerprint"] for r in
+           textstats.doc_fingerprints(docs_df, n=5).collect()}
+    assert got[0] == got[1]
+    for doc_id, text in DOCS:
+        toks = tokenize(text)
+        n = 5
+        if len(toks) >= n:
+            sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        else:
+            sh = [" ".join(toks)]
+        want = min(hashlib.sha256(s.encode()).hexdigest() for s in sh)
+        assert got[doc_id] == want
+
+
+# --- similarity ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _cos(a, b):
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_exact(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    got = [(r["id"], r["cos"]) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    want = sorted(((i, _cos(v, q)) for i, v in enumerate(vecs)),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert math.isclose(gc, round(wc, 6), abs_tol=1e-6)
+    assert got[0][0] == 0 and math.isclose(got[0][1], 1.0, abs_tol=1e-6)
+
+
+def test_knn_join(emb_df, spark):
+    df, vecs = emb_df
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]), (1, [float(x) for x in vecs[1]])],
+        "qid long, qvec array<float>")
+    got = similarity.knn_join(df, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    for qid, vec in [(0, vecs[0]), (1, vecs[1])]:
+        want = [i for i, _ in sorted(((i, _cos(v, vec)) for i, v in enumerate(vecs)),
+                                     key=lambda x: (-x[1], x[0]))[:3]]
+        assert by_q[qid] == want
+
+
+def test_lsh_bucket_topk_recall(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    exact = [r["id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    approx = [r["id"] for r in similarity.lsh_bucket_topk(df, q, k=5, nbits=4).collect()]
+    assert 3 in approx           # the query vector itself is always found
+    assert set(approx) <= set(r["id"] for r in similarity.cosine_topk(df, q, k=50).collect())
+    # multi-probe at 4 bits covers a decent chunk of the true top-5
+    assert len(set(approx) & set(exact)) >= 2
+
+
+# --- multimodal ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(i, "image" if i % 2 == 0 else "audio",
+             bytearray(f"payload-{i}".encode()) * 10, 64, 64, 3000 + i * 500)
+            for i in range(6)]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_media_metadata(media_df):
+    out = multimodal.attach_media_metadata(media_df).collect()
+    for r in out:
+        assert r["n_bytes"] == len(r["payload"])
+        assert r["payload_sha"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
+
+
+def test_extract_features_stub_raises(media_df):
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media_df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+def test_extract_features_fake_deterministic(media_df):
+    out = {r["doc_id"]: r for r in multimodal.extract_features(media_df, fake=True).collect()}
+    assert len(out) == 6
+    for doc_id, r in out.items():
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        payload = bytes(f"payload-{doc_id}".encode()) * 10
+        want = multimodal._fake_decode(payload)
+        assert np.allclose(r["feature"], want)
+        assert r["n_bytes"] == len(payload)
+
+
+def test_frame_sample_plan(media_df):
+    out = multimodal.frame_sample_plan(media_df, every_ms=1000).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_ts"])
+    for i in range(6):
+        dur = 3000 + i * 500
+        assert sorted(by_doc[i]) == list(range(0, dur, 1000))
