@@ -58,40 +58,62 @@ _DECODED_POS_SCHEMA = "term string, docID long, tf int, dl int, positions array<
 
 
 def _decode_iter(batches, with_positions: bool):
-    """mapInPandas kernel: posting blocks -> exploded postings.
+    """mapInArrow kernel: posting blocks -> exploded postings.
 
     All decode work is whole-block numpy (codec.vb_decode); the Python
-    loop is per BLOCK (<=128 docs each), never per posting."""
-    for pdf in batches:
-        terms, docs, tfs_out, dls_out, pos_out = [], [], [], [], []
-        for row in pdf.itertuples(index=False):
-            d = np.cumsum(vb_decode(row.doc_gaps).astype(np.int64))
-            t = vb_decode(row.tfs).astype(np.int64)
-            l = vb_decode(row.dls).astype(np.int64)
-            terms.append(np.full(len(d), row.term, dtype=object))
+    loop is per BLOCK (<=128 docs each), never per posting; output rows
+    are assembled straight into Arrow buffers (term strings via a
+    dictionary take — no per-posting Python objects)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        names = rb.schema.names
+        col = {nm: rb.column(i) for i, nm in enumerate(names)}
+        doc_gaps = col["doc_gaps"].to_pylist()
+        tfs_bin = col["tfs"].to_pylist()
+        dls_bin = col["dls"].to_pylist()
+        pos_bin = col["pos_gaps"].to_pylist() if with_positions else None
+        term_idx, docs, tfs_out, dls_out = [], [], [], []
+        pos_vals, pos_lens = [], []
+        for i in range(rb.num_rows):
+            d = np.cumsum(vb_decode(doc_gaps[i]).astype(np.int64))
+            t = vb_decode(tfs_bin[i]).astype(np.int64)
+            l = vb_decode(dls_bin[i]).astype(np.int64)
+            term_idx.append(np.full(len(d), i, dtype=np.int32))
             docs.append(d)
             tfs_out.append(t)
             dls_out.append(l)
             if with_positions:
-                gaps = vb_decode(row.pos_gaps).astype(np.int64)
+                gaps = vb_decode(pos_bin[i]).astype(np.int64)
                 starts = np.zeros(len(t), dtype=np.int64)
                 starts[1:] = np.cumsum(t[:-1])
                 csum = np.cumsum(gaps)
                 corr = np.zeros(len(t), dtype=np.int64)
                 corr[1:] = csum[starts[1:] - 1]
-                abs_pos = csum - np.repeat(corr, t)
-                pos_out.extend(np.split(abs_pos.astype(np.int32), starts[1:]))
+                pos_vals.append((csum - np.repeat(corr, t)).astype(np.int32))
+                pos_lens.append(t)
         if not docs:
             continue
-        out = {
-            "term": np.concatenate(terms),
-            "docID": np.concatenate(docs),
-            "tf": np.concatenate(tfs_out).astype(np.int32),
-            "dl": np.concatenate(dls_out).astype(np.int32),
-        }
+        idx = pa.array(np.concatenate(term_idx))
+        arrays = [
+            pc.take(col["term"], idx),
+            pa.array(np.concatenate(docs), type=pa.int64()),
+            pa.array(np.concatenate(tfs_out).astype(np.int32), type=pa.int32()),
+            pa.array(np.concatenate(dls_out).astype(np.int32), type=pa.int32()),
+        ]
+        out_names = ["term", "docID", "tf", "dl"]
         if with_positions:
-            out["positions"] = pd.Series(pos_out, dtype=object)
-        yield pd.DataFrame(out)
+            lens = np.concatenate(pos_lens)
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(lens)
+            arrays.append(pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(np.concatenate(pos_vals), type=pa.int32())))
+            out_names.append("positions")
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 class QueryEngine:
@@ -114,7 +136,7 @@ class QueryEngine:
         """Decoded postings (term, docID, tf, dl[, positions]) for a term set."""
         blocks = self.blocks_for(terms)
         schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
-        return blocks.mapInPandas(
+        return blocks.mapInArrow(
             lambda it: _decode_iter(it, with_positions), schema=schema)
 
     def term_stats(self, terms) -> dict:
@@ -316,7 +338,7 @@ class QueryEngine:
             candidates = self._wand_candidate_blocks(terms, idf_map, k)
         else:
             candidates = self.blocks_for(terms)
-        decoded = candidates.mapInPandas(
+        decoded = candidates.mapInArrow(
             lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
         scores = (
             decoded.select("docID", self._score_col(idf_map))
@@ -356,7 +378,7 @@ class QueryEngine:
 
         # θ0: exact scores inside the best bucket
         seed_blocks = blocks.filter(F.col("bucket") == best_bucket)
-        seed = seed_blocks.mapInPandas(
+        seed = seed_blocks.mapInArrow(
             lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
         seed_scores = (seed.select("docID", self._score_col(idf_map))
                        .groupBy("docID").agg(F.sum("partial").alias("score"))

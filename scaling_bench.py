@@ -93,12 +93,21 @@ def run_level(cores: int) -> dict:
     env["IRS_SCALE_DOCS"] = str(N_DOCS)
     env["IRS_SCALE_TOKENS"] = str(AVG_TOKENS)
     runs = []
-    for _ in range(REPEATS):
+    attempts = 0
+    while len(runs) < REPEATS and attempts < REPEATS + 2:
+        attempts += 1
         out = subprocess.run(
             ["taskset", "-c", cpu_list, sys.executable, __file__, "--level", str(cores)],
-            capture_output=True, text=True, env=env, check=True)
+            capture_output=True, text=True, env=env)
+        if out.returncode != 0:
+            sys.stderr.write(f"level {cores} attempt {attempts} failed:\n"
+                             + out.stderr[-3000:] + "\n")
+            time.sleep(5)
+            continue
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         time.sleep(3)
+    if not runs:
+        raise RuntimeError(f"all attempts failed for level {cores}")
     best = min(runs, key=lambda r: r["build_sec"])
     best["build_sec_all"] = [r["build_sec"] for r in runs]
     best["docs_per_sec"] = round(N_DOCS / best["build_sec"], 1)
