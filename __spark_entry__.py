@@ -99,6 +99,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.col("dl").cast("long").alias("dl")))
     q["doc_lengths"] = doc_lengths
 
+    # ---- dictionary range scans (Q3 prefix / Q4 suffix via rterm) ----
+    def dict_prefix_terms(spark, sf):
+        d = _engine(spark, sf).index.table("dictionary")
+        return (d.filter(F.col("term").startswith("s"))
+                .select("term", F.col("df").cast("long").alias("df")))
+    q["dict_prefix_terms"] = dict_prefix_terms
+
+    def dict_suffix_terms(spark, sf):
+        # suffix match through the reversed-term column (IndexBody.java:40-53)
+        d = _engine(spark, sf).index.table("dictionary")
+        return (d.filter(F.col("rterm").startswith("wo"))  # terms ending in "ow"
+                .select("term", F.col("df").cast("long").alias("df")))
+    q["dict_suffix_terms"] = dict_suffix_terms
+
     # ---- boolean retrieval (SURVEY §2.2 Q6-Q10) ----
     def boolean_and(spark, sf):
         e = _engine(spark, sf)
@@ -209,6 +223,18 @@ def oracle_sql() -> dict[str, str]:
     o["doc_lengths"] = f"""
         WITH {_TOKS}
         SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+    """
+
+    o["dict_prefix_terms"] = f"""
+        WITH {_TOKS}, {_EX}
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM ex WHERE term LIKE 's%' GROUP BY term
+    """
+
+    o["dict_suffix_terms"] = f"""
+        WITH {_TOKS}, {_EX}
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM ex WHERE term LIKE '%ow' GROUP BY term
     """
 
     o["boolean_and"] = f"""
