@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from information_retrieval_spark import dedup, similarity, textstats
-from information_retrieval_spark.build import IndexBuilder, IndexConfig
+from information_retrieval_spark.build import (
+    INDEX_FORMAT_VERSION,
+    IndexBuilder,
+    IndexConfig,
+)
 from information_retrieval_spark.corpus import load_testdata_documents
 from information_retrieval_spark.normalize import duckdb_tokens_expr
 from information_retrieval_spark.query import QueryEngine
@@ -37,7 +41,8 @@ def _engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
     key = os.path.abspath(sf_dir)
     if key not in _ENGINES:
         tag = key.strip("/").replace("/", "_")
-        index_dir = os.path.join(tempfile.gettempdir(), f"irs_index_{tag}")
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"irs_index_v{INDEX_FORMAT_VERSION}_{tag}")
         docs = load_testdata_documents(spark, sf_dir)
         idx = IndexBuilder(spark, index_dir, IndexConfig()).build(docs, resume=True)
         _ENGINES[key] = QueryEngine(idx)

@@ -297,6 +297,9 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
     return kernel
 
 
+# bump when the on-disk table layout changes (consumers key cache dirs on it)
+INDEX_FORMAT_VERSION = 2
+
 POSTINGS_SCHEMA = (
     "term string, bucket long, block_id long, n_docs int, "
     "doc_gaps binary, tfs binary, dls binary, pos_gaps binary, "

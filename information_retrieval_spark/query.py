@@ -124,6 +124,13 @@ class QueryEngine:
         self._postings = index.table("postings")
         self._dictionary = index.table("dictionary")
         self._doc_map = index.table("doc_map")
+        self._cached: list = []  # per-query caches, released on the next query
+
+    def _cache(self, df: DataFrame) -> DataFrame:
+        for old in self._cached:
+            old.unpersist()
+        self._cached = [df.cache()]
+        return df
 
     # ------------------------------------------------------------------
     # postings access
@@ -177,7 +184,7 @@ class QueryEngine:
         clauses = self.parse_boolean(q)
         all_terms = {t for inc, exc in clauses for t in inc + exc if t is not None}
         decoded = self.postings_for(all_terms).select("term", "docID")
-        decoded = decoded.cache()  # one decode pass feeds every clause
+        decoded = self._cache(decoded)  # one decode pass feeds every clause
         try:
             parts = []
             for inc, exc in clauses:
@@ -231,8 +238,9 @@ class QueryEngine:
         if any(t is None or t not in present for t in terms):
             # early-exit if any term is absent (QueryProcessor.java:120)
             return self._doc_map.select("docID").filter(F.lit(False))
-        decoded = self.postings_for(set(terms), with_positions=True) \
-            .select("term", "docID", "positions").cache()
+        decoded = self._cache(
+            self.postings_for(set(terms), with_positions=True)
+            .select("term", "docID", "positions"))
 
         @F.pandas_udf("boolean")
         def window_match(p1: pd.Series, p2: pd.Series, dist: pd.Series) -> pd.Series:
@@ -276,17 +284,20 @@ class QueryEngine:
         empty = self._doc_map.select("docID").filter(F.lit(False))
         token_doc_sets = []
         for tok in tokens:
+            pushdown = None  # scan-level predicate for the postings side
             if "*" not in tok:
                 term = normalize(tok)
                 if term is None:
                     continue
                 matched = self._dictionary.filter(F.col("term") == term)
+                pushdown = F.col("term") == term
             else:
                 pre = tok[: tok.index("*")]
                 suf = tok[tok.rindex("*") + 1:]
                 cond = F.lit(True)
                 if pre:
                     cond = cond & F.col("term").startswith(pre)
+                    pushdown = F.col("term").startswith(pre)
                 if suf:
                     # suffix via the reversed-term column (IndexBody.java:40-53)
                     cond = cond & F.col("rterm").startswith(suf[::-1])
@@ -294,10 +305,21 @@ class QueryEngine:
                 if tok.index("*") != tok.rindex("*"):
                     mid = tok[tok.index("*") + 1: tok.rindex("*")]
                     matched = matched.filter(F.col("term").rlike(f".*{re.escape(mid)}.*"))
-            terms = [r["term"] for r in matched.select("term").collect()]
-            if not terms:
+            matched = matched.select("term")
+            if matched.isEmpty():
                 return empty
-            docs = self.postings_for(terms).select("docID").distinct()
+            # postings ⋈ broadcast(matched terms): the matched set never
+            # moves through the driver (a pattern like "*a*" can match a
+            # large slice of a web-scale dictionary). Any exact/prefix
+            # predicate is ALSO pushed into the postings scan directly
+            # (reaches the parquet row-group stats of the term-sorted files).
+            pre_blocks = self._postings
+            if pushdown is not None:
+                pre_blocks = pre_blocks.filter(pushdown)
+            blocks = pre_blocks.join(F.broadcast(matched), "term")
+            docs = (blocks.mapInArrow(lambda it: _decode_iter(it, False),
+                                      schema=_DECODED_SCHEMA)
+                    .select("docID").distinct())
             token_doc_sets.append(docs)
         if not token_doc_sets:
             return empty

@@ -22,7 +22,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "300000"))
+N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "600000"))
 AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
 # N vs 4N pair for the efficiency metric. 2 vs 8 keeps both levels below
 # this VM's memory-bandwidth ceiling (see BENCH/BASELINE.md: pure-CPU work
@@ -119,7 +119,7 @@ def main() -> None:
         print(json.dumps(run_level_inprocess(int(sys.argv[2]))))
         return
     prepare_corpus()
-    levels = [run_level(c) for c in LEVELS]
+    levels = [run_level(c) for c in LEVELS]  # interleaved repeats inside
     context = [run_level(c) for c in CONTEXT_LEVELS]
     lo, hi = levels[0], levels[-1]
     speedup = lo["build_sec"] / hi["build_sec"]
