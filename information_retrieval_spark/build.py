@@ -411,28 +411,47 @@ class IndexBuilder:
         though they do, since Spark's range sampler is seeded by RDD id.
         All JVM (whole-stage codegen); only the two key columns shuffle.
         """
-        from pyspark.sql import Window
-
         n = self._n_partitions()
-        # rank over the KEY COLUMNS ONLY: the two sampling/counting passes
-        # touch just (repo, path) — content and its sha256 are scanned
-        # exactly once, in the metadata join below
+        # Rank over the KEY COLUMNS ONLY, materialized exactly once: range
+        # partitioning samples with a per-RDD seed, so two separate ACTIONS
+        # over the same range-partitioned plan can land on DIFFERENT
+        # boundaries (and AQE may re-coalesce) — offsets computed in one
+        # action must never be applied to rows produced by another. The
+        # numbered keys are therefore written to a checkpoint table first;
+        # counts AND final ids both derive from that single materialization.
         keys = (docs.select("repo", "path")
                 .repartitionByRange(n, "repo", "path")
                 .sortWithinPartitions("repo", "path")
                 .withColumn("pid", F.spark_partition_id()))
+
+        def number_local(batches):
+            import pyarrow as pa
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            local = 0
+            for rb in batches:
+                idx = pa.array(np.arange(local, local + rb.num_rows, dtype=np.int64))
+                local += rb.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), rb.column(1),
+                     pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
+                    names=["repo", "path", "pid", "local_idx"])
+
+        numbered = keys.select("repo", "path").mapInArrow(
+            number_local, schema="repo string, path string, pid int, local_idx long")
+        self.store.write(numbered, "_doc_order")
+        numbered = self.store.read("_doc_order")
+
         counts = {r["pid"]: r["cnt"] for r in
-                  keys.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+                  numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
         offsets_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
-        w = Window.partitionBy("pid").orderBy("repo", "path")
         ids = (
-            keys.withColumn("local_idx", F.row_number().over(w) - 1)
-            .join(F.broadcast(offsets_df), "pid")
+            numbered.join(F.broadcast(offsets_df), "pid")
             .select((F.col("offset") + F.col("local_idx")).alias("docID"),
                     "repo", "path")
         )
@@ -440,8 +459,26 @@ class IndexBuilder:
         doc_map = ids.join(meta, ["repo", "path"]).select(
             "docID", "repo", "path", "commit", "lang", "sha256")
         self.store.write(doc_map, "doc_map")
+        self.store.drop("_doc_order")
+        self._validate_doc_ids(acc)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc
+
+    def _validate_doc_ids(self, n: int) -> None:
+        """Cheap permutation invariant over the written doc_map: docIDs
+        must be exactly {0..n-1}. count + max + sum together reject any
+        collision/gap from a mis-applied offset — one single-column scan,
+        no shuffle (guards the class of bug fixed above)."""
+        agg = self.store.read("doc_map").agg(
+            F.count("*").alias("c"), F.max("docID").alias("m"),
+            F.sum(F.col("docID").cast("decimal(38,0)")).alias("s")).collect()[0]
+        ok = (int(agg["c"]) == n
+              and (n == 0 or int(agg["m"]) == n - 1)
+              and int(agg["s"] or 0) == n * (n - 1) // 2)
+        if not ok:
+            raise RuntimeError(
+                f"docID assignment invariant violated: n={n}, count={agg['c']}, "
+                f"max={agg['m']}, sum={agg['s']} — corrupt doc_map")
 
     # -- stage 2: SPIMI partials ---------------------------------------
     def _build_partials(self, docs: DataFrame) -> None:

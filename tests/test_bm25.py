@@ -55,7 +55,8 @@ def test_bm25_synth_rank_identity(synth_engine, synth_oracle, q):
 @pytest.mark.parametrize("q", SYNTH_QUERIES)
 def test_bm25_wand_equals_baseline(synth_engine, q):
     base = synth_engine.bm25(q, k=10, wand=False).collect()
-    wand = synth_engine.bm25(q, k=10, wand=True).collect()
+    # wand_gate_blocks=0 forces the pruning path even on this tiny index
+    wand = synth_engine.bm25(q, k=10, wand=True, wand_gate_blocks=0).collect()
     assert [(r["docID"], round(r["score"], 10)) for r in base] == \
            [(r["docID"], round(r["score"], 10)) for r in wand]
 
