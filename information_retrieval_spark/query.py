@@ -388,9 +388,16 @@ class QueryEngine:
         surviving exact top-k is unchanged.
         """
         blocks = self.blocks_for(terms)
+        # stored bounds were computed with the avgdl at encode time; after
+        # incremental growth (streaming.IncrementalIndexer) inflate them by
+        # avgdl_now/avgdl_enc_min — a sound correction, so pruning stays
+        # exact-safe on a live index
+        avgdl_now = float(self.stats["avgdl"]) or 1.0
+        enc_min = float(self.stats.get("avgdl_enc_min") or avgdl_now)
+        inflation = max(1.0, avgdl_now / enc_min) if enc_min > 0 else 1.0
         idf_col = F.element_at(
             F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
-            F.col("term"))
+            F.col("term")) * F.lit(inflation)
         bmax = (blocks.groupBy("bucket", "term")
                 .agg(F.max("block_max_wand").alias("tmax"))
                 .withColumn("contrib", idf_col * F.col("tmax")))

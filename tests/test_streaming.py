@@ -1,0 +1,78 @@
+"""Structured-Streaming incremental index maintenance: initial batch
+build + streamed document appends must answer queries identically to a
+full rebuild over the union corpus (scores exact; WAND exact-safe via
+the avgdl inflation correction)."""
+
+import math
+
+from information_retrieval_spark.build import IndexBuilder, IndexConfig
+from information_retrieval_spark.corpus import DOCUMENTS_SCHEMA, fixture_docs
+from information_retrieval_spark.oracle import OracleIndex
+from information_retrieval_spark.query import QueryEngine
+from information_retrieval_spark.streaming import IncrementalIndexer
+
+NEW_DOCS = [
+    ("ref/testing_files", "test6.txt", "c6", "txt",
+     "fell already trigger pineapple fresh streaming document"),
+    ("ref/testing_files", "test7.txt", "c7", "txt",
+     "another streaming doc with engine and pen and already"),
+]
+
+
+def test_incremental_append_matches_full_rebuild(spark, work_dir):
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    base = fixture_docs(spark)
+    idx_dir = f"{work_dir}/stream_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(base, resume=False)
+
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+    inc.append_batch(delta)
+
+    qe = QueryEngine(inc.index())
+    assert qe.stats["n_docs"] == 7
+
+    # oracle over the UNION corpus; docIDs differ (append order vs global
+    # rank) so compare names + scores
+    rows = base.collect()
+    oracle = OracleIndex(
+        [(r["repo"], r["path"], r["content"]) for r in rows]
+        + [(r, p, c) for r, p, _, _, c in NEW_DOCS])
+
+    got = qe.bm25("fell already", k=10, wand=False).collect()
+    want = oracle.bm25("fell already", k=10)
+    assert [r["name"] for r in got] == [n for _, _, n in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+    # WAND path (forced) still exact on the grown index
+    wand = qe.bm25("fell already", k=10, wand=True, wand_gate_blocks=0).collect()
+    assert [(r["name"], round(r["score"], 9)) for r in wand] == \
+           [(r["name"], round(r["score"], 9)) for r in got]
+
+    # boolean sees the streamed docs
+    names = [r["name"] for r in qe.boolean("already AND streaming").collect()]
+    assert names == ["test6.txt", "test7.txt"]
+    assert [r["name"] for r in qe.boolean("engine AND streaming").collect()] \
+        == ["test7.txt"]
+
+
+def test_stream_from_directory(spark, work_dir):
+    import os
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/stream_dir_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+
+    in_dir = f"{work_dir}/stream_in"
+    os.makedirs(in_dir, exist_ok=True)
+    spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    q = inc.stream_from_directory(in_dir, f"{work_dir}/stream_ckpt")
+    q.awaitTermination(120)
+
+    qe = QueryEngine(inc.index())
+    assert qe.stats["n_docs"] == 7
+    names = [r["name"] for r in qe.boolean("streaming").collect()]
+    assert sorted(names) == ["test6.txt", "test7.txt"]
