@@ -441,9 +441,9 @@ class IndexBuilder:
             number_local, schema="repo string, path string, pid int, local_idx long")
         self.store.write(numbered, "_doc_order")
         numbered = self.store.read("_doc_order")
-
-        counts = {r["pid"]: r["cnt"] for r in
-                  numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+        counts = self._pid_counts_from_footers("_doc_order") or {
+            r["pid"]: r["cnt"] for r in
+            numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -463,6 +463,36 @@ class IndexBuilder:
         self._validate_doc_ids(acc)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc
+
+    def _pid_counts_from_footers(self, name: str) -> dict | None:
+        """Per-pid row counts from parquet footer statistics (each written
+        file holds exactly one pid, so min==max in every row group) — a
+        metadata read instead of a full counting job. Returns None if the
+        stats don't confirm one-pid-per-file (caller falls back to a job)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        counts: dict = {}
+        files = glob.glob(os.path.join(self.store.path(name), "*.parquet"))
+        if not files:
+            return None
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            pid_idx = md.schema.to_arrow_schema().get_field_index("pid")
+            file_pid = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(pid_idx).statistics
+                if st is None or not st.has_min_max or st.min != st.max:
+                    return None
+                if file_pid is None:
+                    file_pid = st.min
+                elif file_pid != st.min:
+                    return None
+            if file_pid is None:
+                continue  # empty file
+            counts[int(file_pid)] = counts.get(int(file_pid), 0) + md.num_rows
+        return counts
 
     def _validate_doc_ids(self, n: int) -> None:
         """Cheap permutation invariant over the written doc_map: docIDs
