@@ -378,7 +378,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_token_counts"] = f"""
         WITH {_TOKS}
         SELECT d.doc_id AS id,
-               len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x != ''))::BIGINT AS n_ws_tokens,
+               len(list_filter(regexp_split_to_array(d.text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != ''))::BIGINT AS n_ws_tokens,
                len(t)::BIGINT AS n_terms,
                len(list_distinct(t))::BIGINT AS n_distinct_terms,
                length(d.text)::BIGINT AS n_chars
@@ -431,7 +431,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    list_sum(list_transform(range(len(embedding)),
                             i -> embedding[i + 1]::DOUBLE * qv[i + 1]::DOUBLE))
-                   / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                   / (greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12)
                       * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
             FROM embeddings CROSS JOIN q
         )

@@ -78,7 +78,10 @@ def _spimi_invert_arrow(batches):
         content = pc.fill_null(rb.column(rb.schema.get_field_index("content")), "")
         doc_ids = rb.column(rb.schema.get_field_index("docID")).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        lists = pc.utf8_split_whitespace(content)
+        # ascii_split_whitespace == Java's \s class [ \t\n\x0b\f\r] exactly
+        # (utf8_split_whitespace would also split U+00A0/U+2028 — the
+        # reference does not; tests/test_normalize.py pins the parity)
+        lists = pc.ascii_split_whitespace(content)
         lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(lists)
         if len(flat) == 0:
@@ -136,10 +139,13 @@ def _spimi_invert(batches):
     """
     from .functions.tokenize import _normalize_unique
 
+    from .normalize import WS_CLASS
+
     for pdf in batches:
         if pdf.empty:
             continue
-        split = pdf["content"].fillna("").str.split()
+        # Java \s class; boundary empties normalize to None -> dropped
+        split = pdf["content"].fillna("").str.split(WS_CLASS, regex=True)
         lengths = split.map(len).to_numpy(dtype=np.int64)
         total = int(lengths.sum())
         flat = np.empty(total, dtype=object)
@@ -439,9 +445,9 @@ class IndexBuilder:
 
         numbered = keys.select("repo", "path").mapInArrow(
             number_local, schema="repo string, path string, pid int, local_idx long")
-        self.store.write(numbered, "_doc_order")
-        numbered = self.store.read("_doc_order")
-        counts = self._pid_counts_from_footers("_doc_order") or {
+        self.store.write(numbered, "tmp_doc_order")
+        numbered = self.store.read("tmp_doc_order")
+        counts = self._pid_counts_from_footers("tmp_doc_order") or {
             r["pid"]: r["cnt"] for r in
             numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
@@ -459,7 +465,7 @@ class IndexBuilder:
         doc_map = ids.join(meta, ["repo", "path"]).select(
             "docID", "repo", "path", "commit", "lang", "sha256")
         self.store.write(doc_map, "doc_map")
-        self.store.drop("_doc_order")
+        self.store.drop("tmp_doc_order")
         self._validate_doc_ids(acc)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc

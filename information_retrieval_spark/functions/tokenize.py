@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..normalize import MAX_UNFILTERED_LEN, spark_tokens_expr
+from ..normalize import MAX_UNFILTERED_LEN, WS_CLASS, spark_tokens_expr
 
 
 def spark_tokenize_col(col: str = "content") -> Column:
@@ -53,7 +53,9 @@ def tokenize_pandas_udf():
     def _tokenize(content: pd.Series) -> pd.Series:
         if content.empty:
             return pd.Series([], dtype=object)
-        split = content.fillna("").str.split()  # drops empty tokens
+        # Java \s class (ASCII), not Python str.split's Unicode whitespace;
+        # boundary-empty tokens normalize to None and are filtered below
+        split = content.fillna("").str.split(WS_CLASS, regex=True)
         lengths = split.map(len).to_numpy(dtype=np.int64)
         flat = np.empty(int(lengths.sum()), dtype=object)
         i = 0

@@ -24,6 +24,17 @@ Stemmer rules (applied in order, at most one rewrite each, all anchored):
 
 `\\W` in Java default mode is [^a-zA-Z0-9_]; we lowercase first so the
 strip class is written [^a-z0-9_].
+
+Whitespace class: the reference splits with Java ``\\s+`` which is the
+ASCII class [ \\t\\n\\x0b\\f\\r] (NOT Unicode whitespace — U+00A0 and
+U+2028 are token characters to the reference). Every tokenizer path
+pins that exact class: Spark SQL ``split(col, '\\s+')`` is Java regex
+(already ASCII), the Arrow kernel uses ``pc.ascii_split_whitespace``
+(same class), and the pandas / pure-Python / DuckDB paths spell the
+class out explicitly (Python ``re`` and RE2 ``\\s`` differ from Java's:
+Python's is Unicode-aware on str, RE2's lacks \\x0b). Parity across all
+paths on non-ASCII whitespace is pinned by
+tests/test_normalize.py::test_whitespace_class_parity.
 """
 
 from __future__ import annotations
@@ -33,7 +44,9 @@ from typing import Optional
 
 # --- pure Python -----------------------------------------------------------
 
-_WS = re.compile(r"\s+")
+# Java \s class, exactly (see module docstring) — NOT Python's Unicode \s
+WS_CLASS = r"[ \t\n\x0b\f\r]+"
+_WS = re.compile(WS_CLASS)
 _NONWORD = re.compile(r"[^a-z0-9_]")
 _DIGIT = re.compile(r"[0-9]")
 _R1 = re.compile(r"sses$")
@@ -111,7 +124,8 @@ def duckdb_tokens_expr(col: str = "text") -> str:
     s1 = f"regexp_replace({base}, 'sses$', 'ss')"
     s2 = f"regexp_replace({s1}, '(.)ies$', '\\1y')"
     s3 = f"regexp_replace({s2}, '([^sui])s$', '\\1')"
+    # RE2's \s lacks \x0b (vertical tab); spell out Java's class
     return (
-        f"list_filter(list_transform(regexp_split_to_array({col}, '\\s+'), t -> {s3}), "
+        f"list_filter(list_transform(regexp_split_to_array({col}, '[ \\t\\n\\x0b\\f\\r]+'), t -> {s3}), "
         f"t -> t != '' AND (length(t) < {MAX_UNFILTERED_LEN} OR NOT regexp_matches(t, '[0-9]')))"
     )

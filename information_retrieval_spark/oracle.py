@@ -52,8 +52,10 @@ class OracleIndex:
                     exc.append(normalize(token[token.rfind(" ") + 1:]))
                 else:
                     inc.append(normalize(token))
-            inc = [t for t in inc if t is not None]
-            if not inc:
+            if not inc or any(t is None for t in inc):
+                # a None include term has no postings -> the clause's
+                # intersection is empty (mirrors the engine, query.py, and
+                # the reference's retainAll-on-null, QueryProcessor.java:74)
                 continue
             docs = set(self.docs_of(inc[0]))
             for t in inc[1:]:

@@ -42,7 +42,11 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10,
     q = _lit_array(query_vec)
     qn = float(np.sqrt(np.dot(np.asarray(query_vec, dtype=np.float64),
                               np.asarray(query_vec, dtype=np.float64)))) or 1.0
-    cos = F.expr(_dot_expr(vec_col, q)) / (F.expr(_norm_expr(vec_col)) * F.lit(qn))
+    # zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE any
+    # double — a zero vector would otherwise rank first (and diverge from
+    # the DuckDB oracle). greatest(norm, eps) pins zero vectors to cos 0.
+    row_norm = F.greatest(F.expr(_norm_expr(vec_col)), F.lit(1e-12))
+    cos = F.expr(_dot_expr(vec_col, q)) / (row_norm * F.lit(qn))
     return (df.select(F.col(id_col).alias("id"), cos.alias("cos_raw"))
             .orderBy(F.desc("cos_raw"), F.asc("id")).limit(k)
             .select("id", F.round("cos_raw", round_to).alias("cos")))
@@ -54,7 +58,9 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 10,
     queries: (qid, qvec). Broadcast the (small) query side."""
     from pyspark.sql import Window
     dot = F.expr(_dot_expr(vec_col, "qvec"))
-    norms = F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("qvec"))
+    # same zero-norm guard as cosine_topk
+    norms = F.greatest(F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("qvec")),
+                       F.lit(1e-12))
     scored = (df.crossJoin(F.broadcast(queries))
               .select("qid", F.col(id_col).alias("id"), (dot / norms).alias("cos")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))

@@ -92,10 +92,10 @@ class IncrementalIndexer:
                  F.max("block_max_wand").alias("max_block_wand"))
             .withColumn("rterm", F.reverse(F.col("term")))
             .select("term", "rterm", "df", "cf", "n_blocks", "max_block_wand"))
-        self.store.write(dictionary, "_dictionary_new")
+        self.store.write(dictionary, "tmp_dictionary_new")
         self.store.drop("dictionary")
         import os
-        os.rename(self.store.path("_dictionary_new"), self.store.path("dictionary"))
+        os.rename(self.store.path("tmp_dictionary_new"), self.store.path("dictionary"))
 
         n_new = n_before + doc_map_delta.count()
         batch_len = int(dl_delta.agg(F.sum("dl")).collect()[0][0] or 0)
@@ -106,9 +106,9 @@ class IncrementalIndexer:
               min(float(stats.get("avgdl_enc_min") or avgdl_now), avgdl_now))],
             "n_docs long, total_len long, avgdl double, k1 double, b double, "
             "docs_per_block int, docs_per_bucket long, avgdl_enc_min double")
-        self.store.write(new_stats, "_stats_new")
+        self.store.write(new_stats, "tmp_stats_new")
         self.store.drop("stats")
-        os.rename(self.store.path("_stats_new"), self.store.path("stats"))
+        os.rename(self.store.path("tmp_stats_new"), self.store.path("stats"))
 
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,

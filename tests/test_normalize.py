@@ -83,3 +83,59 @@ def test_parity_duckdb_vs_python():
     for text in texts:
         got = con.execute(f"select {expr} from (select ? as t)", [text]).fetchone()[0]
         assert got == tokenize(text), text
+
+
+# Non-ASCII whitespace: Java's \s is the ASCII class [ \t\n\x0b\f\r] only.
+# U+00A0 (nbsp) and U+2028 (line sep) are TOKEN characters to the reference
+# (they get \W-stripped inside a token, they never split); \x0b splits.
+_WS_TEXTS = [
+    "alpha\u00a0beta gamma",   # nbsp joins: one token 'alphabeta' (nbsp \\W-stripped)
+    "one\u2028two three",      # U+2028 joins
+    "a\x0bb c",                # vertical tab splits (Java \\s has \\x0b)
+    " lead trail ",
+    "mix ed\x0btokens\tok",
+]
+
+
+def test_whitespace_class_python_oracle():
+    assert tokenize("alpha\u00a0beta gamma") == ["alphabeta", "gamma"]
+    assert tokenize("a\x0bb c") == ["a", "b", "c"]
+
+
+@pytest.mark.parametrize("path_col", [
+    lambda: spark_tokenize_col("content"),
+    lambda: tokenize_pandas_udf()(F.col("content")),
+])
+def test_whitespace_class_parity_spark(spark, path_col):
+    got = _spark_tokens(spark, _WS_TEXTS, path_col())
+    assert got == [tokenize(t) for t in _WS_TEXTS]
+
+
+def test_whitespace_class_parity_duckdb():
+    con = duckdb.connect()
+    expr = duckdb_tokens_expr("t")
+    for text in _WS_TEXTS:
+        got = con.execute(f"select {expr} from (select ? as t)", [text]).fetchone()[0]
+        assert got == tokenize(text), repr(text)
+
+
+def test_whitespace_class_parity_arrow_kernel():
+    # the mapInArrow SPIMI kernel path (build._spimi_invert_arrow)
+    import pyarrow as pa
+
+    from information_retrieval_spark.build import _spimi_invert_arrow
+
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(len(_WS_TEXTS))), type=pa.int64()),
+         pa.array(_WS_TEXTS, type=pa.string())],
+        names=["docID", "content"])
+    rows = []
+    for out in _spimi_invert_arrow([rb]):
+        rows.extend(out.to_pylist())
+    got = {}
+    for r in rows:
+        for p in r["positions"]:
+            got.setdefault(r["docID"], {})[p] = r["term"]
+    rebuilt = {d: [terms[p] for p in sorted(terms)] for d, terms in got.items()}
+    expected = {i: tokenize(t) for i, t in enumerate(_WS_TEXTS) if tokenize(t)}
+    assert rebuilt == expected

@@ -34,6 +34,20 @@ def test_golden_invalid_input(fixture_engine):
         fixture_engine.boolean("fell $! off")
 
 
+def test_degenerate_empty_and_token(fixture_engine):
+    # "fell AND AND already" tokenizes an empty include term -> normalize
+    # None -> the clause is EMPTY (reference retainAll-on-null,
+    # QueryProcessor.java:74). Engine and pure-Python oracle must agree.
+    oracle = OracleIndex(
+        ("ref/testing_files", name, content) for name, content in FIXTURE_DOCS.items())
+    q = "fell AND AND already"
+    assert names(fixture_engine.boolean(q)) == []
+    assert oracle.boolean(q) == []
+    # and a clause made empty this way must not poison OTHER clauses
+    q2 = "fell AND AND already OR engine"
+    assert sorted(names(fixture_engine.boolean(q2))) == oracle.boolean(q2) == ["test3.txt", "test5.txt"]
+
+
 # --- positional goldens (FIXTURES.md §2) -------------------------------
 
 def test_positional_trigger_word(fixture_engine):
