@@ -98,10 +98,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_stats"] = term_stats
 
     def doc_lengths(spark, sf):
+        # doc_len stores only docs with >=1 kept term; docs absent from it
+        # have dl = 0 (left join + coalesce reconstructs the full relation)
         e = _engine(spark, sf)
         dm = e.index.table("doc_map").select("docID", F.col("path").cast("long").alias("doc_id"))
-        return (e.index.table("doc_len").join(dm, "docID")
-                .select("doc_id", F.col("dl").cast("long").alias("dl")))
+        return (dm.join(e.index.table("doc_len"), "docID", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")))
     q["doc_lengths"] = doc_lengths
 
     # ---- dictionary range scans (Q3 prefix / Q4 suffix via rterm) ----

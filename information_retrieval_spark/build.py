@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codec import vb_encode
+from .codec import vb_encode, vb_encode_with_lengths
 from .corpus import with_sha256
 from .functions.tokenize import spark_tokenize_col, tokenize_pandas_udf
 from .io import TableStore
@@ -117,16 +117,29 @@ def _spimi_invert_arrow(batches):
 
         term_arr = pc.take(pa.array(np.asarray(term_uniq, dtype=object), type=pa.string()),
                            pa.array(g_term[starts]))
-        offsets = np.append(starts, len(g_pos)).astype(np.int32)
-        pos_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                           pa.array(g_pos.astype(np.int32), type=pa.int32()))
+        # positions as per-row varbyte gap blobs (first value absolute per
+        # row): encoded ONCE here on the map side, so the term shuffle and
+        # the partials parquet carry ~1 byte/position instead of 4, and the
+        # block encoder later just CONCATENATES row blobs (varbyte is
+        # value-independent) — no decode/re-encode after the shuffle.
+        pos_gaps = np.diff(g_pos, prepend=0)
+        pos_gaps[starts] = g_pos[starts]
+        pos_data, nb = vb_encode_with_lengths(pos_gaps)
+        val_ends = np.cumsum(nb)
+        row_ends = val_ends[np.append(starts[1:], len(g_pos)) - 1]
+        offsets = np.empty(len(starts) + 1, dtype=np.int32)
+        offsets[0] = 0
+        offsets[1:] = row_ends
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(pos_data)])
         yield pa.RecordBatch.from_arrays(
             [term_arr,
              pa.array(doc_ids[g_doc[starts]], type=pa.int64()),
              pa.array(tf, type=pa.int32()),
              pos_arr,
              pa.array(dl_per_doc[g_doc[starts]].astype(np.int32), type=pa.int32())],
-            names=["term", "docID", "tf", "positions", "dl"])
+            names=["term", "docID", "tf", "pos_bytes", "dl"])
 
 
 def _spimi_invert(batches):
@@ -182,13 +195,21 @@ def _spimi_invert(batches):
         starts = np.flatnonzero(new_group)
         tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
         doc_ids = pdf["docID"].to_numpy(dtype=np.int64)
+        # per-row varbyte position-gap blobs (see _spimi_invert_arrow)
+        pos_gaps = np.diff(g_pos, prepend=0)
+        pos_gaps[starts] = g_pos[starts]
+        pos_data, nb = vb_encode_with_lengths(pos_gaps)
+        val_ends = np.cumsum(nb)
+        row_ends = val_ends[np.append(starts[1:], len(g_pos)) - 1]
+        row_starts = np.zeros(len(starts), dtype=np.int64)
+        row_starts[1:] = row_ends[:-1]
+        pos_bytes = [pos_data[s:e] for s, e in zip(row_starts, row_ends)]
         yield pd.DataFrame({
             "term": term_uniq.to_numpy(dtype=object)[g_term[starts]]
             if hasattr(term_uniq, "to_numpy") else np.asarray(term_uniq, dtype=object)[g_term[starts]],
             "docID": doc_ids[g_doc[starts]],
             "tf": tf,
-            "positions": pd.Series(np.split(g_pos.astype(np.int32), starts[1:]),
-                                   dtype=object),
+            "pos_bytes": pd.Series(pos_bytes, dtype=object),
             "dl": dl_per_doc[g_doc[starts]].astype(np.int32),
         })
 
@@ -213,20 +234,19 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
                  pa.binary(), pa.binary(), pa.binary(), pa.int32(), pa.float64(),
                  pa.int64(), pa.int64(), pa.int64()]
 
-    def encode_group(rows_out, term, bucket, d, t, l, pos_flat):
-        # per-posting gap coding + BM25 tf-norm upper bound (block-max WAND)
-        if store_positions and len(pos_flat):
-            starts = np.zeros(len(t), dtype=np.int64)
-            starts[1:] = np.cumsum(t[:-1])
-            pos_gaps_all = np.diff(pos_flat, prepend=0)
-            pos_gaps_all[starts] = pos_flat[starts]
+    def encode_group(rows_out, term, bucket, d, t, l, blob, row_ends):
+        # Per-posting position gaps arrive ALREADY varbyte-encoded from the
+        # SPIMI kernel (per-row blobs, first value absolute per posting);
+        # a block's pos_gaps is the byte CONCATENATION of its rows' blobs —
+        # varbyte needs no re-coding across row boundaries.
         tfnorm = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
         for i in range(0, len(d), B):
             j = min(i + B, len(d))
             gaps = np.diff(d[i:j], prepend=0)
             gaps[0] = d[i]  # first docID absolute per block (independent decode)
             if store_positions:
-                pg = vb_encode(pos_gaps_all[starts[i]: starts[j - 1] + t[j - 1]])
+                s = 0 if i == 0 else int(row_ends[i - 1])
+                pg = blob[s: int(row_ends[j - 1])].tobytes()
             else:
                 pg = b""
             tb = t[i:j]
@@ -237,7 +257,7 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
                 int(d[i]), int(d[j - 1]), int(tb.sum())))
 
     def kernel(batches):
-        pending = None  # (term:str, bucket:int, d, t, l, pos_flat)
+        pending = None  # (term:str, bucket:int, d, t, l, blob:uint8[], row_ends)
 
         def flush(rows_out, span):
             encode_group(rows_out, *span)
@@ -248,6 +268,7 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
                 [pa.array(list(c), type=ty) for c, ty in zip(cols, out_types)],
                 names=out_names)
 
+        empty_blob = np.empty(0, dtype=np.uint8)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -261,14 +282,17 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
             t = col["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
             l = col["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
             if store_positions:
-                plist = col["positions"]
-                if isinstance(plist, pa.ChunkedArray):
-                    plist = plist.combine_chunks()
-                pos_flat_all = plist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-                pos_offsets = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                # blob access at the BUFFER level: no per-row Python objects
+                # for the 10^8-row partials stream
+                parr = col["pos_bytes"]
+                if isinstance(parr, pa.ChunkedArray):
+                    parr = parr.combine_chunks()
+                voff = np.frombuffer(parr.buffers()[1], dtype=np.int32)[
+                    parr.offset: parr.offset + rb.num_rows + 1].astype(np.int64)
+                vdata = np.frombuffer(parr.buffers()[2], dtype=np.uint8)
             else:
-                pos_flat_all = np.empty(0, dtype=np.int64)
-                pos_offsets = np.zeros(rb.num_rows + 1, dtype=np.int64)
+                voff = np.zeros(rb.num_rows + 1, dtype=np.int64)
+                vdata = empty_blob
 
             change = np.ones(rb.num_rows, dtype=bool)
             change[1:] = (t_codes[1:] != t_codes[:-1]) | (bucket[1:] != bucket[:-1])
@@ -278,14 +302,16 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
             rows_out: list = []
             for gi, (s, e) in enumerate(zip(starts, ends)):
                 span = (t_uniq[t_codes[s]], int(bucket[s]), d[s:e], t[s:e], l[s:e],
-                        pos_flat_all[pos_offsets[s]: pos_offsets[e]])
+                        vdata[voff[s]: voff[e]], voff[s + 1: e + 1] - voff[s])
                 if pending is not None:
                     if pending[0] == span[0] and pending[1] == span[1]:
                         span = (span[0], span[1],
                                 np.concatenate([pending[2], span[2]]),
                                 np.concatenate([pending[3], span[3]]),
                                 np.concatenate([pending[4], span[4]]),
-                                np.concatenate([pending[5], span[5]]))
+                                np.concatenate([pending[5], span[5]]),
+                                np.concatenate([pending[6],
+                                                span[6] + len(pending[5])]))
                     else:
                         flush(rows_out, pending)
                     pending = None
@@ -304,7 +330,9 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
 
 
 # bump when the on-disk table layout changes (consumers key cache dirs on it)
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
+
+PARTIALS_SCHEMA = "term string, docID long, tf int, pos_bytes binary, dl int"
 
 POSTINGS_SCHEMA = (
     "term string, bucket long, block_id long, n_docs int, "
@@ -312,6 +340,38 @@ POSTINGS_SCHEMA = (
     "block_max_tf int, block_max_wand double, "
     "block_first_doc long, block_last_doc long, cf long"
 )
+
+
+def _positions_to_bytes(batches):
+    """mapInArrow converter for the SQL tokenizer path: per-row
+    array<int> positions -> varbyte gap blob (first value absolute),
+    matching what the SPIMI kernels emit natively."""
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+        plist = col["positions"]
+        if isinstance(plist, pa.ChunkedArray):
+            plist = plist.combine_chunks()
+        flat = plist.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        list_off = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        list_off = list_off - list_off[0]
+        starts = list_off[:-1]
+        gaps = np.diff(flat, prepend=0)
+        gaps[starts] = flat[starts]
+        data, nb = vb_encode_with_lengths(gaps)
+        val_ends = np.append(np.cumsum(nb), 0)  # [len(flat)] guard for empty rows
+        offsets = np.empty(rb.num_rows + 1, dtype=np.int32)
+        offsets[0] = 0
+        offsets[1:] = val_ends[list_off[1:] - 1]
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), rb.num_rows,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+        yield pa.RecordBatch.from_arrays(
+            [col["term"], col["docID"], col["tf"], pos_arr, col["dl"]],
+            names=["term", "docID", "tf", "pos_bytes", "dl"])
 
 
 @dataclass
@@ -368,17 +428,25 @@ class IndexBuilder:
         if not resume:
             self.store.drop_all()
         self._lineage_rows = []
+        self.stage_times: dict = {}
 
-        if not self.store.exists("doc_map"):
-            self._build_doc_map(docs)
-        if not self.store.exists("partials"):
-            self._build_partials(docs)
-        if not (self.store.exists("doc_len") and self.store.exists("stats")):
-            self._build_doc_len_stats()
-        if not self.store.exists("postings"):
-            self._build_postings()
-        if not self.store.exists("dictionary"):
-            self._build_dictionary()
+        def run(name, done, fn, *args):
+            if done:
+                return
+            import time
+            t0 = time.time()
+            fn(*args)
+            self.stage_times[name] = round(time.time() - t0, 3)
+            self._lineage_rows.append(
+                (name, -1, 0, f"wall_sec={self.stage_times[name]}"))
+
+        run("doc_map", self.store.exists("doc_map"), self._build_doc_map, docs)
+        run("partials", self.store.exists("partials"), self._build_partials, docs)
+        run("doc_len", self.store.exists("doc_len") and self.store.exists("stats"),
+            self._build_doc_len_stats)
+        run("postings", self.store.exists("postings"), self._build_postings)
+        run("bucket_max", self.store.exists("bucket_max"), self._build_bucket_max)
+        run("dictionary", self.store.exists("dictionary"), self._build_dictionary)
         self._write_lineage()
 
         idx = Index(store=self.store, config=self.config)
@@ -464,11 +532,27 @@ class IndexBuilder:
         meta = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
         doc_map = ids.join(meta, ["repo", "path"]).select(
             "docID", "repo", "path", "commit", "lang", "sha256")
+        # permutation invariant rides the write as an Observation — no
+        # separate validation job (round 1 ran a second doc_map scan)
+        from pyspark.sql import Observation
+        obs = Observation("doc_map_invariant")
+        doc_map = doc_map.observe(
+            obs, F.count(F.lit(1)).alias("c"), F.max("docID").alias("m"),
+            F.sum(F.col("docID").cast("decimal(38,0)")).alias("s"))
         self.store.write(doc_map, "doc_map")
         self.store.drop("tmp_doc_order")
-        self._validate_doc_ids(acc)
+        self._validate_doc_ids(acc, obs.get)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc
+
+    def _table_rows_from_footers(self, name: str) -> int:
+        """Total row count of a written table from parquet footers —
+        metadata only, no Spark job."""
+        import glob
+
+        import pyarrow.parquet as pq
+        return sum(pq.ParquetFile(fp).metadata.num_rows for fp in
+                   glob.glob(os.path.join(self.store.path(name), "*.parquet")))
 
     def _pid_counts_from_footers(self, name: str) -> dict | None:
         """Per-pid row counts from parquet footer statistics (each written
@@ -500,14 +584,11 @@ class IndexBuilder:
             counts[int(file_pid)] = counts.get(int(file_pid), 0) + md.num_rows
         return counts
 
-    def _validate_doc_ids(self, n: int) -> None:
-        """Cheap permutation invariant over the written doc_map: docIDs
-        must be exactly {0..n-1}. count + max + sum together reject any
-        collision/gap from a mis-applied offset — one single-column scan,
-        no shuffle (guards the class of bug fixed above)."""
-        agg = self.store.read("doc_map").agg(
-            F.count("*").alias("c"), F.max("docID").alias("m"),
-            F.sum(F.col("docID").cast("decimal(38,0)")).alias("s")).collect()[0]
+    def _validate_doc_ids(self, n: int, agg) -> None:
+        """Permutation invariant over the written doc_map: docIDs must be
+        exactly {0..n-1}. count + max + sum together reject any
+        collision/gap from a mis-applied offset (guards the
+        range-boundary-reseed bug class — see _build_doc_map)."""
         ok = (int(agg["c"]) == n
               and (n == 0 or int(agg["m"]) == n - 1)
               and int(agg["s"] or 0) == n * (n - 1) // 2)
@@ -536,41 +617,46 @@ class IndexBuilder:
             tok = base.select("docID", tokens_col.alias("tokens"))
             tok = tok.withColumn("dl", F.size("tokens"))
             ex = tok.select("docID", "dl", F.posexplode("tokens").alias("pos", "term"))
-            partials = (
+            exploded = (
                 ex.groupBy("term", "docID")
                 .agg(F.count("*").cast("int").alias("tf"),
                      F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
                      F.first("dl").alias("dl"))
             )
+            partials = exploded.select("term", "docID", "tf", "positions", "dl") \
+                .mapInArrow(_positions_to_bytes, schema=PARTIALS_SCHEMA)
         elif self.config.tokenizer == "pandas":
             partials = base.select("docID", "content").mapInPandas(
-                _spimi_invert, schema="term string, docID long, tf int, "
-                                      "positions array<int>, dl int")
+                _spimi_invert, schema=PARTIALS_SCHEMA)
         else:  # "arrow" (default)
             partials = base.select("docID", "content").mapInArrow(
-                _spimi_invert_arrow, schema="term string, docID long, tf int, "
-                                            "positions array<int>, dl int")
+                _spimi_invert_arrow, schema=PARTIALS_SCHEMA)
         self.store.write(partials, "partials")
         self._record_lineage("partials", "partials", detail="postings_emitted")
 
     # -- stage 3: doc_len + stats --------------------------------------
     def _build_doc_len_stats(self) -> None:
-        partials = self.store.read("partials")
-        dl = partials.groupBy("docID").agg(F.max("dl").alias("dl"))
-        doc_len = (
-            self.store.read("doc_map").select("docID")
-            .join(dl, "docID", "left")
-            .fillna({"dl": 0})
-        )
-        self.store.write(doc_len, "doc_len")
-        # N from parquet footers (no scan); total_len = Σ tf over partials
-        # (Σ_docs dl == Σ postings tf), a single column-pruned agg
-        import glob
+        """ONE job: doc_len write with an attached Observation that yields
+        total_len as a side effect of the same pass (the round-1 shape ran
+        two extra jobs — a footer glob plus a full partials sum(tf) — on
+        top of this one, plus a doc_map join). The partials read here is
+        column-pruned to (docID, dl): two int columns, never pos_bytes.
 
-        import pyarrow.parquet as pq
-        n_docs = sum(pq.ParquetFile(fp).metadata.num_rows for fp in
-                     glob.glob(os.path.join(self.store.path("doc_len"), "*.parquet")))
-        total_len = int(partials.agg(F.sum("tf")).collect()[0][0] or 0)
+        doc_len holds only docs with >=1 kept term; a doc absent from the
+        table has dl = 0 (consumers left-join doc_map + coalesce). BM25's
+        N still counts ALL docs (reference: N = docId.size(),
+        IndexService.java:176) — it comes from doc_map, not from here."""
+        from pyspark.sql import Observation
+
+        partials = self.store.read("partials")
+        dl = partials.select("docID", "dl").groupBy("docID").agg(F.max("dl").alias("dl"))
+        obs = Observation("doc_len_stats")
+        doc_len = dl.observe(obs, F.sum("dl").alias("total_len"))
+        self.store.write(doc_len, "doc_len")
+        total_len = int(obs.get["total_len"] or 0)
+        n_docs = getattr(self, "_n_docs", None)
+        if n_docs is None:  # resume path: doc_map exists, stats lost
+            n_docs = self._table_rows_from_footers("doc_map")
         avgdl = (total_len / n_docs) if n_docs else 0.0
         stats = self.spark.createDataFrame(
             [(n_docs, total_len, float(avgdl), self.config.k1, self.config.b,
@@ -600,7 +686,7 @@ class IndexBuilder:
         partials = self.store.read("partials")
         n = self._n_partitions()
         cols = ["term", "docID", "tf", "dl"] + \
-            (["positions"] if cfg.store_positions else [])
+            (["pos_bytes"] if cfg.store_positions else [])
         enc = (
             partials.select(*cols)
             .withColumn("bucket", (F.col("docID") / F.lit(cfg.docs_per_bucket)).cast("long"))
@@ -615,17 +701,46 @@ class IndexBuilder:
         self._record_lineage("postings", "postings",
                              detail=f"merge_fan_in={partials.rdd.getNumPartitions()}")
 
+    # -- stage 4.5: per-(term, bucket) WAND skip metadata ----------------
+    def _build_bucket_max(self) -> None:
+        """bucket_max(term, bucket, tmax, n_blocks): the block-max WAND
+        threshold structure rolled up one level, materialized at BUILD
+        time so a query never re-aggregates posting-block metadata (the
+        round-1 engine ran that agg per query — VERDICT.md #2). Metadata
+        only: input is postings MINUS all binary columns, output is one
+        row per (term, docID-bucket). Sorted by term so a query-term
+        filter prunes parquet row groups."""
+        postings = self.store.read("postings").select(
+            "term", "bucket", "block_max_wand")
+        bm = (postings.groupBy("term", "bucket")
+              .agg(F.max("block_max_wand").alias("tmax"),
+                   F.count("*").alias("n_blocks")))
+        n = self._n_partitions()
+        bm = bm.repartitionByRange(n, "term").sortWithinPartitions("term", "bucket")
+        self.store.write(bm, "bucket_max")
+        self._record_lineage("bucket_max", "bucket_max")
+
     # -- stage 5: dictionary -------------------------------------------
     def _build_dictionary(self) -> None:
-        postings = self.store.read("postings")
+        """Term stats rollup from bucket_max (NOT the postings table:
+        bucket_max is ~blocks/512 rows and carries everything the
+        dictionary needs except cf/df, which ride along from a slim
+        postings projection)."""
+        postings = self.store.read("postings").select("term", "n_docs", "cf")
         dictionary = (
             postings.groupBy("term")
             .agg(F.sum("n_docs").alias("df"),
-                 F.sum("cf").alias("cf"),
-                 F.count("*").alias("n_blocks"),
-                 F.max("block_max_wand").alias("max_block_wand"))
+                 F.sum("cf").alias("cf"))
+        )
+        bm = (self.store.read("bucket_max").groupBy("term")
+              .agg(F.sum("n_blocks").alias("n_blocks"),
+                   F.count("*").alias("n_buckets"),
+                   F.max("tmax").alias("max_block_wand")))
+        dictionary = (
+            dictionary.join(bm, "term")
             .withColumn("rterm", F.reverse(F.col("term")))
-            .select("term", "rterm", "df", "cf", "n_blocks", "max_block_wand")
+            .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
+                    "max_block_wand")
         )
         n = self._n_partitions()
         dictionary = dictionary.repartitionByRange(n, "term").sortWithinPartitions("term")

@@ -44,6 +44,33 @@ def vb_encode(values) -> bytes:
     return out.tobytes()
 
 
+def vb_encode_with_lengths(values) -> tuple:
+    """vb_encode + the per-value encoded byte count.
+
+    Varbyte is value-independent, so slicing the returned buffer at
+    cumulative length boundaries yields each sub-range's standalone
+    encoding — used to cut one flat encode pass into per-row blobs
+    (the SPIMI kernels encode a whole batch of position lists at once
+    and slice per (term, docID) row)."""
+    arr = np.asarray(values)
+    if arr.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    if arr.dtype.kind not in "ui":
+        arr = arr.astype(np.int64)
+    if arr.dtype.kind == "i" and (arr < 0).any():
+        raise ValueError("varbyte domain is non-negative integers")
+    arr = arr.astype(np.uint64)
+    nbytes = (np.searchsorted(_THRESHOLDS, arr, side="right") + 1).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        pos = ends[sel] - 1 - k
+        out[pos] = ((arr[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+    out[ends - 1] |= 0x80
+    return out.tobytes(), nbytes
+
+
 def vb_decode(buf) -> np.ndarray:
     """Decode varbyte bytes back to a uint64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)

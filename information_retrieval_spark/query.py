@@ -117,13 +117,24 @@ def _decode_iter(batches, with_positions: bool):
 
 
 class QueryEngine:
-    def __init__(self, index: Index):
+    def __init__(self, index: Index, cache_tables: bool = True):
         self.index = index
         self.spark = index.spark
         self.stats = index.load_stats()
         self._postings = index.table("postings")
         self._dictionary = index.table("dictionary")
         self._doc_map = index.table("doc_map")
+        # per-(term, bucket) WAND bounds, materialized at build time
+        # (absent on pre-v3 indexes -> distributed fallback in _wand_*)
+        self._bucket_max = (index.table("bucket_max")
+                            if index.store.exists("bucket_max") else None)
+        if cache_tables:
+            # dictionary + doc_map are the per-query driver round-trip
+            # tables; pinning them turns every term_stats/_names lookup
+            # into a memory scan. Analogue on a cluster: a dimension-table
+            # cache on the executors. Lazy — first query materializes.
+            self._dictionary = self._dictionary.cache()
+            self._doc_map = self._doc_map.cache()
         self._cached: list = []  # per-query caches, released on the next query
 
     def _cache(self, df: DataFrame) -> DataFrame:
@@ -359,7 +370,7 @@ class QueryEngine:
         # Dictionary stats are already in hand, so the gate is free.
         total_blocks = sum(int(stats[t]["n_blocks"]) for t in terms)
         if wand and total_blocks >= wand_gate_blocks:
-            candidates = self._wand_candidate_blocks(terms, idf_map, k)
+            candidates = self._wand_candidate_blocks(terms, idf_map, k, stats)
         else:
             candidates = self.blocks_for(terms)
         decoded = candidates.mapInArrow(
@@ -377,7 +388,37 @@ class QueryEngine:
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "docID long, score double, name string")
 
-    def _wand_candidate_blocks(self, terms, idf_map, k: int) -> DataFrame:
+    # bucket_max slices up to this many rows are collected and folded in
+    # driver numpy (saves one distributed agg job per query); beyond it —
+    # e.g. a head term over a 10^12-doc index spans ~1.5e7 buckets — the
+    # same math runs as a distributed aggregation over the bucket_max table
+    WAND_DRIVER_SLICE_ROWS = 65536
+
+    def _wand_inflation(self) -> float:
+        # stored bounds were computed with the avgdl at encode time; after
+        # incremental growth (streaming.IncrementalIndexer) inflate them by
+        # avgdl_now/avgdl_enc_min — a sound correction, so pruning stays
+        # exact-safe on a live index
+        avgdl_now = float(self.stats["avgdl"]) or 1.0
+        enc_min = float(self.stats.get("avgdl_enc_min") or avgdl_now)
+        return max(1.0, avgdl_now / enc_min) if enc_min > 0 else 1.0
+
+    def _theta0(self, blocks: DataFrame, best_bucket: int, idf_map: dict,
+                k: int):
+        """Exact kth score inside one docID bucket (a small decode job) —
+        a valid WAND threshold because its k docs' scores are REAL."""
+        seed_blocks = blocks.filter(F.col("bucket") == best_bucket)
+        seed = seed_blocks.mapInArrow(
+            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
+        seed_scores = (seed.select("docID", self._score_col(idf_map))
+                       .groupBy("docID").agg(F.sum("partial").alias("score"))
+                       .orderBy(F.desc("score")).limit(k).collect())
+        if len(seed_scores) < k:
+            return None  # not enough docs for a safe threshold
+        return seed_scores[-1]["score"]
+
+    def _wand_candidate_blocks(self, terms, idf_map, k: int,
+                               stats: dict | None = None) -> DataFrame:
         """Block-max WAND pruning, distributed over docID-range buckets.
 
         Upper bound of any doc in block b (term t, bucket β):
@@ -386,37 +427,66 @@ class QueryEngine:
         job). Every block with UB < θ0 is skipped before decoding; docs in
         such blocks provably cannot reach the kth final score, so the
         surviving exact top-k is unchanged.
+
+        The per-(term, bucket) maxima come from the build-time bucket_max
+        table (stage 4.5); for a small slice (the common case) the bound
+        arithmetic runs in driver numpy — the query then costs exactly
+        three jobs: slice collect, θ0 seed, pruned scoring pass.
         """
         blocks = self.blocks_for(terms)
-        # stored bounds were computed with the avgdl at encode time; after
-        # incremental growth (streaming.IncrementalIndexer) inflate them by
-        # avgdl_now/avgdl_enc_min — a sound correction, so pruning stays
-        # exact-safe on a live index
-        avgdl_now = float(self.stats["avgdl"]) or 1.0
-        enc_min = float(self.stats.get("avgdl_enc_min") or avgdl_now)
-        inflation = max(1.0, avgdl_now / enc_min) if enc_min > 0 else 1.0
+        inflation = self._wand_inflation()
+        total_buckets = sum(int(stats[t].get("n_buckets") or 0)
+                            for t in terms) if stats else None
+
+        if (self._bucket_max is not None and total_buckets is not None
+                and 0 < total_buckets <= self.WAND_DRIVER_SLICE_ROWS):
+            rows = (self._bucket_max
+                    .filter(F.col("term").isin(sorted(terms)))
+                    .select("term", "bucket", "tmax").collect())
+            if not rows:
+                return blocks
+            contrib = {(r["term"], r["bucket"]):
+                       idf_map[r["term"]] * inflation * float(r["tmax"])
+                       for r in rows}
+            bucket_ub: dict = {}
+            for (t, b), c in contrib.items():
+                bucket_ub[b] = bucket_ub.get(b, 0.0) + c
+            best_bucket = max(bucket_ub, key=bucket_ub.get)
+            theta0 = self._theta0(blocks, best_bucket, idf_map, k)
+            if theta0 is None:
+                return blocks
+            rest_rows = [(t, int(b), float(bucket_ub[b] - c))
+                         for (t, b), c in contrib.items()]
+            rest = self.spark.createDataFrame(
+                rest_rows, "term string, bucket long, rest double")
+            idf_col = F.element_at(
+                F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
+                F.col("term")) * F.lit(inflation)
+            return (blocks.join(F.broadcast(rest), ["term", "bucket"])
+                    .filter(idf_col * F.col("block_max_wand") + F.col("rest")
+                            >= F.lit(theta0))
+                    .select(*blocks.columns))
+
+        # distributed path: same bounds as a Spark aggregation (over the
+        # rolled-up bucket_max table when present, else the blocks)
         idf_col = F.element_at(
             F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
             F.col("term")) * F.lit(inflation)
-        bmax = (blocks.groupBy("bucket", "term")
-                .agg(F.max("block_max_wand").alias("tmax"))
-                .withColumn("contrib", idf_col * F.col("tmax")))
+        if self._bucket_max is not None:
+            bmax = (self._bucket_max.filter(F.col("term").isin(sorted(terms)))
+                    .select("term", "bucket", "tmax")
+                    .withColumn("contrib", idf_col * F.col("tmax")))
+        else:
+            bmax = (blocks.groupBy("bucket", "term")
+                    .agg(F.max("block_max_wand").alias("tmax"))
+                    .withColumn("contrib", idf_col * F.col("tmax")))
         bucket_ub = bmax.groupBy("bucket").agg(F.sum("contrib").alias("ub"))
         best = bucket_ub.orderBy(F.desc("ub")).limit(1).collect()
         if not best:
             return blocks
-        best_bucket = best[0]["bucket"]
-
-        # θ0: exact scores inside the best bucket
-        seed_blocks = blocks.filter(F.col("bucket") == best_bucket)
-        seed = seed_blocks.mapInArrow(
-            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
-        seed_scores = (seed.select("docID", self._score_col(idf_map))
-                       .groupBy("docID").agg(F.sum("partial").alias("score"))
-                       .orderBy(F.desc("score")).limit(k).collect())
-        if len(seed_scores) < k:
-            return blocks  # not enough docs for a safe threshold
-        theta0 = seed_scores[-1]["score"]
+        theta0 = self._theta0(blocks, best[0]["bucket"], idf_map, k)
+        if theta0 is None:
+            return blocks
 
         ub_expr = (idf_col * F.col("block_max_wand")
                    + F.col("ub") - F.col("contrib_bucket"))

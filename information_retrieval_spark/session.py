@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # zstd over snappy: this host (like most dense nodes) is memory-
+        # bandwidth-bound before it is CPU-bound, so trading compression
+        # CPU (scales with cores) for bytes moved (does not) improves both
+        # wall time and the N->4N scaling efficiency
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
         # local[N] packs N task threads into ONE JVM: size the heap for all
         # of them (a real cluster sizes per-executor memory instead)
         .config("spark.driver.memory", os.environ.get("IRS_DRIVER_MEM", "48g"))

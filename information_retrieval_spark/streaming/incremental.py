@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..build import (
+    PARTIALS_SCHEMA,
     POSTINGS_SCHEMA,
     Index,
     IndexConfig,
@@ -66,8 +67,7 @@ class IncrementalIndexer:
         docs_with_id = batch.join(doc_map_delta.select("docID", "repo", "path"),
                                   ["repo", "path"])
         partials = docs_with_id.select("docID", "content").mapInArrow(
-            _spimi_invert_arrow,
-            schema="term string, docID long, tf int, positions array<int>, dl int")
+            _spimi_invert_arrow, schema=PARTIALS_SCHEMA)
         n = 4
         cfg = self.config
         encode = _make_block_encoder(cfg, avgdl_now)
@@ -78,9 +78,9 @@ class IncrementalIndexer:
                .mapInArrow(encode, schema=POSTINGS_SCHEMA))
         self.store.write(enc, "postings", mode="append")
 
-        dl_delta = (partials.groupBy("docID").agg(F.max("dl").alias("dl"))
-                    .join(doc_map_delta.select("docID"), "docID", "right")
-                    .fillna({"dl": 0}))
+        # doc_len semantics match the batch build: rows only for docs with
+        # >=1 kept term (absent row == dl 0)
+        dl_delta = partials.groupBy("docID").agg(F.max("dl").alias("dl"))
         self.store.write(dl_delta, "doc_len", mode="append")
 
         # dictionary: re-aggregate from block METADATA (never the postings)

@@ -63,3 +63,24 @@ def test_bm25_wand_equals_baseline(synth_engine, q):
 
 def test_bm25_absent_terms(synth_engine):
     assert synth_engine.bm25("zzzmissing qqqabsent", k=5).collect() == []
+
+
+@pytest.mark.parametrize("q", SYNTH_QUERIES[:3])
+def test_bm25_wand_distributed_path_equals_baseline(synth_engine, q, monkeypatch):
+    # force the DISTRIBUTED bound-aggregation path (the 10^12-doc shape,
+    # taken when the bucket_max slice is too big to collect)
+    monkeypatch.setattr(type(synth_engine), "WAND_DRIVER_SLICE_ROWS", 0)
+    base = synth_engine.bm25(q, k=10, wand=False).collect()
+    wand = synth_engine.bm25(q, k=10, wand=True, wand_gate_blocks=0).collect()
+    assert [(r["docID"], round(r["score"], 10)) for r in base] == \
+           [(r["docID"], round(r["score"], 10)) for r in wand]
+
+
+def test_bm25_wand_no_bucket_max_table_equals_baseline(synth_engine, monkeypatch):
+    # pre-v3 index shape: no bucket_max table at all
+    monkeypatch.setattr(synth_engine, "_bucket_max", None)
+    q = SYNTH_QUERIES[0]
+    base = synth_engine.bm25(q, k=10, wand=False).collect()
+    wand = synth_engine.bm25(q, k=10, wand=True, wand_gate_blocks=0).collect()
+    assert [(r["docID"], round(r["score"], 10)) for r in base] == \
+           [(r["docID"], round(r["score"], 10)) for r in wand]

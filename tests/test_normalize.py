@@ -129,13 +129,19 @@ def test_whitespace_class_parity_arrow_kernel():
         [pa.array(list(range(len(_WS_TEXTS))), type=pa.int64()),
          pa.array(_WS_TEXTS, type=pa.string())],
         names=["docID", "content"])
+    import numpy as np
+
+    from information_retrieval_spark.codec import vb_decode
+
     rows = []
     for out in _spimi_invert_arrow([rb]):
         rows.extend(out.to_pylist())
     got = {}
     for r in rows:
-        for p in r["positions"]:
-            got.setdefault(r["docID"], {})[p] = r["term"]
+        positions = np.cumsum(vb_decode(r["pos_bytes"]).astype(np.int64))
+        assert len(positions) == r["tf"]
+        for p in positions:
+            got.setdefault(r["docID"], {})[int(p)] = r["term"]
     rebuilt = {d: [terms[p] for p in sorted(terms)] for d, terms in got.items()}
     expected = {i: tokenize(t) for i, t in enumerate(_WS_TEXTS) if tokenize(t)}
     assert rebuilt == expected
