@@ -447,6 +447,8 @@ class IndexBuilder:
         run("postings", self.store.exists("postings"), self._build_postings)
         run("bucket_max", self.store.exists("bucket_max"), self._build_bucket_max)
         run("dictionary", self.store.exists("dictionary"), self._build_dictionary)
+        run("dictionary_r", self.store.exists("dictionary_r"),
+            self._build_dictionary_r)
         self._write_lineage()
 
         idx = Index(store=self.store, config=self.config)
@@ -746,6 +748,19 @@ class IndexBuilder:
         dictionary = dictionary.repartitionByRange(n, "term").sortWithinPartitions("term")
         self.store.write(dictionary, "dictionary")
         self._record_lineage("dictionary", "dictionary")
+
+    # -- stage 5b: reversed dictionary ------------------------------------
+    def _build_dictionary_r(self) -> None:
+        """dictionary_r(rterm, term, df): the dictionary re-sorted by the
+        REVERSED term — the Spark shape of the reference's second reversed
+        vocabulary (IndexBody.java:142-162). A suffix/joker lookup
+        `rterm startswith reverse(suffix)` prunes parquet row groups here;
+        on the term-sorted dictionary the same filter scans everything."""
+        d = self.store.read("dictionary").select("rterm", "term", "df")
+        n = self._n_partitions()
+        d = d.repartitionByRange(n, "rterm").sortWithinPartitions("rterm")
+        self.store.write(d, "dictionary_r")
+        self._record_lineage("dictionary_r", "dictionary_r")
 
     # -- stage 6: lineage ----------------------------------------------
     def _write_lineage(self) -> None:

@@ -38,6 +38,24 @@ def test_names_join_is_broadcast(synth_engine):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_joker_suffix_pushdown_into_postings(synth_engine):
+    # a pure-suffix token must NOT scan the whole postings table: the
+    # resolved match set is pushed as an In(term, ...) scan predicate
+    docs = synth_engine.joker_docs("*le")  # matches 'needle' etc.
+    plan = docs._jdf.queryExecution().sparkPlan().toString()
+    assert "In(term" in plan or ("PushedFilters" in plan and "term" in plan), plan
+    assert docs.count() > 0
+
+
+def test_joker_oversized_match_set_uses_join(synth_engine, monkeypatch):
+    # force the big-match-set path: joins instead of isin, no driver OOM
+    monkeypatch.setattr(type(synth_engine), "JOKER_PUSHDOWN_TERMS", 1)
+    via_join = sorted(r["docID"] for r in synth_engine.joker_docs("sym*").collect())
+    monkeypatch.undo()
+    via_isin = sorted(r["docID"] for r in synth_engine.joker_docs("sym*").collect())
+    assert via_join == via_isin and via_join
+
+
 def test_bm25_aggregation_is_jvm_side(synth_engine):
     # the scoring expression must be whole-stage-codegen'd columns, not a UDF
     df = synth_engine.bm25("sym0 sym1", k=5, wand=False)
