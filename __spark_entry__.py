@@ -36,6 +36,38 @@ _EX = "ex AS (SELECT doc_id, unnest(t) AS term FROM toks)"
 _POS = "pos AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM toks)"
 
 
+def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
+    """CTEs sh/h/banded/cand reproducing dedup.minhash_lsh_pairs over
+    n-gram shingle features. band_key parts are ordered LEXICOGRAPHICALLY
+    (matching Spark's array_sort over 'seed:hash' strings — numeric seed
+    order diverges once seeds reach 10)."""
+    return f"""
+        sh AS (
+            SELECT doc_id AS id, unnest(
+                list_distinct(list_transform(range(greatest(len(t) - {n}, -1) + 1),
+                              i -> array_to_string(list_slice(t, i + 1, i + {n}), ' ')))
+            ) AS feature
+            FROM toks
+        ),
+        h AS (
+            SELECT id, s.seed,
+                   min(sha256(s.seed::VARCHAR || '|' || feature)) AS mh
+            FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
+            GROUP BY id, s.seed
+        ),
+        banded AS (
+            SELECT id, (seed // {band_size})::INT AS band,
+                   string_agg(seed::VARCHAR || ':' || mh, ''
+                              ORDER BY seed::VARCHAR || ':' || mh) AS band_key
+            FROM h GROUP BY id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b USING (band, band_key)
+            WHERE a.id < b.id
+        )"""
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
     """Build (or reuse) the inverted index for a testdata scale factor."""
     key = os.path.abspath(sf_dir)
@@ -170,8 +202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_minhash_lsh(spark, sf):
-        return dedup.minhash_lsh_pairs(_documents(spark, sf), num_hashes=8, band_size=2)
+        # DISCRIMINATIVE parameters: 3-gram shingle features, 4 bands of 4
+        # (term features with tiny bands made the round-1 gate degenerate:
+        # 79% of all pairs were candidates)
+        return dedup.minhash_lsh_pairs(_documents(spark, sf),
+                                       num_hashes=16, band_size=4, n=3)
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_near(spark, sf):
+        # the scale pipeline: LSH candidates -> exact Jaccard verify on
+        # candidates only
+        return dedup.near_duplicates(_documents(spark, sf), n=3,
+                                     threshold=0.8, num_hashes=64, band_size=8)
+    q["dedup_near"] = dedup_near
 
     def dedup_simhash(spark, sf):
         return dedup.simhash_signatures(_documents(spark, sf))
@@ -341,21 +384,27 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_minhash_lsh"] = f"""
         WITH {_TOKS},
-        ex AS (SELECT DISTINCT doc_id AS id, unnest(t) AS term FROM toks),
-        h AS (
-            SELECT id, s.seed,
-                   min(sha256(s.seed::VARCHAR || '|' || term)) AS mh
-            FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) s
-            GROUP BY id, s.seed
-        ),
-        banded AS (
-            SELECT id, (seed // 2)::INT AS band,
-                   string_agg(seed::VARCHAR || ':' || mh, '' ORDER BY seed) AS band_key
-            FROM h GROUP BY id, band
+        {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=3)}
+        SELECT id_a, id_b FROM cand
+    """
+
+    o["dedup_near"] = f"""
+        WITH {_TOKS},
+        {_minhash_lsh_ctes(num_hashes=64, band_size=8, n=3)},
+        sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+        inter AS (
+            SELECT id_a, id_b, count(*)::BIGINT AS i
+            FROM cand
+            JOIN sh a ON a.id = id_a
+            JOIN sh b ON b.id = id_b AND b.feature = a.feature
+            GROUP BY 1, 2
         )
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM banded a JOIN banded b USING (band, band_key)
-        WHERE a.id < b.id
+        SELECT id_a, id_b,
+               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.8
     """
 
     o["dedup_simhash"] = f"""

@@ -61,6 +61,9 @@ def main() -> None:
         "joker": lambda: qe.joker_docs("st* *ow").count(),
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
             docs, id_col="path", text_col="content", n=3, threshold=0.3).count(),
+        "dedup_near": lambda: dedup.near_duplicates(
+            docs, id_col="path", text_col="content", n=3, threshold=0.8,
+            num_hashes=64, band_size=8).count(),
         "dedup_simhash": lambda: dedup.simhash_signatures(
             docs, id_col="path", text_col="content").count(),
         "text_quality": lambda: textstats.quality_scores(

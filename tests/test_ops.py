@@ -79,6 +79,48 @@ def test_minhash_matches_python_oracle(docs_df):
             assert sig[(doc_id, seed)] == want
 
 
+def test_near_duplicates_chain(docs_df):
+    # LSH candidates -> exact Jaccard verify; pure-Python oracle of the
+    # whole chain (same sha256 minhash, same banding, same verification)
+    n, num_hashes, band_size, threshold = 2, 16, 4, 0.5
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.near_duplicates(docs_df, n=n, threshold=threshold,
+                                 num_hashes=num_hashes, band_size=band_size).collect()}
+
+    def minhash_band_keys(feats):
+        keys = []
+        for band in range(num_hashes // band_size):
+            parts = []
+            for seed in range(band * band_size, (band + 1) * band_size):
+                mh = min(hashlib.sha256(f"{seed}|{f}".encode()).hexdigest()
+                         for f in feats)
+                parts.append(f"{seed}:{mh}")
+            keys.append((band, "".join(sorted(parts))))
+        return set(keys)
+
+    want = {}
+    for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _shingles(ta, n), _shingles(tb, n)
+        if not sa or not sb:
+            continue
+        if not (minhash_band_keys(sa) & minhash_band_keys(sb)):
+            continue  # not an LSH candidate
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_shingle_features_discriminative(docs_df):
+    # shingle-based bands must NOT pair docs that merely share vocabulary
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs_df, num_hashes=16, band_size=4,
+                                     n=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs  # shares 'spark' term but no 3-gram run
+
+
 def test_simhash_properties(docs_df):
     sig = {r["id"]: r["simhash"] for r in
            dedup.simhash_signatures(docs_df).collect()}
