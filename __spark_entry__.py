@@ -249,11 +249,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def ann_lsh_topk(spark, sf):
-        # approximate (recall<1 by design) -> rows-only driver check
+        # approximate (recall<1 vs brute force) but fully DETERMINISTIC:
+        # signatures are bit-reproducible across engines (see
+        # similarity.signature_expr), so this op now has an exact DuckDB
+        # oracle (it was rows-only in round 1)
         qv = _query_vec(spark, sf)
         return similarity.lsh_bucket_topk(_embeddings(spark, sf), qv, k=10,
                                           nbits=8).withColumnRenamed("id", "vec_id")
     q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_lsh_candidates(spark, sf):
+        # the candidate set itself, via a PERSISTED build-time signature
+        # table (the 10^12-row path: probe sig buckets, never recompute
+        # signatures per query)
+        import numpy as np
+
+        from information_retrieval_spark.similarity import (
+            _planes,
+            build_signatures,
+            signature_of,
+        )
+        emb = _embeddings(spark, sf)
+        qv = _query_vec(spark, sf)
+        tag = os.path.abspath(sf).strip("/").replace("/", "_")
+        sig_dir = os.path.join(tempfile.gettempdir(), f"irs_ann_sigs_{tag}")
+        if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+            (build_signatures(emb, nbits=8, seed=42)
+             .repartitionByRange(4, "sig").sortWithinPartitions("sig")
+             .write.mode("overwrite").parquet(sig_dir))
+        sigs = spark.read.parquet(sig_dir)
+        planes = _planes(len(qv), 8, 42)
+        qsig = signature_of(np.asarray(qv), planes)
+        probe = [qsig] + [qsig ^ (1 << b) for b in range(8)]
+        return (sigs.filter(F.col("sig").isin(probe))
+                .select(F.col("id").alias("vec_id"), "sig")
+                .orderBy("vec_id"))
+    q["ann_lsh_candidates"] = ann_lsh_candidates
 
     return q
 
@@ -491,6 +522,43 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY c DESC, vec_id LIMIT 10
     """
 
-    # ann_lsh_topk intentionally omitted: approximate operator (recall<1 by
-    # design); driver records the weaker rows-only check.
+    # ann_lsh_topk / ann_lsh_candidates: the signature is a bit-reproducible
+    # SQL expression (similarity.signature_expr), so the approximate
+    # operator admits an EXACT DuckDB oracle (round 1 had rows-only here)
+    from information_retrieval_spark.similarity import _planes, signature_expr
+
+    planes = _planes(64, 8, 42)  # testdata embeddings are 64-dim
+    sig_e = signature_expr(planes, "embedding", dialect="duckdb")
+    sig_q = signature_expr(planes, "qv", dialect="duckdb")
+    probes = " UNION ALL ".join(
+        ["SELECT s FROM qs"] + [f"SELECT xor(s, {1 << b}) FROM qs" for b in range(8)])
+    _ANN_CAND = f"""
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT {sig_q} AS s FROM q),
+        probes AS ({probes}),
+        sigs AS (SELECT vec_id, {sig_e} AS sig FROM embeddings),
+        cand AS (
+            SELECT e.vec_id, e.embedding, sigs.sig
+            FROM embeddings e JOIN sigs USING (vec_id)
+            WHERE sig IN (SELECT s FROM probes)
+        )"""
+
+    o["ann_lsh_candidates"] = f"""
+        WITH {_ANN_CAND}
+        SELECT vec_id, sig FROM cand ORDER BY vec_id
+    """
+
+    o["ann_lsh_topk"] = f"""
+        WITH {_ANN_CAND},
+        s AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(len(embedding)),
+                            i -> embedding[i + 1]::DOUBLE * qv[i + 1]::DOUBLE))
+                   / (greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12)
+                      * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+            FROM cand CROSS JOIN q
+        )
+        SELECT vec_id, round(c, 6) AS cos
+        FROM s ORDER BY c DESC, vec_id LIMIT 10
+    """
     return o

@@ -698,8 +698,12 @@ class IndexBuilder:
         )
         # output rides the sorted run: each parquet file is term-ordered, so
         # query-time term filters prune on row-group min/max stats without a
-        # second (range) shuffle of the encoded blocks
-        self.store.write(enc, "postings")
+        # second (range) shuffle of the encoded blocks. Small row groups are
+        # what make that pruning real — at the parquet default (128 MB) a
+        # whole file is one row group and `term IN (...)` reads everything;
+        # at ~1 MB a row group spans a narrow term slice of the sorted file.
+        self.store.write(enc, "postings",
+                         options={"parquet.block.size": str(1 << 20)})
         self._record_lineage("postings", "postings",
                              detail=f"merge_fan_in={partials.rdd.getNumPartitions()}")
 

@@ -43,10 +43,13 @@ class TableStore:
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
-              partition_by: list | None = None, sort_by: list | None = None) -> None:
+              partition_by: list | None = None, sort_by: list | None = None,
+              options: dict | None = None) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        for key, val in (options or {}).items():
+            w = w.option(key, val)
         if self.use_iceberg:
             w.format("iceberg").saveAsTable(name)
         else:

@@ -116,6 +116,106 @@ def _decode_iter(batches, with_positions: bool):
         yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
+def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
+                      docs_per_bucket: int, k: int):
+    """mapInArrow kernel: compressed posting blocks (repartitioned by
+    docID bucket, sorted by bucket) -> per-bucket exact BM25 top-k rows.
+
+    A bucket is a complete docID range: every query-term posting of a
+    docID lives in that docID's bucket, so per-bucket score sums are the
+    FINAL per-doc scores and a per-bucket top-k is globally safe. The
+    aggregation is a dense numpy accumulator indexed by bucket-local
+    docID — the shuffle moves ~blocks compressed rows instead of the
+    decoded posting stream (at 1M docs: 2*10^4 block rows vs 10^6+
+    posting rows through a hash aggregate). Ties at the kth score are
+    ALL emitted so the global (score desc, docID asc) order stays exact.
+    """
+    import pyarrow as pa
+
+    def _flat_decode(arr, n_rows):
+        """Decode a whole binary column's value stream in ONE vb_decode
+        call (binary-array values are contiguous in offset order)."""
+        voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + n_rows + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        return vb_decode(data[voff[0]: voff[-1]].tobytes())
+
+    def kernel(batches):
+        cur_bucket = None
+        acc = None
+        out_d: list = []
+        out_s: list = []
+
+        def flush():
+            nonlocal cur_bucket, acc
+            if cur_bucket is None:
+                return
+            idxs = np.flatnonzero(acc)  # partial scores are strictly > 0
+            if len(idxs):
+                sc = acc[idxs]
+                if len(idxs) > k:
+                    thresh = np.partition(sc, len(sc) - k)[len(sc) - k]
+                    keep = sc >= thresh  # keep ALL kth-score ties
+                    idxs, sc = idxs[keep], sc[keep]
+                out_d.append(idxs.astype(np.int64) + cur_bucket * docs_per_bucket)
+                out_s.append(sc.copy())
+            cur_bucket = None
+            acc = None
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            n_rows = rb.num_rows
+            bucket = col["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # idf per block via dictionary codes (no per-row strings)
+            import pyarrow.compute as pc
+            term_enc = pc.dictionary_encode(col["term"])
+            t_codes = term_enc.indices.to_numpy(zero_copy_only=False)
+            idf_of_code = np.array([idf_map[t] for t in term_enc.dictionary.to_pylist()])
+
+            # ONE decode call per column for the whole batch
+            g = _flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
+            t = _flat_decode(col["tfs"], n_rows).astype(np.float64)
+            l = _flat_decode(col["dls"], n_rows).astype(np.float64)
+            starts = np.zeros(n_rows, dtype=np.int64)
+            starts[1:] = np.cumsum(n_docs[:-1])
+            # docIDs: gap cumsum with a reset at each block start (first
+            # value of each block is absolute)
+            csum = np.cumsum(g)
+            corr = np.zeros(n_rows, dtype=np.int64)
+            corr[1:] = csum[starts[1:] - 1]
+            d_abs = csum - np.repeat(corr, n_docs)
+
+            tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
+            score = np.repeat(idf_of_code[t_codes], n_docs) * tfn
+            local = d_abs - np.repeat(bucket, n_docs) * docs_per_bucket
+
+            # bucket segments at the POSTING level (rows sorted by bucket)
+            b_change = np.ones(n_rows, dtype=bool)
+            b_change[1:] = bucket[1:] != bucket[:-1]
+            seg_rows = np.flatnonzero(b_change)
+            seg_starts = starts[seg_rows]
+            seg_ends = np.append(seg_starts[1:], len(d_abs))
+            for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
+                bkt = int(bucket[seg_rows[si]])
+                if bkt != cur_bucket:
+                    flush()
+                    cur_bucket = bkt
+                    acc = np.zeros(docs_per_bucket, dtype=np.float64)
+                acc += np.bincount(local[s:e], weights=score[s:e],
+                                   minlength=docs_per_bucket)
+        flush()
+        if out_d:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_d), type=pa.int64()),
+                 pa.array(np.concatenate(out_s), type=pa.float64())],
+                names=["docID", "score"])
+
+    return kernel
+
+
 class QueryEngine:
     def __init__(self, index: Index, cache_tables: bool = True):
         self.index = index
@@ -141,6 +241,7 @@ class QueryEngine:
             self._dictionary = self._dictionary.cache()
             self._doc_map = self._doc_map.cache()
         self._cached: list = []  # per-query caches, released on the next query
+        self._term_cache: dict = {}  # term -> dictionary row (None = absent)
 
     def _cache(self, df: DataFrame) -> DataFrame:
         for old in self._cached:
@@ -163,8 +264,19 @@ class QueryEngine:
             lambda it: _decode_iter(it, with_positions), schema=schema)
 
     def term_stats(self, terms) -> dict:
-        rows = self._dictionary.filter(F.col("term").isin(sorted(set(terms)))).collect()
-        return {r["term"]: r.asDict() for r in rows}
+        """Dictionary rows for a term set, with a driver-side per-term
+        cache (a dictionary-client cache: terms repeat heavily across an
+        interactive query stream; absent terms are cached too). The
+        underlying dictionary is immutable for the life of this engine."""
+        terms = sorted(set(terms))
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = self._dictionary.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: r.asDict() for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {t: self._term_cache[t] for t in terms
+                if self._term_cache[t] is not None}
 
     def _names(self, doc_ids: DataFrame) -> DataFrame:
         """docID set -> sorted file names (QueryProcessor.java:95-98:
@@ -389,15 +501,29 @@ class QueryEngine:
         n = self.stats["n_docs"]
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
-    def _score_col(self, idf_map: dict) -> F.Column:
-        """JVM-side BM25 partial score for a decoded posting row."""
-        k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"] or 1.0
-        idf = F.element_at(
-            F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
-            F.col("term"))
-        tf = F.col("tf").cast("double")
-        norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
-        return (idf * norm).alias("partial")
+    def _score_blocks(self, blocks: DataFrame, idf_map: dict, k: int) -> DataFrame:
+        """Compressed blocks -> exact per-bucket BM25 top-k (docID, score).
+
+        The shuffle key is the docID BUCKET and the payload is compressed
+        blocks — decode, scoring, aggregation and the first top-k cut all
+        happen inside one Arrow kernel (see _make_bm25_kernel). The
+        repartition carries no explicit partition count so AQE coalesces
+        the (tiny) block exchange."""
+        st = self.stats
+        kernel = _make_bm25_kernel(idf_map, float(st["k1"]), float(st["b"]),
+                                   float(st["avgdl"]) or 1.0,
+                                   int(st["docs_per_bucket"]), k)
+        # EXPLICIT partition count: the compressed-block exchange is tiny
+        # in bytes but CPU-heavy per row, so AQE's size-based coalescing
+        # would collapse it onto one core. One bucket = one docID range =
+        # one unit of kernel work; 2x over-partitioning smooths hash
+        # collisions among bucket keys.
+        n_buckets = max(1, -(-int(self.stats["n_docs"]) // int(st["docs_per_bucket"])))
+        n = max(1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                       2 * n_buckets))
+        slim = blocks.select("term", "bucket", "n_docs", "doc_gaps", "tfs", "dls")
+        return (slim.repartition(n, "bucket").sortWithinPartitions("bucket")
+                .mapInArrow(kernel, schema="docID long, score double"))
 
     def bm25(self, query: str, k: int = 10, wand: bool = True,
              wand_gate_blocks: int = 16384) -> DataFrame:
@@ -410,22 +536,22 @@ class QueryEngine:
             return self._empty_scores()
         idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
         # cost gate: pruning pays off only when there is enough to skip —
-        # the threshold-estimation phase costs ~3 extra (small) jobs; at a
-        # measured ~1M postings/sec/core decode rate it beats decoding
-        # everything only past ~16k candidate blocks (~2M postings).
-        # Dictionary stats are already in hand, so the gate is free.
+        # the threshold-estimation phase costs ~2 extra (small) jobs, and
+        # the θ0 seed decodes one full bucket (1/n_buckets of the
+        # candidate postings), so with few buckets the seed approaches the
+        # cost of just scoring everything. Dictionary stats are already in
+        # hand, so the gate is free. At the 10^12-doc design point
+        # n_buckets ~ 1.5e7 and the gate is always open.
         total_blocks = sum(int(stats[t]["n_blocks"]) for t in terms)
-        if wand and total_blocks >= wand_gate_blocks:
+        n_buckets = max(1, -(-int(self.stats["n_docs"])
+                             // int(self.stats["docs_per_bucket"])))
+        if wand and total_blocks >= wand_gate_blocks \
+                and (n_buckets >= self.WAND_MIN_BUCKETS or wand_gate_blocks <= 0):
             candidates = self._wand_candidate_blocks(terms, idf_map, k, stats)
         else:
             candidates = self.blocks_for(terms)
-        decoded = candidates.mapInArrow(
-            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
-        scores = (
-            decoded.select("docID", self._score_col(idf_map))
-            .groupBy("docID").agg(F.sum("partial").alias("score"))
-            .orderBy(F.desc("score"), F.asc("docID")).limit(k)
-        )
+        scores = (self._score_blocks(candidates, idf_map, k)
+                  .orderBy(F.desc("score"), F.asc("docID")).limit(k))
         name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)
@@ -439,6 +565,9 @@ class QueryEngine:
     # e.g. a head term over a 10^12-doc index spans ~1.5e7 buckets — the
     # same math runs as a distributed aggregation over the bucket_max table
     WAND_DRIVER_SLICE_ROWS = 65536
+    # below this many docID buckets the θ0 seed job costs a significant
+    # fraction of full scoring — skip pruning (see bm25's cost gate)
+    WAND_MIN_BUCKETS = 64
 
     def _wand_inflation(self) -> float:
         # stored bounds were computed with the avgdl at encode time; after
@@ -454,10 +583,7 @@ class QueryEngine:
         """Exact kth score inside one docID bucket (a small decode job) —
         a valid WAND threshold because its k docs' scores are REAL."""
         seed_blocks = blocks.filter(F.col("bucket") == best_bucket)
-        seed = seed_blocks.mapInArrow(
-            lambda it: _decode_iter(it, False), schema=_DECODED_SCHEMA)
-        seed_scores = (seed.select("docID", self._score_col(idf_map))
-                       .groupBy("docID").agg(F.sum("partial").alias("score"))
+        seed_scores = (self._score_blocks(seed_blocks, idf_map, k)
                        .orderBy(F.desc("score")).limit(k).collect())
         if len(seed_scores) < k:
             return None  # not enough docs for a safe threshold

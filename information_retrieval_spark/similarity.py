@@ -7,16 +7,16 @@
   broadcast crossJoin + per-query window top-k (baseline; quadratic).
 - `lsh_bucket_topk`    — the scale path: random-hyperplane LSH. Each
   vector gets a `nbits`-bit signature (deterministic seeded planes,
-  computed by a vectorized pandas UDF); candidates = rows sharing a
-  signature bucket (optionally with multi-probe neighbors), then exact
-  cosine re-rank inside buckets only. At 10^12 rows the bucket join
-  replaces the full cross product.
+  evaluated as a JVM-side SQL expression — bit-reproducible across
+  Spark / DuckDB / Python, see signature_expr); candidates = rows
+  within Hamming distance 1 of the query's bucket, then exact cosine
+  re-rank inside candidates only. At 10^12 rows the persisted
+  `build_signatures` table replaces per-query signature computation.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,34 +73,90 @@ def _planes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((nbits, dim)).astype(np.float64)
 
 
-def signature_udf(dim: int, nbits: int = 16, seed: int = 42):
+# --- bit-reproducible random-hyperplane signatures -------------------------
+# The sign of a near-zero dot product depends on floating-point summation
+# ORDER, so the signature is defined as an EXPLICIT left-associated chain
+# of double multiply-adds: `(v[0]*p0 + v[1]*p1 + ...) > 0`. Spark SQL,
+# DuckDB SQL and the pure-Python fold below all execute that exact IEEE-754
+# operation sequence on the exact same doubles (float32 inputs widen
+# exactly; plane literals are repr() round-trips), so all three engines
+# produce the SAME signature for the same vector — which is what lets the
+# approximate ANN operator have an exact DuckDB oracle.
+
+def _dot_chain(plane, vec_col: str, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    cast = "::DOUBLE" if one_based else ""
+    if one_based:  # DuckDB dialect
+        terms = [f"{vec_col}[{i + off}]{cast} * {float(p)!r}" for i, p in enumerate(plane)]
+    else:          # Spark dialect ([] is 0-based; elements are float)
+        terms = [f"CAST({vec_col}[{i}] AS DOUBLE) * {float(p)!r}" for i, p in enumerate(plane)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def signature_expr(planes, vec_col: str = "embedding",
+                   dialect: str = "spark") -> str:
+    """SQL expression (Spark or DuckDB dialect) for the nbits-bit
+    signature of a vector column under the given hyperplanes."""
+    one_based = dialect == "duckdb"
+    bits = [
+        f"(CASE WHEN {_dot_chain(plane, vec_col, one_based)} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    ]
+    return "CAST(" + (" + ".join(bits)) + " AS BIGINT)"
+
+
+def signature_of(vec, planes) -> int:
+    """Pure-Python signature — the same left-to-right double fold as the
+    SQL chains, so it agrees bit-for-bit with both engines."""
+    sig = 0
+    for b, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(vec, plane):
+            acc = acc + float(x) * float(p)
+        if acc > 0:
+            sig |= 1 << b
+    return sig
+
+
+def build_signatures(df: DataFrame, nbits: int = 8, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, sig): the build-time ANN signature table. Persist sorted by
+    sig (`repartitionByRange('sig').sortWithinPartitions('sig')`) so a
+    query's bucket probe prunes parquet row groups instead of scanning —
+    at 10^12 rows signatures must be indexed once, never recomputed per
+    query. All JVM-side codegen (no Python)."""
+    dim = len(df.select(vec_col).first()[0])
     planes = _planes(dim, nbits, seed)
-    weights = (1 << np.arange(nbits)).astype(np.int64)
-
-    @F.pandas_udf("long")
-    def _sig(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int64")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes.T) > 0
-        return pd.Series(bits @ weights)
-
-    return _sig
+    return df.select(F.col(id_col).alias("id"),
+                     F.expr(signature_expr(planes, vec_col)).alias("sig"))
 
 
 def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, seed: int = 42,
-                    round_to: int = 6) -> DataFrame:
+                    round_to: int = 6,
+                    signatures: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k: exact re-rank restricted to the rows
     whose LSH signature is within Hamming distance 1 of the query's
-    (multi-probe). Recall < 1 by design; the brute-force operator is
-    the truth baseline."""
+    (multi-probe). Recall < 1 by design but fully DETERMINISTIC (see
+    signature_expr), so it admits an exact cross-engine oracle.
+
+    `signatures`: a persisted build_signatures table — the scale path.
+    Without it the signature expression is evaluated inline over the
+    corpus (one scan), which is the correct shape for a one-off query
+    but recomputes per query; a standing deployment persists the table
+    once (tests/test_ops.py exercises both paths)."""
     q = np.asarray(query_vec, dtype=np.float64)
     planes = _planes(len(q), nbits, seed)
-    qsig = int(((planes @ q) > 0) @ (1 << np.arange(nbits)).astype(np.int64))
+    qsig = signature_of(q, planes)
     probe = [qsig] + [qsig ^ (1 << b) for b in range(nbits)]
-    sig = signature_udf(len(q), nbits, seed)
-    bucketed = df.withColumn("__sig", sig(F.col(vec_col)))
-    cand = bucketed.filter(F.col("__sig").isin(probe))
+    if signatures is not None:
+        cand_ids = (signatures.filter(F.col("sig").isin(probe))
+                    .select(F.col("id").alias(id_col)))
+        cand = df.join(cand_ids, id_col)
+    else:
+        sig = F.expr(signature_expr(planes, vec_col))
+        cand = df.withColumn("__sig", sig).filter(F.col("__sig").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)

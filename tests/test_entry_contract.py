@@ -74,5 +74,6 @@ def test_every_query_has_oracle_or_reason():
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # only approximate ops may omit the oracle
-    assert qs - os_ == {"ann_lsh_topk"}
+    # every operator is oracle-checked — including the approximate ANN
+    # ops, whose LSH signatures are bit-reproducible across engines
+    assert qs - os_ == set()

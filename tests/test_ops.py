@@ -228,6 +228,49 @@ def test_lsh_bucket_topk_recall(emb_df):
     assert len(set(approx) & set(exact)) >= 2
 
 
+def test_signature_bit_identical_across_engines(emb_df, spark):
+    # Spark SQL expr == DuckDB SQL == pure-Python fold, bit for bit —
+    # the property that lets the approximate ANN op have an exact oracle
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.similarity import (
+        _planes,
+        signature_expr,
+        signature_of,
+    )
+    df, vecs = emb_df
+    planes = _planes(len(vecs[0]), nbits=8, seed=42)
+    got_spark = {r["id"]: r["sig"] for r in df.select(
+        F.col("vec_id").alias("id"),
+        F.expr(signature_expr(planes, "embedding")).alias("sig")).collect()}
+    con = duckdb.connect()
+    expr = signature_expr(planes, "v", dialect="duckdb")
+    for i, v in enumerate(vecs):
+        want_py = signature_of(v, planes)
+        got_duck = con.execute(
+            f"select {expr} from (select ?::FLOAT[] as v)",
+            [[float(x) for x in v]]).fetchone()[0]
+        assert got_spark[i] == want_py == got_duck, i
+
+
+def test_lsh_persisted_signatures_path(emb_df, spark, tmp_path):
+    # build-time signature table -> identical results to the inline path
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    sig_dir = str(tmp_path / "sigs")
+    (similarity.build_signatures(df, nbits=4, seed=42)
+     .repartitionByRange(2, "sig").sortWithinPartitions("sig")
+     .write.mode("overwrite").parquet(sig_dir))
+    sigs = spark.read.parquet(sig_dir)
+    inline = [(r["id"], r["cos"]) for r in
+              similarity.lsh_bucket_topk(df, q, k=5, nbits=4).collect()]
+    persisted = [(r["id"], r["cos"]) for r in
+                 similarity.lsh_bucket_topk(df, q, k=5, nbits=4,
+                                            signatures=sigs).collect()]
+    assert inline == persisted
+
+
 # --- multimodal ---------------------------------------------------------
 
 @pytest.fixture(scope="module")

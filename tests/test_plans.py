@@ -56,9 +56,13 @@ def test_joker_oversized_match_set_uses_join(synth_engine, monkeypatch):
     assert via_join == via_isin and via_join
 
 
-def test_bm25_aggregation_is_jvm_side(synth_engine):
-    # the scoring expression must be whole-stage-codegen'd columns, not a UDF
+def test_bm25_shuffles_blocks_not_postings(synth_engine):
+    # scoring shuffles COMPRESSED BLOCKS keyed by docID bucket and fuses
+    # decode+score+topk in one Arrow kernel: the exchange must be on
+    # `bucket`, the binary columns must reach the kernel un-exploded, and
+    # no row-at-a-time Python may appear anywhere
     df = synth_engine.bm25("sym0 sym1", k=5, wand=False)
     plan = _plan(df)
-    assert "HashAggregate" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert "hashpartitioning(bucket" in plan, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
