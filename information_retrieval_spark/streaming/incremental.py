@@ -8,8 +8,26 @@ to the live index with `foreachBatch`:
   new docs -> docIDs appended after the current N (arrival order, the
   streaming analogue of the reference's walk-order ids,
   IndexService.java:176) -> Arrow SPIMI kernel -> delta posting blocks
-  appended to `postings` -> `dictionary` re-aggregated from block
-  metadata (cheap: blocks, not postings) -> `stats` updated.
+  appended to `postings` -> `dictionary` / `bucket_max` DELTA-MERGED
+  (aggregate only the batch's blocks, full-outer-join into the previous
+  version — O(delta) aggregation, never a re-scan of all block
+  metadata) -> `stats` updated.
+
+Idempotency & crash recovery (plain-parquet mode; an Iceberg deployment
+replaces all of this with one transactional commit):
+
+  - `applied/<batch_id>.done` markers make a replayed batch a NO-OP.
+  - Each batch stages its deltas under `tmp_batch_<id>/` with a
+    `meta.json` holding the PRE-batch stats (docID base, totals) and a
+    hardlink SNAPSHOT of dictionary/bucket_max — so a retry after a
+    partial failure recomputes from the same inputs, byte-identically,
+    regardless of which live tables the failed attempt already touched.
+  - Appends into live tables use DETERMINISTIC file names
+    (`batch<id>_<i>.parquet`); a retry first removes that batch's files
+    and re-links, so partial appends never double-count.
+  - The marker is written last. Tested: the same batch applied twice
+    (and a replay after a simulated partial failure) yields an
+    identical index (tests/test_streaming.py).
 
 BM25 correctness under growth: query-time scores are always computed
 from current tf/dl/avgdl/df, so they stay EXACT. Only the stored
@@ -17,16 +35,15 @@ block-max WAND bounds age: they were computed with the avgdl at encode
 time, and tfnorm grows with avgdl. `stats.avgdl_enc_min` tracks the
 smallest avgdl any live block was encoded under; the query engine
 inflates stored bounds by max(1, avgdl_now / avgdl_enc_min), which is a
-sound upper bound (for avgdl_now >= enc: tfnorm_now <= tfnorm_enc *
-avgdl_now/enc), so pruning remains exact-safe.
-
-Checkpointing/exactly-once is delegated to Structured Streaming's
-`checkpointLocation`; the per-batch appends are idempotent per batch_id
-only to the extent parquet appends are — a production deployment would
-write through Iceberg transactions (io.TableStore.use_iceberg).
+sound upper bound, so pruning remains exact-safe.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +60,15 @@ from ..corpus import DOCUMENTS_SCHEMA, with_sha256
 from ..io import TableStore
 
 
+def _link_dir_snapshot(src: str, dst: str) -> None:
+    """Hardlink-copy a parquet table dir (metadata-only cost)."""
+    os.makedirs(dst, exist_ok=True)
+    for fp in glob.glob(os.path.join(src, "*")):
+        tgt = os.path.join(dst, os.path.basename(fp))
+        if not os.path.exists(tgt):
+            os.link(fp, tgt)
+
+
 class IncrementalIndexer:
     def __init__(self, spark: SparkSession, index_dir: str,
                  config: IndexConfig | None = None):
@@ -50,65 +76,172 @@ class IncrementalIndexer:
         self.config = config or IndexConfig()
         self.store = TableStore(spark, index_dir)
 
-    # -- one micro-batch -------------------------------------------------
-    def append_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
-        stats = self.store.read("stats").collect()[0].asDict()
-        n_before = int(stats["n_docs"])
-        avgdl_now = float(stats["avgdl"]) or 1.0
+    # -- batch bookkeeping -------------------------------------------------
+    def _marker(self, batch_id: int) -> str:
+        d = self.store.path("applied")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{batch_id}.done")
 
+    def _stage_dir(self, batch_id: int, *parts: str) -> str:
+        return os.path.join(self.store.path(f"tmp_batch_{batch_id}"), *parts)
+
+    def _append_files(self, staged: str, table: str, batch_id: int) -> None:
+        """Move staged parquet files into the live table under
+        deterministic names; removes this batch's files first so a retry
+        never double-appends."""
+        live = self.store.path(table)
+        for old in glob.glob(os.path.join(live, f"batch{batch_id}_*.parquet")):
+            os.remove(old)
+        files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+        for i, fp in enumerate(files):
+            tgt = os.path.join(live, f"batch{batch_id}_{i:05d}.parquet")
+            os.link(fp, tgt)
+
+    # -- one micro-batch -------------------------------------------------
+    def append_batch(self, batch_df: DataFrame, batch_id: int = 0,
+                     _fail_after: str | None = None) -> None:
+        """Apply one micro-batch. `_fail_after` is a TEST-ONLY crash
+        injection point ('links' | 'merges' | 'stats') used to prove
+        retry convergence after partial failures."""
+        if os.path.exists(self._marker(batch_id)):
+            return  # replayed batch (foreachBatch retry): NO-OP
+
+        def crash_point(name):
+            if _fail_after == name:
+                raise RuntimeError(f"injected crash after {name}")
+
+        # -- stage 0: pin pre-batch state (idempotent across retries) ----
+        meta_path = self._stage_dir(batch_id, "meta.json")
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+        else:
+            os.makedirs(self._stage_dir(batch_id), exist_ok=True)
+            _link_dir_snapshot(self.store.path("dictionary"),
+                               self._stage_dir(batch_id, "dict_snapshot"))
+            _link_dir_snapshot(self.store.path("bucket_max"),
+                               self._stage_dir(batch_id, "bmax_snapshot"))
+            stats = self.store.read("stats").collect()[0].asDict()
+            meta = {"n_before": int(stats["n_docs"]),
+                    "total_len_before": int(stats["total_len"]),
+                    "avgdl_now": float(stats["avgdl"]) or 1.0,
+                    "avgdl_enc_min": float(stats.get("avgdl_enc_min")
+                                           or (float(stats["avgdl"]) or 1.0))}
+            tmp = meta_path + ".tmp"
+            json.dump(meta, open(tmp, "w"))
+            os.rename(tmp, meta_path)
+        n_before = meta["n_before"]
+
+        # -- stage 1: deterministic deltas (overwrite -> retry-safe) -----
         batch = with_sha256(batch_df).orderBy("repo", "path").coalesce(1)
         from pyspark.sql import Window
         w = Window.orderBy("repo", "path")  # micro-batches are small
         doc_map_delta = batch.select(
             (F.row_number().over(w).cast("long") - 1 + F.lit(n_before)).alias("docID"),
             "repo", "path", "commit", "lang", "sha256")
-        self.store.write(doc_map_delta, "doc_map", mode="append")
+        doc_map_delta.write.mode("overwrite").parquet(
+            self._stage_dir(batch_id, "doc_map"))
+        doc_map_delta = self.spark.read.parquet(self._stage_dir(batch_id, "doc_map"))
 
         docs_with_id = batch.join(doc_map_delta.select("docID", "repo", "path"),
                                   ["repo", "path"])
         partials = docs_with_id.select("docID", "content").mapInArrow(
             _spimi_invert_arrow, schema=PARTIALS_SCHEMA)
-        n = 4
         cfg = self.config
-        encode = _make_block_encoder(cfg, avgdl_now)
+        encode = _make_block_encoder(cfg, meta["avgdl_now"])
         enc = (partials
                .withColumn("bucket", (F.col("docID") / F.lit(cfg.docs_per_bucket)).cast("long"))
-               .repartition(n, "term", "bucket")
+               .repartition(4, "term", "bucket")
                .sortWithinPartitions("term", "bucket", "docID")
                .mapInArrow(encode, schema=POSTINGS_SCHEMA))
-        self.store.write(enc, "postings", mode="append")
+        enc.write.mode("overwrite").parquet(self._stage_dir(batch_id, "postings"))
+        post_delta = self.spark.read.parquet(self._stage_dir(batch_id, "postings"))
 
         # doc_len semantics match the batch build: rows only for docs with
         # >=1 kept term (absent row == dl 0)
         dl_delta = partials.groupBy("docID").agg(F.max("dl").alias("dl"))
-        self.store.write(dl_delta, "doc_len", mode="append")
+        dl_delta.write.mode("overwrite").parquet(self._stage_dir(batch_id, "doc_len"))
 
-        # dictionary: re-aggregate from block METADATA (never the postings)
-        postings = self.store.read("postings")
-        dictionary = (
-            postings.groupBy("term")
-            .agg(F.sum("n_docs").alias("df"), F.sum("cf").alias("cf"),
-                 F.count("*").alias("n_blocks"),
-                 F.max("block_max_wand").alias("max_block_wand"))
-            .withColumn("rterm", F.reverse(F.col("term")))
-            .select("term", "rterm", "df", "cf", "n_blocks", "max_block_wand"))
-        self.store.write(dictionary, "tmp_dictionary_new")
-        self.store.drop("dictionary")
-        import os
-        os.rename(self.store.path("tmp_dictionary_new"), self.store.path("dictionary"))
+        # -- stage 2: link deltas into the live tables -------------------
+        for table in ("doc_map", "postings", "doc_len"):
+            self._append_files(self._stage_dir(batch_id, table), table, batch_id)
+        crash_point("links")
 
-        n_new = n_before + doc_map_delta.count()
-        batch_len = int(dl_delta.agg(F.sum("dl")).collect()[0][0] or 0)
-        total_len = int(stats["total_len"]) + batch_len
+        # -- stage 3: O(delta) metadata merges (from the SNAPSHOTS, so a
+        # retry that already swapped the live versions stays correct) ----
+        bmax_delta = (post_delta.groupBy("term", "bucket")
+                      .agg(F.max("block_max_wand").alias("tmax"),
+                           F.count("*").alias("n_blocks")))
+        old_bmax = self.spark.read.parquet(self._stage_dir(batch_id, "bmax_snapshot"))
+        merged_bmax = (
+            old_bmax.select("term", "bucket", F.col("tmax").alias("t0"),
+                            F.col("n_blocks").alias("b0"))
+            .join(bmax_delta.select("term", "bucket", F.col("tmax").alias("t1"),
+                                    F.col("n_blocks").alias("b1")),
+                  ["term", "bucket"], "full_outer")
+            .select("term", "bucket",
+                    F.greatest(F.col("t0"), F.col("t1")).alias("tmax"),
+                    (F.coalesce(F.col("b0"), F.lit(0))
+                     + F.coalesce(F.col("b1"), F.lit(0))).alias("n_blocks")))
+        self.store.write(merged_bmax, "tmp_bucket_max_new")
+        self._swap("bucket_max", "tmp_bucket_max_new")
+
+        dict_delta = (post_delta.groupBy("term")
+                      .agg(F.sum("n_docs").alias("df1"), F.sum("cf").alias("cf1"),
+                           F.count("*").alias("nb1"),
+                           F.max("block_max_wand").alias("mw1"),
+                           F.countDistinct("bucket").alias("nbk1")))
+        old_dict = self.spark.read.parquet(self._stage_dir(batch_id, "dict_snapshot"))
+        merged_dict = (
+            old_dict.select("term", "df", "cf", "n_blocks", "n_buckets",
+                            "max_block_wand")
+            .join(dict_delta, ["term"], "full_outer")
+            .select(
+                "term",
+                F.reverse(F.col("term")).alias("rterm"),
+                (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df1"), F.lit(0))).alias("df"),
+                (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("cf1"), F.lit(0))).alias("cf"),
+                (F.coalesce(F.col("n_blocks"), F.lit(0)) + F.coalesce(F.col("nb1"), F.lit(0))).alias("n_blocks"),
+                # n_buckets: an upper-bound merge (a delta bucket may also
+                # exist in the base). Only used by the WAND driver-slice
+                # size gate, where an overestimate is safe (falls back to
+                # the distributed path earlier, never prunes wrongly).
+                (F.coalesce(F.col("n_buckets"), F.lit(0)) + F.coalesce(F.col("nbk1"), F.lit(0))).alias("n_buckets"),
+                F.greatest(F.col("max_block_wand"), F.col("mw1")).alias("max_block_wand"))
+            .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
+                    "max_block_wand"))
+        self.store.write(merged_dict, "tmp_dictionary_new")
+        self._swap("dictionary", "tmp_dictionary_new")
+        d_r = (self.store.read("dictionary").select("rterm", "term", "df")
+               .repartitionByRange(4, "rterm").sortWithinPartitions("rterm"))
+        self.store.write(d_r, "tmp_dictionary_r_new")
+        self._swap("dictionary_r", "tmp_dictionary_r_new")
+        crash_point("merges")
+
+        # -- stage 4: stats (from meta + the staged delta, deterministic)
+        n_delta = doc_map_delta.count()
+        batch_len = int(self.spark.read.parquet(self._stage_dir(batch_id, "doc_len"))
+                        .agg(F.sum("dl")).collect()[0][0] or 0)
+        n_new = n_before + n_delta
+        total_len = meta["total_len_before"] + batch_len
         new_stats = self.spark.createDataFrame(
             [(n_new, total_len, float(total_len / n_new) if n_new else 0.0,
               cfg.k1, cfg.b, cfg.docs_per_block, cfg.docs_per_bucket,
-              min(float(stats.get("avgdl_enc_min") or avgdl_now), avgdl_now))],
+              min(meta["avgdl_enc_min"], meta["avgdl_now"]))],
             "n_docs long, total_len long, avgdl double, k1 double, b double, "
             "docs_per_block int, docs_per_bucket long, avgdl_enc_min double")
         self.store.write(new_stats, "tmp_stats_new")
-        self.store.drop("stats")
-        os.rename(self.store.path("tmp_stats_new"), self.store.path("stats"))
+        self._swap("stats", "tmp_stats_new")
+        crash_point("stats")
+
+        # -- stage 5: commit marker + cleanup -----------------------------
+        tmp = self._marker(batch_id) + ".tmp"
+        open(tmp, "w").write("done")
+        os.rename(tmp, self._marker(batch_id))
+        shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
+
+    def _swap(self, live: str, staged: str) -> None:
+        self.store.drop(live)
+        os.rename(self.store.path(staged), self.store.path(live))
 
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,

@@ -57,6 +57,66 @@ def test_incremental_append_matches_full_rebuild(spark, work_dir):
         == ["test7.txt"]
 
 
+def _index_signature(idx):
+    post = sorted(
+        (r["term"], r["block_id"], r["n_docs"], r["doc_gaps"], r["tfs"])
+        for r in idx.table("postings").collect())
+    dicts = sorted((r["term"], r["df"], r["cf"], r["n_blocks"])
+                   for r in idx.table("dictionary").collect())
+    n = idx.table("doc_map").count()
+    stats = idx.table("stats").collect()[0].asDict()
+    return post, dicts, n, stats
+
+
+def test_append_batch_replay_is_noop(spark, work_dir):
+    # foreachBatch retries replay a COMMITTED batch_id: must be a no-op
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/replay_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+    inc.append_batch(delta, batch_id=7)
+    sig1 = _index_signature(inc.index())
+    inc.append_batch(delta, batch_id=7)  # replay
+    assert _index_signature(inc.index()) == sig1
+
+
+import pytest
+
+
+@pytest.mark.parametrize("crash_after", ["links", "merges", "stats"])
+def test_append_batch_retry_after_partial_failure(spark, work_dir, crash_after):
+    # crash AFTER the live tables were touched but BEFORE the commit
+    # marker: re-running the batch must converge to the same index as a
+    # clean single apply (deterministic staged deltas pinned by meta.json,
+    # per-batch file names, dictionary/bucket_max snapshots)
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/retry_idx_{crash_after}"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    # the reference result: a clean apply on an identical twin index
+    ref_dir = f"{work_dir}/retry_ref_{crash_after}"
+    IndexBuilder(spark, ref_dir, cfg).build(fixture_docs(spark), resume=False)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+    ref = IncrementalIndexer(spark, ref_dir, cfg)
+    ref.append_batch(delta, batch_id=3)
+    want_sig = _index_signature(ref.index())
+
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.append_batch(delta, batch_id=3, _fail_after=crash_after)
+    inc.append_batch(delta, batch_id=3)  # the retry
+    assert _index_signature(inc.index()) == want_sig
+    # and queries still exact vs the oracle
+    qe = QueryEngine(inc.index())
+    rows = fixture_docs(spark).collect()
+    oracle = OracleIndex(
+        [(r["repo"], r["path"], r["content"]) for r in rows]
+        + [(r, p, c) for r, p, _, _, c in NEW_DOCS])
+    got = qe.bm25("fell already", k=10, wand=False).collect()
+    want = oracle.bm25("fell already", k=10)
+    assert [r["name"] for r in got] == [n for _, _, n in want]
+
+
 def test_stream_from_directory(spark, work_dir):
     import os
     cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
