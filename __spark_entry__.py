@@ -139,6 +139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")))
     q["doc_lengths"] = doc_lengths
 
+    def term_ordinals(spark, sf):
+        # Q16 getTermDictPos (IndexBody.java:86-88): ordinal of each term
+        # in the sorted dictionary, precomputed at build time
+        d = _engine(spark, sf).index.table("dictionary")
+        return d.select("term", F.col("term_ord").cast("long").alias("term_ord"))
+    q["term_ordinals"] = term_ordinals
+
     # ---- dictionary range scans (Q3 prefix / Q4 suffix via rterm) ----
     def dict_prefix_terms(spark, sf):
         d = _engine(spark, sf).index.table("dictionary")
@@ -300,6 +307,14 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKS}, {_EX}
         SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
         FROM ex GROUP BY term
+    """
+
+    o["term_ordinals"] = f"""
+        WITH {_TOKS}, {_EX},
+        terms AS (SELECT DISTINCT term FROM ex)
+        SELECT term,
+               (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_ord
+        FROM terms
     """
 
     o["doc_lengths"] = f"""

@@ -330,7 +330,90 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
 
 
 # bump when the on-disk table layout changes (consumers key cache dirs on it)
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
+
+
+def _number_partitions(batches):
+    """mapInArrow: pass all columns through + (pid, local_idx) — the
+    partition-local row number used by the two-phase global-rank trick
+    (docID assignment, dictionary term ordinals)."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+    pid = TaskContext.get().partitionId()
+    local = 0
+    for rb in batches:
+        idx = pa.array(np.arange(local, local + rb.num_rows, dtype=np.int64))
+        local += rb.num_rows
+        cols = [rb.column(i) for i in range(rb.num_columns)]
+        yield pa.RecordBatch.from_arrays(
+            cols + [pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
+            names=rb.schema.names + ["pid", "local_idx"])
+
+
+def _schema_plus(df, extra: str) -> str:
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+    return f"{base}, {extra}"
+
+
+def pid_counts_from_footers(store: "TableStore", name: str) -> dict | None:
+    """Per-pid row counts from parquet footer statistics (each written
+    file holds exactly one pid, so min==max in every row group) — a
+    metadata read instead of a full counting job. Returns None if the
+    stats don't confirm one-pid-per-file (caller falls back to a job)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    counts: dict = {}
+    files = glob.glob(os.path.join(store.path(name), "*.parquet"))
+    if not files:
+        return None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        pid_idx = md.schema.to_arrow_schema().get_field_index("pid")
+        file_pid = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(pid_idx).statistics
+            if st is None or not st.has_min_max or st.min != st.max:
+                return None
+            if file_pid is None:
+                file_pid = st.min
+            elif file_pid != st.min:
+                return None
+        if file_pid is None:
+            continue  # empty file
+        counts[int(file_pid)] = counts.get(int(file_pid), 0) + md.num_rows
+    return counts
+
+
+def with_global_ordinals(spark: SparkSession, store: "TableStore",
+                         df: DataFrame, sort_cols: list, ord_name: str,
+                         staging: str, n_partitions: int) -> DataFrame:
+    """Global rank of `sort_cols` WITHOUT a global sort: range-partition,
+    sort within partitions, number rows per partition ONCE (materialized
+    to `staging` — range boundaries are not stable across actions),
+    exclusive-prefix-sum the partition counts, add the offset. The
+    broadcast offsets join preserves the range-sorted file order. Caller
+    writes the result and drops `staging`."""
+    d = (df.repartitionByRange(n_partitions, *sort_cols)
+         .sortWithinPartitions(*sort_cols))
+    numbered = d.mapInArrow(
+        _number_partitions, schema=_schema_plus(d, "pid int, local_idx long"))
+    store.write(numbered, staging)
+    numbered = store.read(staging)
+    counts = pid_counts_from_footers(store, staging) or {
+        r["pid"]: r["cnt"] for r in
+        numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
+    return (numbered.join(F.broadcast(offsets_df), "pid")
+            .withColumn(ord_name, F.col("offset") + F.col("local_idx"))
+            .drop("pid", "local_idx", "offset"))
 
 PARTIALS_SCHEMA = "term string, docID long, tf int, pos_bytes binary, dl int"
 
@@ -557,34 +640,7 @@ class IndexBuilder:
                    glob.glob(os.path.join(self.store.path(name), "*.parquet")))
 
     def _pid_counts_from_footers(self, name: str) -> dict | None:
-        """Per-pid row counts from parquet footer statistics (each written
-        file holds exactly one pid, so min==max in every row group) — a
-        metadata read instead of a full counting job. Returns None if the
-        stats don't confirm one-pid-per-file (caller falls back to a job)."""
-        import glob
-
-        import pyarrow.parquet as pq
-
-        counts: dict = {}
-        files = glob.glob(os.path.join(self.store.path(name), "*.parquet"))
-        if not files:
-            return None
-        for fp in files:
-            md = pq.ParquetFile(fp).metadata
-            pid_idx = md.schema.to_arrow_schema().get_field_index("pid")
-            file_pid = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(pid_idx).statistics
-                if st is None or not st.has_min_max or st.min != st.max:
-                    return None
-                if file_pid is None:
-                    file_pid = st.min
-                elif file_pid != st.min:
-                    return None
-            if file_pid is None:
-                continue  # empty file
-            counts[int(file_pid)] = counts.get(int(file_pid), 0) + md.num_rows
-        return counts
+        return pid_counts_from_footers(self.store, name)
 
     def _validate_doc_ids(self, n: int, agg) -> None:
         """Permutation invariant over the written doc_map: docIDs must be
@@ -748,9 +804,15 @@ class IndexBuilder:
             .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
                     "max_block_wand")
         )
-        n = self._n_partitions()
-        dictionary = dictionary.repartitionByRange(n, "term").sortWithinPartitions("term")
-        self.store.write(dictionary, "dictionary")
+        # term_ord: the term's ordinal in the sorted dictionary — the
+        # reference's getTermDictPos surface (IndexBody.java:86-88);
+        # assigned with the same no-global-sort two-phase rank trick as
+        # docIDs, and the final files stay term-sorted for pushdown.
+        final = with_global_ordinals(self.spark, self.store, dictionary,
+                                     ["term"], "term_ord", "tmp_dict_order",
+                                     self._n_partitions())
+        self.store.write(final, "dictionary")
+        self.store.drop("tmp_dict_order")
         self._record_lineage("dictionary", "dictionary")
 
     # -- stage 5b: reversed dictionary ------------------------------------

@@ -30,16 +30,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
+    """Relational-table persistence with two backends:
+
+    - parquet directories (sandbox default): `_SUCCESS` markers gate
+      stage completion for resumability.
+    - Iceberg (``use_iceberg=True``): tables live under
+      ``<catalog>.<namespace>.<name>``; commits are transactional, so
+      `_SUCCESS`-style markers are replaced by catalog existence. Needs
+      iceberg-spark-runtime on the classpath plus a catalog config, e.g.
+
+          spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
+          spark.sql.catalog.local.type = hadoop
+          spark.sql.catalog.local.warehouse = /path/to/warehouse
+
+      The sandbox ships no Iceberg jar; the writer/reader call contract
+      is pinned by tests/test_io_iceberg.py against mocks so the branch
+      cannot rot silently.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False,
+                 catalog: str = "local", namespace: str = "irs"):
         self.spark = spark
         self.root = root
         self.use_iceberg = use_iceberg  # flip when iceberg-spark-runtime is on the classpath
+        self.catalog = catalog
+        self.namespace = namespace
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
     def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self.ident(name))
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
@@ -51,21 +77,29 @@ class TableStore:
         for key, val in (options or {}).items():
             w = w.option(key, val)
         if self.use_iceberg:
-            w.format("iceberg").saveAsTable(name)
+            w.format("iceberg").saveAsTable(self.ident(name))
         else:
             w.parquet(self.path(name))
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
-            return self.spark.read.format("iceberg").table(name)
+            return self.spark.read.format("iceberg").table(self.ident(name))
         return self.spark.read.parquet(self.path(name))
 
     def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")
+            return
         p = self.path(name)
         if os.path.exists(p):
             shutil.rmtree(p)
 
     def drop_all(self) -> None:
+        if self.use_iceberg:
+            for name in ("doc_map", "partials", "doc_len", "stats", "postings",
+                         "bucket_max", "dictionary", "dictionary_r", "lineage"):
+                self.drop(name)
+            return
         if os.path.exists(self.root):
             shutil.rmtree(self.root)
         os.makedirs(self.root, exist_ok=True)

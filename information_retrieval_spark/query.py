@@ -278,6 +278,13 @@ class QueryEngine:
         return {t: self._term_cache[t] for t in terms
                 if self._term_cache[t] is not None}
 
+    def term_dict_pos(self, term: str) -> int:
+        """Ordinal of a term in the sorted dictionary, -1 if absent —
+        the reference's getTermDictPos (IndexBody.java:86-88); served
+        from the precomputed term_ord column."""
+        st = self.term_stats([term])
+        return int(st[term]["term_ord"]) if term in st else -1
+
     def _names(self, doc_ids: DataFrame) -> DataFrame:
         """docID set -> sorted file names (QueryProcessor.java:95-98:
         getDocName is the path's last component)."""

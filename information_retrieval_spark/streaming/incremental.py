@@ -55,6 +55,7 @@ from ..build import (
     IndexConfig,
     _make_block_encoder,
     _spimi_invert_arrow,
+    with_global_ordinals,
 )
 from ..corpus import DOCUMENTS_SCHEMA, with_sha256
 from ..io import TableStore
@@ -209,7 +210,12 @@ class IncrementalIndexer:
                 F.greatest(F.col("max_block_wand"), F.col("mw1")).alias("max_block_wand"))
             .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
                     "max_block_wand"))
+        # re-rank term ordinals over the merged vocabulary (Q16 surface)
+        merged_dict = with_global_ordinals(
+            self.spark, self.store, merged_dict, ["term"], "term_ord",
+            f"tmp_dict_order_b{batch_id}", 4)
         self.store.write(merged_dict, "tmp_dictionary_new")
+        self.store.drop(f"tmp_dict_order_b{batch_id}")
         self._swap("dictionary", "tmp_dictionary_new")
         d_r = (self.store.read("dictionary").select("rterm", "term", "df")
                .repartitionByRange(4, "rterm").sortWithinPartitions("rterm"))

@@ -52,6 +52,23 @@ def test_dictionary_df_cf(synth_index, synth_docs):
         assert d[t]["rterm"] == t[::-1]
 
 
+def test_term_ordinals(synth_index):
+    # Q16 getTermDictPos (IndexBody.java:86-88): term_ord is the exact
+    # rank of the term in the sorted dictionary
+    rows = synth_index.table("dictionary").select("term", "term_ord").collect()
+    by_term = sorted(r["term"] for r in rows)
+    want = {t: i for i, t in enumerate(by_term)}
+    assert {r["term"]: r["term_ord"] for r in rows} == want
+
+
+def test_term_dict_pos_api(synth_engine):
+    terms = sorted(r["term"] for r in
+                   synth_engine._dictionary.select("term").collect())
+    assert synth_engine.term_dict_pos(terms[0]) == 0
+    assert synth_engine.term_dict_pos(terms[-1]) == len(terms) - 1
+    assert synth_engine.term_dict_pos("zzz_not_a_term") == -1
+
+
 def test_block_structure(synth_index):
     cfg = synth_index.config
     rows = synth_index.table("postings").collect()
