@@ -32,11 +32,19 @@ table so the build is resumable (north_rule):
                        single-writer k-way merge, IndexService.java:290-419),
                        and bucket-major block ids keep docIDs globally
                        ascending per term.
-  stage 5  dictionary— term stats rollup from block metadata (df is summed
-                       from per-block doc counts — no docFr backpatch pass,
-                       cf. IndexService.java:397-407) + reversed-term
-                       column for suffix/joker lookups (IndexBody.java:142-162).
-  stage 6  lineage   — per-stage, per-partition row counts + merge fan-in.
+  stage 4.5 bucket_max — per-(term, docID-bucket) WAND bound rollup, so
+                       queries never re-aggregate block metadata.
+  stage 5  dictionary— term stats rollup (df summed from per-block doc
+                       counts — no docFr backpatch pass, cf.
+                       IndexService.java:397-407) + reversed-term column
+                       + term_ord global ordinal (Q16,
+                       IndexBody.java:86-88) via the same two-phase rank
+                       trick as docIDs.
+  stage 5b dictionary_r — the dictionary re-sorted by rterm (the
+                       reference's reversed vocabulary,
+                       IndexBody.java:142-162) for pruned suffix lookups.
+  stage 6  lineage   — per-stage, per-partition row counts + merge
+                       fan-in + per-stage wall_sec timing rows.
 """
 
 from __future__ import annotations
@@ -759,7 +767,7 @@ class IndexBuilder:
         # whole file is one row group and `term IN (...)` reads everything;
         # at ~1 MB a row group spans a narrow term slice of the sorted file.
         self.store.write(enc, "postings",
-                         options={"parquet.block.size": str(1 << 20)})
+                         options={"parquet.block.size": str(8 << 20)})
         self._record_lineage("postings", "postings",
                              detail=f"merge_fan_in={partials.rdd.getNumPartitions()}")
 

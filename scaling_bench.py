@@ -22,7 +22,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "600000"))
+N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "1000000"))
 AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
 # N vs 4N pair for the efficiency metric. 2 vs 8 keeps both levels below
 # this VM's memory-bandwidth ceiling (see BENCH/BASELINE.md: pure-CPU work
@@ -86,8 +86,10 @@ REPEATS = int(os.environ.get("IRS_SCALE_REPEATS", "3"))
 
 
 def run_level(cores: int) -> dict:
-    """Best-of-REPEATS (the sandbox host is noisy; min is the standard
-    noise-robust statistic for wall-clock benchmarks)."""
+    """MEDIAN of REPEATS runs (the sandbox host has ~2x run-to-run
+    wall-clock variance; the median is robust to a single outlier in
+    either direction and, unlike best-of, cannot cherry-pick a lucky
+    run — see VERDICT.md round 1 on bench-claim drift)."""
     cpu_list = f"0-{cores - 1}"
     env = dict(os.environ)
     env["IRS_SCALE_DOCS"] = str(N_DOCS)
@@ -108,10 +110,12 @@ def run_level(cores: int) -> dict:
         time.sleep(3)
     if not runs:
         raise RuntimeError(f"all attempts failed for level {cores}")
-    best = min(runs, key=lambda r: r["build_sec"])
-    best["build_sec_all"] = [r["build_sec"] for r in runs]
-    best["docs_per_sec"] = round(N_DOCS / best["build_sec"], 1)
-    return best
+    ordered = sorted(runs, key=lambda r: r["build_sec"])
+    med = dict(ordered[len(ordered) // 2])
+    med["build_sec_all"] = sorted(r["build_sec"] for r in runs)
+    med["bm25_p95_all"] = sorted(r["bm25_p95_sec"] for r in runs)
+    med["docs_per_sec"] = round(N_DOCS / med["build_sec"], 1)
+    return med
 
 
 def main() -> None:
@@ -141,15 +145,21 @@ def main() -> None:
             "pinned with `taskset` to exactly that many machine cores, so "
             "Python UDF workers cannot borrow cores beyond the level's "
             "budget — the honest analogue of per-executor core limits on "
-            "a cluster.\n\n"
+            "a cluster. Every reported number is the MEDIAN of "
+            f"{REPEATS} runs (all runs listed; this host has ~2x "
+            "run-to-run variance, and a median cannot cherry-pick a "
+            "lucky run).\n\n"
             f"Corpus: {N_DOCS} synthetic source-code docs, ~{AVG_TOKENS} "
             "tokens/doc, deterministic executor-side generation "
             "(corpus.synthetic_corpus_distributed, seed=42).\n\n"
-            "| cores | build sec | docs/sec | BM25 top-10 p95 (s) |\n"
-            "|---|---|---|---|\n")
+            "| cores | build sec (median) | all runs | docs/sec | BM25 top-10 p95 (s, median) |\n"
+            "|---|---|---|---|---|\n")
         for lv in levels + context:
+            p95s = lv.get("bm25_p95_all", [lv["bm25_p95_sec"]])
+            p95_med = p95s[len(p95s) // 2]
             f.write(f"| local[{lv['cores']}] | {lv['build_sec']} | "
-                    f"{lv['docs_per_sec']} | {lv['bm25_p95_sec']} |\n")
+                    f"{lv.get('build_sec_all', [])} | "
+                    f"{lv['docs_per_sec']} | {p95_med} |\n")
         f.write(
             f"\nSpeedup {lo['cores']}->{hi['cores']} cores: "
             f"**{speedup:.2f}x** over a {hi['cores'] // lo['cores']}x core "
