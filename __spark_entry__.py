@@ -265,6 +265,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           nbits=8).withColumnRenamed("id", "vec_id")
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_near_dup(spark, sf):
+        # embedding-cosine near-dup: LSH Hamming<=1 candidates -> exact
+        # cosine verify on candidates only. The synthetic embeddings are
+        # random (max pairwise cos ~0.51), so the gate threshold sits at
+        # that corpus's similarity scale; a real dedup run uses ~0.95.
+        return similarity.embedding_near_duplicates(
+            _embeddings(spark, sf), threshold=0.4, nbits=8, seed=42)
+    q["ann_near_dup"] = ann_near_dup
+
     def ann_lsh_candidates(spark, sf):
         # the candidate set itself, via a PERSISTED build-time signature
         # table (the 10^12-row path: probe sig buckets, never recompute
@@ -557,6 +566,33 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e JOIN sigs USING (vec_id)
             WHERE sig IN (SELECT s FROM probes)
         )"""
+
+    probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << b})" for b in range(8)])
+    o["ann_near_dup"] = f"""
+        WITH sigs AS (SELECT vec_id, embedding, {sig_e} AS sig FROM embeddings),
+        pr AS (SELECT vec_id, unnest([{probe_list}]) AS probe FROM sigs),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN pr b ON a.sig = b.probe
+            WHERE a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   list_sum(list_transform(range(len(va)),
+                            i -> va[i + 1]::DOUBLE * vb[i + 1]::DOUBLE))
+                   / (greatest(sqrt(list_sum(list_transform(va, x -> x::DOUBLE * x::DOUBLE))), 1e-12)
+                      * greatest(sqrt(list_sum(list_transform(vb, x -> x::DOUBLE * x::DOUBLE))), 1e-12)) AS c
+            FROM pairs
+        )
+        SELECT id_a, id_b, round(c, 6) AS cos
+        FROM scored WHERE c >= 0.4
+    """
 
     o["ann_lsh_candidates"] = f"""
         WITH {_ANN_CAND}

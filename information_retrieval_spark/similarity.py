@@ -133,6 +133,52 @@ def build_signatures(df: DataFrame, nbits: int = 8, seed: int = 42,
                      F.expr(signature_expr(planes, vec_col)).alias("sig"))
 
 
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              nbits: int = 8, seed: int = 42,
+                              round_to: int = 6) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: LSH-bucketed candidate
+    generation chained into exact cosine verification on candidates only
+    (the embedding analogue of dedup.near_duplicates — never the full
+    O(n^2) cross join).
+
+    Candidates = pairs whose nbits-bit hyperplane signatures are within
+    Hamming distance 1 (each row probes its own bucket plus nbits
+    single-bit flips); verification computes the exact cosine JVM-side.
+    Signatures are bit-reproducible across engines (signature_expr), so
+    the operator is deterministic and admits an exact DuckDB oracle.
+    Recall < 1 by design: a pair at Hamming distance >= 2 is missed —
+    at threshold 0.95 and 8 planes that probability is small and shrinks
+    as nbits grows (standard multi-probe LSH trade-off).
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, nbits, seed)
+    sig = F.expr(signature_expr(planes, vec_col))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     sig.alias("sig"))
+    probes = F.explode(F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << b))
+                        for b in range(nbits)])).alias("probe")
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("sig").alias("sig_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    "sig", probes)
+    cand = (a.join(b, a["sig_a"] == b["probe"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * "
+                 "cast(y as double)), cast(0.0 as double), (a, v) -> a + v)")
+    na = F.greatest(F.expr(_norm_expr("va")), F.lit(1e-12))
+    nb = F.greatest(F.expr(_norm_expr("vb")), F.lit(1e-12))
+    return (cand.withColumn("cos_raw", dot / (na * nb))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", round_to).alias("cos")))
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     nbits: int = 8, seed: int = 42,

@@ -254,6 +254,34 @@ def test_signature_bit_identical_across_engines(emb_df, spark):
         assert got_spark[i] == want_py == got_duck, i
 
 
+def test_embedding_near_duplicates(emb_df, spark):
+    # pure-Python oracle of the whole chain: Hamming<=1 candidate pairs
+    # by bit-reproducible signatures, exact cosine verify
+    from information_retrieval_spark.similarity import (
+        _planes,
+        embedding_near_duplicates,
+        signature_of,
+    )
+    df, vecs = emb_df
+    nbits, threshold = 4, 0.5
+    got = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           embedding_near_duplicates(df, threshold=threshold, nbits=nbits,
+                                     seed=42).collect()}
+    planes = _planes(len(vecs[0]), nbits, 42)
+    sigs = [signature_of(v, planes) for v in vecs]
+    want = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if bin(sigs[a] ^ sigs[b]).count("1") > 1:
+                continue
+            c = _cos(vecs[a], vecs[b])
+            if c >= threshold:
+                want[(a, b)] = round(c, 6)
+    assert set(got) == set(want)
+    for k in got:
+        assert math.isclose(got[k], want[k], abs_tol=1e-6)
+
+
 def test_lsh_persisted_signatures_path(emb_df, spark, tmp_path):
     # build-time signature table -> identical results to the inline path
     df, vecs = emb_df
