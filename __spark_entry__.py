@@ -248,6 +248,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.doc_fingerprints(_documents(spark, sf), n=5)
     q["text_fingerprints"] = text_fingerprints
 
+    # ---- multimodal plumbing ----
+    def multimodal_features(spark, sf):
+        # binary payload columns synthesized deterministically from the
+        # documents table (UTF-8 bytes of text); exercises the REAL
+        # multimodal plumbing end-to-end — typed metadata extraction
+        # (attach_media_metadata) and the mapInPandas featureizer
+        # (extract_features, deterministic fake decode per the brief:
+        # media libs absent in this container). Feature floats are
+        # returned as their exact byte values so the comparison is
+        # integer-exact across engines.
+        from information_retrieval_spark import multimodal as mm
+        docs = _documents(spark, sf)
+        media = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.col("n_chars").cast("int").alias("duration_ms"))
+        meta = mm.attach_media_metadata(media).select(
+            F.col("doc_id").alias("id"), "n_bytes", "payload_sha")
+        feats = mm.extract_features(media, fake=True).select(
+            F.col("doc_id").alias("id"), "media_type",
+            F.round(F.element_at("feature", 1) * 255).cast("long").alias("b0"),
+            F.round(F.element_at("feature", 16) * 255).cast("long").alias("b15"))
+        return (meta.join(feats, "id")
+                .select("id", "media_type",
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        "payload_sha", "b0", "b15"))
+    q["multimodal_features"] = multimodal_features
+
+    def multimodal_frames(spark, sf):
+        # metadata-driven video frame-sample fan-out (payload untouched)
+        from information_retrieval_spark import multimodal as mm
+        docs = _documents(spark, sf)
+        media = docs.select("doc_id", F.col("n_chars").cast("int").alias("duration_ms"))
+        return (mm.frame_sample_plan(media, every_ms=500)
+                .select(F.col("doc_id").alias("id"),
+                        F.col("frame_ts").cast("long").alias("frame_ts")))
+    q["multimodal_frames"] = multimodal_frames
+
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
         qv = _query_vec(spark, sf)
@@ -566,6 +606,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e JOIN sigs USING (vec_id)
             WHERE sig IN (SELECT s FROM probes)
         )"""
+
+    def _hexbyte(col: str, j: int) -> str:
+        # byte j of a sha256 hex string as an integer
+        a = f"(strpos('0123456789abcdef', substr({col}, {2 * j + 1}, 1)) - 1)"
+        b = f"(strpos('0123456789abcdef', substr({col}, {2 * j + 2}, 1)) - 1)"
+        return f"({a} * 16 + {b})::BIGINT"
+
+    o["multimodal_features"] = f"""
+        WITH m AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS payload_sha
+            FROM documents
+        )
+        SELECT id, media_type, n_bytes, payload_sha,
+               {_hexbyte('payload_sha', 0)} AS b0,
+               {_hexbyte('payload_sha', 15)} AS b15
+        FROM m
+    """
+
+    o["multimodal_frames"] = """
+        SELECT doc_id AS id,
+               unnest(range(0, greatest(n_chars - 1, 0) + 1, 500))::BIGINT AS frame_ts
+        FROM documents
+    """
 
     probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << b})" for b in range(8)])
     o["ann_near_dup"] = f"""
