@@ -623,7 +623,12 @@ class IndexBuilder:
                     "repo", "path")
         )
         meta = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
-        doc_map = ids.join(meta, ["repo", "path"]).select(
+        # shuffle-hash, NOT broadcast: both sides are corpus-sized (the
+        # slim ids projection fits under the local-mode broadcast
+        # threshold, but collecting 10^6+ rows to the driver and building
+        # the hashed relation is single-threaded — measured ~1/3 of this
+        # stage's non-scaling time; at 10^12 rows it's impossible anyway)
+        doc_map = ids.join(meta.hint("shuffle_hash"), ["repo", "path"]).select(
             "docID", "repo", "path", "commit", "lang", "sha256")
         # permutation invariant rides the write as an Observation — no
         # separate validation job (round 1 ran a second doc_map scan)
