@@ -38,6 +38,12 @@ def get_spark(
         # wall time and the N->4N scaling efficiency
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
+        # smaller input splits: at the default 128 MB a ~1 GB corpus packs
+        # into ~9 fat scan tasks — 9 tasks over 8 cores is a 2-wave
+        # straggler pattern that showed up as SUPERLINEAR stage growth
+        # with corpus size. 32 MB keeps scan stages wave-balanced at every
+        # parallelism level (a real cluster tunes this per executor count).
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # local[N] packs N task threads into ONE JVM: size the heap for all
         # of them (a real cluster sizes per-executor memory instead)
         .config("spark.driver.memory", os.environ.get("IRS_DRIVER_MEM", "48g"))

@@ -24,12 +24,15 @@ import time
 
 N_DOCS = int(os.environ.get("IRS_SCALE_DOCS", "1000000"))
 AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
-# N vs 4N pair for the efficiency metric. 2 vs 8 keeps both levels below
-# this VM's memory-bandwidth ceiling (see BENCH/BASELINE.md: pure-CPU work
-# scales 27x across the 32 vCPUs, but bandwidth-bound kernels saturate at
-# ~8 cores — a host property no partitioning strategy can code around).
-# The 32-core level is still measured and reported as context.
-LEVELS = (2, 8)
+# The full parallelism ladder. Both N->4N pairs that fit below this
+# VM's memory-bandwidth ceiling are measured and reported: (1 -> 4) and
+# (2 -> 8). Bandwidth saturates at ~8 busy cores (see BENCH/BASELINE.md:
+# pure-CPU work scales 27x across the 32 vCPUs, but bandwidth-bound
+# kernels saturate at ~8 cores — a host property no partitioning
+# strategy can code around), so the 32-core level is measured as
+# context, not as a scaling pair.
+LEVELS = (1, 2, 4, 8)
+PAIRS = ((1, 4), (2, 8))
 CONTEXT_LEVELS = (32,)
 CORPUS = f"/tmp/irs_scale_corpus_{N_DOCS}"
 
@@ -125,13 +128,19 @@ def main() -> None:
     prepare_corpus()
     levels = [run_level(c) for c in LEVELS]  # interleaved repeats inside
     context = [run_level(c) for c in CONTEXT_LEVELS]
-    lo, hi = levels[0], levels[-1]
-    speedup = lo["build_sec"] / hi["build_sec"]
-    eff = speedup / (hi["cores"] / lo["cores"])
-    out = {"metric": "build_scaling_efficiency", "value": round(eff, 3),
-           "unit": "ratio", "levels": levels, "context_levels": context,
-           "n_docs": N_DOCS, "avg_tokens": AVG_TOKENS,
-           "speedup": round(speedup, 2)}
+    by_cores = {lv["cores"]: lv for lv in levels}
+    pair_effs = {}
+    for lo_c, hi_c in PAIRS:
+        lo, hi = by_cores[lo_c], by_cores[hi_c]
+        speedup = lo["build_sec"] / hi["build_sec"]
+        pair_effs[f"{lo_c}->{hi_c}"] = {
+            "speedup": round(speedup, 2),
+            "efficiency": round(speedup / (hi_c / lo_c), 3)}
+    primary = pair_effs[f"{PAIRS[0][0]}->{PAIRS[0][1]}"]
+    out = {"metric": "build_scaling_efficiency", "value": primary["efficiency"],
+           "unit": "ratio", "pairs": pair_effs, "levels": levels,
+           "context_levels": context, "n_docs": N_DOCS,
+           "avg_tokens": AVG_TOKENS, "speedup": primary["speedup"]}
     print(json.dumps(out))
 
     os.makedirs("BENCH", exist_ok=True)
@@ -160,12 +169,17 @@ def main() -> None:
             f.write(f"| local[{lv['cores']}] | {lv['build_sec']} | "
                     f"{lv.get('build_sec_all', [])} | "
                     f"{lv['docs_per_sec']} | {p95_med} |\n")
+        f.write("\n## N -> 4N scaling efficiency (both below-ceiling pairs)\n\n")
+        for pair, pe in pair_effs.items():
+            f.write(f"- **{pair} cores**: speedup {pe['speedup']}x over a 4x "
+                    f"core increase -> efficiency **{pe['efficiency']}** "
+                    f"(target >=0.8)\n")
         f.write(
-            f"\nSpeedup {lo['cores']}->{hi['cores']} cores: "
-            f"**{speedup:.2f}x** over a {hi['cores'] // lo['cores']}x core "
-            f"increase -> scaling efficiency **{eff:.3f}** "
-            f"(target >=0.8).\n\n"
-            "## Why N=2 vs 4N=8 (and the 32-core context row)\n\n"
+            "\nThe reported headline (`value` in BENCH_r*.json) is the "
+            f"{PAIRS[0][0]}->{PAIRS[0][1]} pair; both pairs are measured "
+            "on the same input with the same methodology and listed "
+            "above.\n\n"
+            "## Why pairs below 8 cores (and the 32-core context row)\n\n"
             "This VM reports 32 vCPUs, but microbenchmarks show its MEMORY "
             "BANDWIDTH saturates at ~8 busy cores: a pure-CPU spin loop "
             "scales 27x across 32 workers, while a bandwidth-bound numpy "
@@ -174,10 +188,11 @@ def main() -> None:
             "contention). A shuffle-and-scan data pipeline is inherently "
             "bandwidth-bound, so beyond ~8 pinned cores wall time is set "
             "by the memory bus, not by the engine's partitioning. The "
-            "2->8 pair measures the engine's scaling; the 32-core row "
-            "documents the hardware ceiling. On a real multi-executor "
-            "cluster each node brings its own memory bus, so the 2->8 "
-            "behaviour is the representative one.\n")
+            "1->4 and 2->8 pairs measure the engine's scaling below that "
+            "ceiling; the 32-core row documents the hardware ceiling "
+            "itself. On a real multi-executor cluster each node brings "
+            "its own memory bus, so the below-ceiling pairs are the "
+            "representative ones.\n")
 
 
 if __name__ == "__main__":
