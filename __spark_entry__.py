@@ -37,10 +37,27 @@ _POS = "pos AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FRO
 
 
 def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
-    """CTEs sh/h/banded/cand reproducing dedup.minhash_lsh_pairs over
-    n-gram shingle features. band_key parts are ordered LEXICOGRAPHICALLY
-    (matching Spark's array_sort over 'seed:hash' strings — numeric seed
-    order diverges once seeds reach 10)."""
+    """CTEs sh/hv/mins/banded/cand reproducing dedup.minhash_lsh_pairs
+    over n-gram shingle features with the universal-hash minhash family:
+    h32 = first 8 hex chars of sha256(feature) as an int, permutation i
+    = (a_i*h32 + b_i) mod p — exact BIGINT arithmetic, identical in
+    both engines."""
+    from information_retrieval_spark.dedup import MINHASH_P, minhash_coeffs
+
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(sha256(feature), {k + 1}, 1)) - 1) "
+        f"* {16 ** (7 - k)}" for k in range(8))
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ", ".join(
+        f"min(({a}::BIGINT * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs))
+    n_bands = num_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + " || ':' || ".join(f"m{b * band_size + j}::VARCHAR"
+                             for j in range(band_size))
+        + " AS band_key FROM mins"
+        for b in range(n_bands))
     return f"""
         sh AS (
             SELECT doc_id AS id, unnest(
@@ -49,18 +66,9 @@ def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
             ) AS feature
             FROM toks
         ),
-        h AS (
-            SELECT id, s.seed,
-                   min(sha256(s.seed::VARCHAR || '|' || feature)) AS mh
-            FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS seed) s
-            GROUP BY id, s.seed
-        ),
-        banded AS (
-            SELECT id, (seed // {band_size})::INT AS band,
-                   string_agg(seed::VARCHAR || ':' || mh, ''
-                              ORDER BY seed::VARCHAR || ':' || mh) AS band_key
-            FROM h GROUP BY id, band
-        ),
+        hv AS (SELECT id, ({h32})::BIGINT AS h FROM sh),
+        mins AS (SELECT id, {mins} FROM hv GROUP BY id),
+        banded AS ({band_rows}),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b USING (band, band_key)

@@ -23,6 +23,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,43 +109,68 @@ def _feature_sets(df: DataFrame, id_col: str, text_col: str,
     return shingle_sets(df, id_col, text_col, n).withColumnRenamed("shingle", "feature")
 
 
+# Universal-hash minhash family: ONE sha256 per distinct (id, feature)
+# gives a 32-bit base value h; permutation i is (a_i*h + b_i) mod p with
+# p = 2^31 - 1 (prime) and seeded 31-bit coefficients. Products stay
+# under 2^62, so the arithmetic is exact BIGINT in Spark, DuckDB and
+# Python alike — engine-portable like the sha approach, but 64
+# signatures cost 64 multiply-adds instead of 64 sha256 calls, and the
+# per-seed minima fold into ONE aggregation (no seed explode: the
+# 10^12-doc shuffle carries one row per doc, not num_hashes rows).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list:
+    """Deterministic (a_i, b_i) pairs, identical in every engine."""
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
+            for _ in range(num_hashes)]
+
+
+def _feature_h32(col: str = "feature"):
+    """First 8 hex chars of sha256(feature) as a BIGINT (32-bit value)."""
+    return F.conv(F.substring(F.sha2(F.col(col), 256), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
-                       n: int = 1) -> DataFrame:
-    """(id, seed, minhash): minhash[i] = min over distinct features of
-    sha256(i || '|' || feature) — a seeded-permutation stand-in that is
-    identical across engines (hex strings compare lexicographically).
-    Features are terms (n<=1) or n-gram shingles (see _feature_sets)."""
-    feat = _feature_sets(df, id_col, text_col, n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    return (
-        feat.select("id", "feature", seeds)
-        .withColumn("h", F.sha2(F.concat(F.col("seed").cast("string"),
-                                         F.lit("|"), F.col("feature")), 256))
-        .groupBy("id", "seed").agg(F.min("h").alias("minhash"))
-    )
+                       n: int = 1, seed: int = 7) -> DataFrame:
+    """(id, minhash: array<long>): minhash[i] = min over distinct
+    features of (a_i * h32(feature) + b_i) mod p. Features are terms
+    (n<=1) or n-gram shingles (see _feature_sets)."""
+    feat = _feature_sets(df, id_col, text_col, n).withColumn("h", _feature_h32())
+    mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
+            .alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))]
+    return (feat.groupBy("id").agg(*mins)
+            .select("id", F.array(*[F.col(f"m{i}")
+                                    for i in range(num_hashes)]).alias("minhash")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
-                      band_size: int = 2, n: int = 1) -> DataFrame:
+                      band_size: int = 2, n: int = 1,
+                      seed: int = 7) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
 
-    bands = num_hashes / band_size; band key = concat of the band's
-    minhashes. Returns distinct (id_a < id_b) pairs. Discriminative
-    parameters matter: a doc pair with feature-Jaccard J collides in a
-    band with probability J^band_size — pick band_size so the corpus's
-    background similarity level stays non-colliding (for the synthetic
-    corpus: shingle features n=3 with band_size >= 4).
+    bands = num_hashes / band_size; band key = ':'-joined minhashes of
+    the band in slot order (deterministic by construction — no sorting,
+    no cross-engine ordering trap). Returns distinct (id_a < id_b)
+    pairs. Discriminative parameters matter: a doc pair with
+    feature-Jaccard J collides in a band with probability J^band_size —
+    pick band_size so the corpus's background similarity level stays
+    non-colliding (for the synthetic corpus: shingle features n=3 with
+    band_size >= 4).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n=n)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws("", F.array_sort(
-            F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash")))
-        )).alias("band_key"))
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n=n, seed=seed)
+    n_bands = num_hashes // band_size
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(":", *[F.col("minhash")[b * band_size + j]
+                                    for j in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)])).alias("bk")
+    banded = sig.select("id", bands).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     l = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     r = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     return (

@@ -66,17 +66,22 @@ def test_minhash_identical_docs_always_pair(docs_df):
     assert (0, 3) not in pairs
 
 
+def _py_minhash(features, num_hashes):
+    # the universal-hash family, straight from the published definition:
+    # h32 = first 8 hex chars of sha256(feature); perm_i = (a_i*h+b_i) % p
+    coeffs = dedup.minhash_coeffs(num_hashes)
+    hs = [int(hashlib.sha256(f.encode()).hexdigest()[:8], 16) for f in features]
+    return [min((a * h + b) % dedup.MINHASH_P for h in hs) for a, b in coeffs]
+
+
 def test_minhash_matches_python_oracle(docs_df):
-    sig = {(r["id"], r["seed"]): r["minhash"]
+    sig = {r["id"]: list(r["minhash"])
            for r in dedup.minhash_signatures(docs_df, num_hashes=4).collect()}
     for doc_id, text in DOCS:
         terms = set(tokenize(text))
-        for seed in range(4):
-            if not terms:
-                continue
-            want = min(hashlib.sha256(f"{seed}|{t}".encode()).hexdigest()
-                       for t in terms)
-            assert sig[(doc_id, seed)] == want
+        if not terms:
+            continue
+        assert sig[doc_id] == _py_minhash(terms, 4)
 
 
 def test_near_duplicates_chain(docs_df):
@@ -88,15 +93,10 @@ def test_near_duplicates_chain(docs_df):
                                  num_hashes=num_hashes, band_size=band_size).collect()}
 
     def minhash_band_keys(feats):
-        keys = []
-        for band in range(num_hashes // band_size):
-            parts = []
-            for seed in range(band * band_size, (band + 1) * band_size):
-                mh = min(hashlib.sha256(f"{seed}|{f}".encode()).hexdigest()
-                         for f in feats)
-                parts.append(f"{seed}:{mh}")
-            keys.append((band, "".join(sorted(parts))))
-        return set(keys)
+        mh = _py_minhash(feats, num_hashes)
+        return {(band, ":".join(str(mh[band * band_size + j])
+                                for j in range(band_size)))
+                for band in range(num_hashes // band_size)}
 
     want = {}
     for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
