@@ -213,7 +213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact
 
     def dedup_ngram_jaccard(spark, sf):
-        return dedup.ngram_jaccard_pairs(_documents(spark, sf), n=2, threshold=0.3)
+        # candidate-DRIVEN exact verification (the scale shape): the
+        # shared-shingle self-join is never formed over the corpus —
+        # LSH band collisions propose pairs, exact Jaccard verifies.
+        docs = _documents(spark, sf)
+        cand = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=2)
+        return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3,
+                                         candidates=cand)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_minhash_lsh(spark, sf):
@@ -304,53 +310,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def ann_lsh_topk(spark, sf):
-        # approximate (recall<1 vs brute force) but fully DETERMINISTIC:
-        # signatures are bit-reproducible across engines (see
-        # similarity.signature_expr), so this op now has an exact DuckDB
-        # oracle (it was rows-only in round 1)
+        # approximate (recall<1 vs brute force) but fully DETERMINISTIC
+        # (exact DuckDB oracle), and gated through the PERSISTED
+        # signature table: the probe is a `sig IN (...)` pushed scan of
+        # the sorted signature parquet — signatures are computed once at
+        # build, never per query (the round-2 inline-expression gate was
+        # the one bench regression; tests/test_plans.py pins this plan)
         qv = _query_vec(spark, sf)
-        return similarity.lsh_bucket_topk(_embeddings(spark, sf), qv, k=10,
-                                          nbits=8).withColumnRenamed("id", "vec_id")
+        return similarity.lsh_bucket_topk(
+            _embeddings(spark, sf), qv, k=10, nbits=8,
+            signatures=_ann_signatures(spark, sf)
+        ).withColumnRenamed("id", "vec_id")
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_near_dup(spark, sf):
         # embedding-cosine near-dup: LSH Hamming<=1 candidates -> exact
-        # cosine verify on candidates only. The synthetic embeddings are
-        # random (max pairwise cos ~0.51), so the gate threshold sits at
-        # that corpus's similarity scale; a real dedup run uses ~0.95.
+        # cosine verify on candidates only. Candidates form on slim
+        # (id, sig) projections from the persisted signature table;
+        # vectors join back once for verification. The synthetic
+        # embeddings are random (max pairwise cos ~0.51), so the gate
+        # threshold sits at that corpus's similarity scale; a real
+        # dedup run uses ~0.95.
         return similarity.embedding_near_duplicates(
-            _embeddings(spark, sf), threshold=0.4, nbits=8, seed=42)
+            _embeddings(spark, sf), threshold=0.4, nbits=8, seed=42,
+            signatures=_ann_signatures(spark, sf))
     q["ann_near_dup"] = ann_near_dup
 
     def ann_lsh_candidates(spark, sf):
-        # the candidate set itself, via a PERSISTED build-time signature
-        # table (the 10^12-row path: probe sig buckets, never recompute
-        # signatures per query)
-        import numpy as np
-
-        from information_retrieval_spark.similarity import (
-            _planes,
-            build_signatures,
-            signature_of,
-        )
-        emb = _embeddings(spark, sf)
+        # the candidate set itself from the persisted signature table
         qv = _query_vec(spark, sf)
-        tag = os.path.abspath(sf).strip("/").replace("/", "_")
-        sig_dir = os.path.join(tempfile.gettempdir(), f"irs_ann_sigs_{tag}")
-        if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
-            (build_signatures(emb, nbits=8, seed=42)
-             .repartitionByRange(4, "sig").sortWithinPartitions("sig")
-             .write.mode("overwrite").parquet(sig_dir))
-        sigs = spark.read.parquet(sig_dir)
-        planes = _planes(len(qv), 8, 42)
-        qsig = signature_of(np.asarray(qv), planes)
-        probe = [qsig] + [qsig ^ (1 << b) for b in range(8)]
-        return (sigs.filter(F.col("sig").isin(probe))
+        planes = similarity._planes(len(qv), 8, 42)
+        probe = similarity._hamming1_probes(
+            similarity.signature_of(qv, planes), 8)
+        return (_ann_signatures(spark, sf)
+                .filter(F.col("sig").isin(probe))
                 .select(F.col("id").alias("vec_id"), "sig")
                 .orderBy("vec_id"))
     q["ann_lsh_candidates"] = ann_lsh_candidates
 
+    def ann_banded_topk(spark, sf):
+        # multi-table banded construction (L=16 tables x 8 bits,
+        # Hamming<=1 per table): recall composes across tables —
+        # >=0.95 recall@10 even on this adversarial i.i.d.-Gaussian
+        # corpus (tests/test_ops.py::test_banded_lsh_recall)
+        qv = _query_vec(spark, sf)
+        return similarity.banded_lsh_topk(
+            _embeddings(spark, sf), qv, k=10, n_tables=16, nbits=8,
+            signatures=_banded_signatures(spark, sf)
+        ).withColumnRenamed("id", "vec_id")
+    q["ann_banded_topk"] = ann_banded_topk
+
     return q
+
+
+def _ann_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted single-table ANN signatures for a testdata dir (built
+    once per scale factor, reused across gates — the 10^12-row shape)."""
+    tag = os.path.abspath(sf).strip("/").replace("/", "_")
+    sig_dir = os.path.join(tempfile.gettempdir(), f"irs_ann_sigs_v2_{tag}")
+    return similarity.persist_signatures(
+        _embeddings(spark, sf), sig_dir, nbits=8, seed=42)
+
+
+def _banded_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted multi-table (banded) ANN signatures, sorted by
+    (table, sig) so per-table probes prune row groups."""
+    tag = os.path.abspath(sf).strip("/").replace("/", "_")
+    sig_dir = os.path.join(tempfile.gettempdir(), f"irs_ann_banded_{tag}")
+    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+        (similarity.build_banded_signatures(
+            _embeddings(spark, sf), n_tables=16, nbits=8, seed=42)
+         .repartitionByRange(4, "table", "sig")
+         .sortWithinPartitions("table", "sig")
+         .write.mode("overwrite").parquet(sig_dir))
+    return spark.read.parquet(sig_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -462,27 +495,27 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 HAVING count(*) >= 2
     """
 
+    # candidate-driven: LSH band collisions (16 hashes, 4 bands of 4,
+    # 2-gram shingle features) propose pairs; exact 2-gram Jaccard >=0.3
+    # verifies — mirrors the Spark gate's scale shape exactly (the `sh`
+    # CTE from the minhash block doubles as the verification shingles)
     o["dedup_ngram_jaccard"] = f"""
         WITH {_TOKS},
-        sh AS (
-            SELECT doc_id AS id, unnest(
-                list_distinct(list_transform(range(greatest(len(t) - 2, -1) + 1),
-                              i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')))
-            ) AS shingle
-            FROM toks
-        ),
+        {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=2)},
         sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
         inter AS (
-            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS inter
-            FROM sh a JOIN sh b USING (shingle)
-            WHERE a.id < b.id GROUP BY 1, 2
+            SELECT id_a, id_b, count(*)::BIGINT AS i
+            FROM cand
+            JOIN sh a ON a.id = id_a
+            JOIN sh b ON b.id = id_b AND b.feature = a.feature
+            GROUP BY 1, 2
         )
         SELECT id_a, id_b,
-               round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3
+        WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.3
     """
 
     o["dedup_minhash_lsh"] = f"""
@@ -675,6 +708,41 @@ def oracle_sql() -> dict[str, str]:
 
     o["ann_lsh_topk"] = f"""
         WITH {_ANN_CAND},
+        s AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(len(embedding)),
+                            i -> embedding[i + 1]::DOUBLE * qv[i + 1]::DOUBLE))
+                   / (greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12)
+                      * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+            FROM cand CROSS JOIN q
+        )
+        SELECT vec_id, round(c, 6) AS cos
+        FROM s ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+    # banded multi-table ANN: 16 independent 8-bit signature tables,
+    # candidate iff Hamming(sig_t, qsig_t) <= 1 in ANY table — i.e.
+    # xor(s_t, q_t) is 0 or a single bit. Same fold-expression trick
+    # per table, so the multi-table operator keeps an exact oracle.
+    from information_retrieval_spark.similarity import _banded_planes
+
+    bp = _banded_planes(64, 16, 8, 42)
+    sig_cols = ",\n               ".join(
+        f"{signature_expr(bp[t], 'embedding', dialect='duckdb')} AS s{t}"
+        for t in range(16))
+    qsig_cols = ",\n               ".join(
+        f"{signature_expr(bp[t], 'qv', dialect='duckdb')} AS q{t}"
+        for t in range(16))
+    ham1 = "(0, 1, 2, 4, 8, 16, 32, 64, 128)"
+    any_table = " OR ".join(f"xor(s{t}, q{t}) IN {ham1}" for t in range(16))
+    o["ann_banded_topk"] = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT {qsig_cols} FROM q),
+        sigs AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+        cand AS (
+            SELECT vec_id, embedding FROM sigs CROSS JOIN qs
+            WHERE {any_table}
+        ),
         s AS (
             SELECT vec_id,
                    list_sum(list_transform(range(len(embedding)),

@@ -59,8 +59,13 @@ def main() -> None:
             "table AND NOT merge OR spark AND window").count(),
         "positional": lambda: qe.positional_docs("spark /3 join").count(),
         "joker": lambda: qe.joker_docs("st* *ow").count(),
+        # candidate-driven (the gated scale shape): LSH proposes, exact
+        # Jaccard verifies — never the corpus-wide shared-shingle self-join
         "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
-            docs, id_col="path", text_col="content", n=3, threshold=0.3).count(),
+            docs, id_col="path", text_col="content", n=3, threshold=0.3,
+            candidates=dedup.minhash_lsh_pairs(
+                docs, id_col="path", text_col="content",
+                num_hashes=16, band_size=4, n=3)).count(),
         "dedup_near": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.8,
             num_hashes=64, band_size=8).count(),
@@ -74,10 +79,30 @@ def main() -> None:
         emb = spark.read.parquet(emb_path)
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        sig_dir = f"/tmp/irs_bench_sigs_{os.path.basename(sf_dir.rstrip('/'))}"
+        shutil.rmtree(sig_dir, ignore_errors=True)
+        sig_state: dict = {}
+
+        def ann_sig_build():
+            # one-time signature build (single-table + 16-table banded),
+            # persisted sorted-by-sig — queries below probe these tables
+            sig_state["sigs"] = similarity.persist_signatures(
+                emb, f"{sig_dir}/single", nbits=8, seed=42)
+            (similarity.build_banded_signatures(emb, n_tables=16, nbits=8,
+                                                seed=42)
+             .repartitionByRange(4, "table", "sig")
+             .sortWithinPartitions("table", "sig")
+             .write.mode("overwrite").parquet(f"{sig_dir}/banded"))
+            sig_state["banded"] = spark.read.parquet(f"{sig_dir}/banded")
+
         steps["ann_cosine_topk"] = lambda: similarity.cosine_topk(
             emb, qv, k=10).collect()
+        steps["ann_sig_build"] = ann_sig_build
         steps["ann_lsh_topk"] = lambda: similarity.lsh_bucket_topk(
-            emb, qv, k=10, nbits=8).collect()
+            emb, qv, k=10, nbits=8, signatures=sig_state["sigs"]).collect()
+        steps["ann_banded_topk"] = lambda: similarity.banded_lsh_topk(
+            emb, qv, k=10, n_tables=16, nbits=8,
+            signatures=sig_state["banded"]).collect()
 
     for name, fn in steps.items():
         dt, _ = timed(fn)

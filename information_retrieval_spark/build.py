@@ -20,8 +20,9 @@ table so the build is resumable (north_rule):
                        inversion (IndexService.java:215-233), Spark's
                        sort/shuffle spill replaces hand-rolled particle
                        files (IndexService.java:258-288).
-  stage 3  doc_len   — dl per doc (0 for docs with no kept terms) + global
-           + stats     N / total_len / avgdl (needed by BM25 + block-max).
+  stage 3  doc_len   — dl per doc (rows only for docs with >=1 kept
+           + stats     term; an ABSENT row means dl = 0) + global
+                       N / total_len / avgdl (needed by BM25 + block-max).
   stage 4  postings  — groupBy(term, bucket) -> numpy block encoder:
                        fixed docs-per-block varbyte blocks with gap-coded
                        docIDs/positions, per-block max tf and max BM25

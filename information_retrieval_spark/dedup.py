@@ -66,24 +66,28 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """All pairs (id_a < id_b) with n-gram-shingle Jaccard >= threshold.
-
-    inter/union computed relationally: shared-shingle join -> count,
-    |A∪B| = |A| + |B| - inter. At scale, run on LSH candidates instead
-    of the full corpus.
-    """
-    sh = shingle_sets(df, id_col, text_col, n)
+def _jaccard_verify(sh: DataFrame, threshold: float,
+                    candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard over pairs. With `candidates` (id_a, id_b),
+    the intersection join is DRIVEN FROM the candidate set — work is
+    O(candidates * shingles_per_doc), never all-pairs. Without it, the
+    shared-shingle self-join forms every co-shingled pair (small inputs
+    only)."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -92,6 +96,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Pairs (id_a < id_b) with n-gram-shingle Jaccard >= threshold.
+
+    inter/union computed relationally: shared-shingle join -> count,
+    |A∪B| = |A| + |B| - inter. `candidates` (id_a, id_b — e.g. from
+    minhash_lsh_pairs) restricts verification to those pairs and is the
+    scale path: the all-pairs shared-shingle self-join (candidates=None)
+    degenerates when common shingles repeat across many docs.
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    return _jaccard_verify(sh, threshold, candidates)
 
 
 def _feature_sets(df: DataFrame, id_col: str, text_col: str,
@@ -111,20 +131,28 @@ def _feature_sets(df: DataFrame, id_col: str, text_col: str,
 
 # Universal-hash minhash family: ONE sha256 per distinct (id, feature)
 # gives a 32-bit base value h; permutation i is (a_i*h + b_i) mod p with
-# p = 2^31 - 1 (prime) and seeded 31-bit coefficients. Products stay
-# under 2^62, so the arithmetic is exact BIGINT in Spark, DuckDB and
-# Python alike — engine-portable like the sha approach, but 64
+# p = 2^31 - 1 (prime) and seeded 31-bit coefficients. The largest
+# intermediate is a*h + b <= (p-1)*(2^32-1) + (p-1) < 2^63 - 1.3e10 —
+# exact int64 (no rounding), in Spark, DuckDB and Python alike, but the
+# margin below 2^63 is thin: minhash_coeffs asserts the bounds so a
+# future widening of the coefficients or of h fails loudly instead of
+# silently overflowing. Engine-portable like the sha approach, but 64
 # signatures cost 64 multiply-adds instead of 64 sha256 calls, and the
 # per-seed minima fold into ONE aggregation (no seed explode: the
 # 10^12-doc shuffle carries one row per doc, not num_hashes rows).
 MINHASH_P = (1 << 31) - 1
+_MINHASH_H_MAX = (1 << 32) - 1  # h = first 8 hex chars of sha256
 
 
 def minhash_coeffs(num_hashes: int, seed: int = 7) -> list:
     """Deterministic (a_i, b_i) pairs, identical in every engine."""
     rng = np.random.RandomState(seed)
-    return [(int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
-            for _ in range(num_hashes)]
+    coeffs = [(int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
+              for _ in range(num_hashes)]
+    for a, b in coeffs:
+        assert 0 < a < MINHASH_P and 0 <= b < MINHASH_P
+        assert a * _MINHASH_H_MAX + b < (1 << 63)  # exact int64 everywhere
+    return coeffs
 
 
 def _feature_h32(col: str = "feature"):
@@ -202,24 +230,9 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size, n=n)
     sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # candidate-driven verification: expand candidates by id_a's shingles,
     # then keep only shingles id_b also has
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _jaccard_verify(sh, threshold, candidates=cand)
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -229,28 +242,29 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Per-term 64-bit hash = first bits/4 hex chars of sha256(term);
     bit b contributes +tf / -tf; sign of the column sum is the output
     bit. Bitstring (not int64) so both engines avoid 1<<63 overflow.
+
+    Scale shape (same rewrite as the minhash family, commit 922633e):
+    the `bits` per-bit weighted sums are `bits` SUM-aggregate
+    expressions in ONE groupBy("id") over ONE row per (id, term) — no
+    bit explode, so the first shuffle carries the (id, term, tf) stream
+    once, not ×bits (the round-2 version multiplied it 64x).
     """
     toks = _tokens(df, text_col)
     tf = (toks.select(F.col(id_col).alias("id"), F.explode("__toks").alias("term"))
-          .groupBy("id", "term").agg(F.count("*").alias("tf")))
-    tf = tf.withColumn("h", F.substring(F.sha2(F.col("term"), 256), 1, bits // 4))
-    b = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("b")
-    # nibble = hex digit at b//4; bit = (nibble >> (3 - b%4)) & 1
-    contrib = F.expr(
-        "tf * (2 * ((instr('0123456789abcdef', substring(h, cast(b / 4 as int) + 1, 1)) - 1) "
-        "div cast(pow(2, 3 - b % 4) as int) % 2) - 1)")
-    per_bit = (
-        tf.select("id", "tf", "h", b)
-        .withColumn("c", contrib)
-        .groupBy("id", "b").agg(F.sum("c").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return (
-        per_bit.groupBy("id")
-        .agg(F.concat_ws("", F.transform(
-            F.array_sort(F.collect_list(F.struct("b", "bit"))),
-            lambda x: x["bit"])).alias("simhash"))
-    )
+          .groupBy("id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("h", F.substring(F.sha2(F.col("term"), 256), 1, bits // 4)))
+    # bit b of h: nibble = hex digit at index b//4; bit = (nibble >> (3-b%4)) & 1
+    sums = []
+    for b in range(bits):
+        nib = (f"(instr('0123456789abcdef', "
+               f"substring(h, {b // 4 + 1}, 1)) - 1)")
+        shift = 1 << (3 - b % 4)
+        sums.append(F.sum(F.expr(f"tf * (2 * (({nib} div {shift}) % 2) - 1)"))
+                    .alias(f"s{b}"))
+    per_doc = tf.groupBy("id").agg(*sums)
+    bit_chars = [F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                 for b in range(bits)]
+    return per_doc.select("id", F.concat(*bit_chars).alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",

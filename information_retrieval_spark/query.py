@@ -641,9 +641,13 @@ class QueryEngine:
             idf_col = F.element_at(
                 F.create_map(*[F.lit(x) for kv in idf_map.items() for x in kv]),
                 F.col("term")) * F.lit(inflation)
-            return (blocks.join(F.broadcast(rest), ["term", "bucket"])
-                    .filter(idf_col * F.col("block_max_wand") + F.col("rest")
-                            >= F.lit(theta0))
+            # LEFT join: a postings block absent from bucket_max (only
+            # possible in a torn concurrent-streaming state) must be
+            # UNPRUNABLE, never silently dropped from scoring
+            return (blocks.join(F.broadcast(rest), ["term", "bucket"], "left")
+                    .filter(F.col("rest").isNull()
+                            | (idf_col * F.col("block_max_wand") + F.col("rest")
+                               >= F.lit(theta0)))
                     .select(*blocks.columns))
 
         # distributed path: same bounds as a Spark aggregation (over the
@@ -671,11 +675,14 @@ class QueryEngine:
                    + F.col("ub") - F.col("contrib_bucket"))
         per_term = bmax.select("bucket", "term",
                                F.col("contrib").alias("contrib_bucket"))
+        # LEFT joins for the same reason as the driver-slice path: blocks
+        # missing from bucket_max stay unprunable instead of vanishing
         survivors = (
             blocks
-            .join(F.broadcast(per_term), ["bucket", "term"])
-            .join(F.broadcast(bucket_ub), "bucket")
-            .filter(ub_expr >= F.lit(theta0))
+            .join(F.broadcast(per_term), ["bucket", "term"], "left")
+            .join(F.broadcast(bucket_ub), "bucket", "left")
+            .filter(F.col("contrib_bucket").isNull() | F.col("ub").isNull()
+                    | (ub_expr >= F.lit(theta0)))
             .select(*blocks.columns)
         )
         return survivors

@@ -341,3 +341,95 @@ def test_frame_sample_plan(media_df):
     for i in range(6):
         dur = 3000 + i * 500
         assert sorted(by_doc[i]) == list(range(0, dur, 1000))
+
+# --- signature paths / banded ANN / plan hygiene (round 3) ----------------
+
+def test_signature_paths_agree(emb_df):
+    # Arrow kernel == SQL expression == pure-Python fold, bit for bit:
+    # the Arrow path is the build fast path (no Janino codegen cliff),
+    # and its left-associated numpy fold must match the reference chain
+    from information_retrieval_spark.similarity import (
+        _planes,
+        build_signatures,
+        signature_of,
+    )
+    df, vecs = emb_df
+    planes = _planes(len(vecs[0]), nbits=8, seed=42)
+    via_arrow = {r["id"]: r["sig"] for r in
+                 build_signatures(df, nbits=8, seed=42).collect()}
+    via_sql = {r["id"]: r["sig"] for r in
+               build_signatures(df, nbits=8, seed=42, method="sql").collect()}
+    for i, v in enumerate(vecs):
+        assert via_arrow[i] == via_sql[i] == signature_of(v, planes), i
+
+
+def test_build_signatures_empty_input(emb_df, spark):
+    df, _ = emb_df
+    empty = df.filter("vec_id < 0")
+    out = similarity.build_signatures(empty, nbits=8, seed=42)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "sig"]
+    nd = similarity.embedding_near_duplicates(empty, threshold=0.5)
+    assert nd.count() == 0
+    assert [f.name for f in nd.schema.fields] == ["id_a", "id_b", "cos"]
+
+
+@pytest.fixture(scope="module")
+def planted_emb(spark):
+    """64-dim corpus with PLANTED near-neighbors: 150 background vectors
+    plus, for each of 5 query vectors, 9 perturbed copies at cos ~0.9 —
+    the regime LSH is built for (the i.i.d.-Gaussian testdata corpus is
+    the adversarial case: its 'neighbors' at cos ~0.4 are barely more
+    bucketable than background)."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((150, 64))
+    rows, queries = [], []
+    vid = 0
+    for _ in range(150):
+        rows.append((vid, [float(x) for x in base[vid % 150]])); vid += 1
+    for qi in range(5):
+        qv = base[qi]
+        queries.append((qi, [float(x) for x in qv]))
+        for _ in range(9):
+            noise = rng.standard_normal(64)
+            v = qv / np.linalg.norm(qv) + 0.25 * noise / np.linalg.norm(noise)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, queries
+
+
+def test_banded_lsh_recall(planted_emb):
+    # recall@10 >= 0.95 vs exact cosine top-k, at a candidate volume well
+    # below the corpus (the whole point vs brute force)
+    df, queries = planted_emb
+    n = df.count()
+    sigs = similarity.build_banded_signatures(df, n_tables=16, nbits=8, seed=42)
+    sigs = sigs.cache()
+    hits = total = 0
+    max_cand = 0
+    for _, qv in queries:
+        exact = [r["id"] for r in similarity.cosine_topk(df, qv, k=10).collect()]
+        cand = similarity.banded_lsh_candidates(
+            df, qv, n_tables=16, nbits=8, seed=42, signatures=sigs)
+        n_cand = cand.count()
+        max_cand = max(max_cand, n_cand)
+        approx = [r["id"] for r in similarity.banded_lsh_topk(
+            df, qv, k=10, n_tables=16, nbits=8, seed=42,
+            signatures=sigs).collect()]
+        hits += len(set(approx) & set(exact))
+        total += len(exact)
+    sigs.unpersist()
+    recall = hits / total
+    assert recall >= 0.95, (recall, max_cand, n)
+    assert max_cand < 0.7 * n, (max_cand, n)  # never degenerates to a scan
+
+
+def test_banded_matches_exact_when_candidates_cover(planted_emb):
+    # on captured items the re-rank is EXACT: scores equal cosine_topk's
+    df, queries = planted_emb
+    qv = queries[0][1]
+    exact = {r["id"]: r["cos"] for r in similarity.cosine_topk(df, qv, k=10).collect()}
+    approx = {r["id"]: r["cos"] for r in similarity.banded_lsh_topk(
+        df, qv, k=10, n_tables=16, nbits=8, seed=42).collect()}
+    for i in set(approx) & set(exact):
+        assert approx[i] == exact[i]

@@ -66,3 +66,75 @@ def test_bm25_shuffles_blocks_not_postings(synth_engine):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
     assert "hashpartitioning(bucket" in plan, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+# --- round-3 plan hygiene ---------------------------------------------------
+
+import numpy as np
+
+
+def _emb(spark, n=40, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_ann_probe_is_pushed_sig_in_scan(spark, tmp_path):
+    # the gated ANN path must probe the PERSISTED signature table with a
+    # `sig IN (...)` predicate reaching the parquet scan — never the
+    # inline CASE-WHEN signature expression re-derived over the corpus
+    # (the round-2 bench regression / Janino fallback shape)
+    from information_retrieval_spark import similarity
+    df, vecs = _emb(spark)
+    sigs = similarity.persist_signatures(df, str(tmp_path / "sigs"),
+                                         nbits=4, seed=42)
+    q = [float(x) for x in vecs[3]]
+    top = similarity.lsh_bucket_topk(df, q, k=5, nbits=4, signatures=sigs)
+    plan = top._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [In(sig" in plan, plan
+    assert "CASE WHEN" not in plan, plan
+
+
+def test_simhash_plan_has_no_bit_explode(spark):
+    # exactly ONE Generate (the token explode); the 64 per-bit weighted
+    # sums are aggregate expressions, not a x64 row explosion
+    from information_retrieval_spark import dedup
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(10)],
+        "doc_id long, text string")
+    sig = dedup.simhash_signatures(docs)
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+
+
+def test_embedding_near_dup_explode_is_slim(spark):
+    # the Hamming-probe explode must carry (id, sig) longs only — the
+    # embedding vectors join back after pair-dedup, once
+    from information_retrieval_spark import similarity
+    df, _ = _emb(spark)
+    nd = similarity.embedding_near_duplicates(df, threshold=0.5, nbits=4)
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        assert "embedding" not in ln and "va" not in ln and "vb" not in ln, ln
+
+
+def test_gated_ngram_jaccard_has_no_allpairs_shingle_join(spark):
+    # candidate-driven verification: the only shingle-shingle equi-join
+    # is driven FROM the candidate pairs (join keys include an id), so
+    # no plan node joins the corpus-wide shingle sets on `shingle` alone
+    from information_retrieval_spark import dedup
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta id{i} id{i+1}")
+         for i in range(10)],
+        "doc_id long, text string")
+    cand = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=2)
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3, candidates=cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for m in re.finditer(r"Join [a-zA-Z]+, \(([^\n]*)\)", plan):
+        cond = m.group(1)
+        if "shingle" in cond or "feature" in cond:
+            assert "id" in cond, cond
