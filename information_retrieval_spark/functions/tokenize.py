@@ -23,7 +23,12 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..normalize import MAX_UNFILTERED_LEN, WS_CLASS, spark_tokens_expr
+from ..normalize import (
+    MAX_UNFILTERED_LEN,
+    STEM_RULES,
+    WS_CLASS,
+    spark_tokens_expr,
+)
 
 
 def spark_tokenize_col(col: str = "content") -> Column:
@@ -34,14 +39,12 @@ def _normalize_unique(uniq: pd.Series) -> pd.Series:
     """Vectorized normalize over a Series of distinct raw tokens.
 
     Returns the kept normalized term, or None for dropped tokens.
-    Mirrors normalize.normalize + normalize.keep exactly.
+    Mirrors normalize.normalize + normalize.keep exactly — the stemmer
+    chain is rendered from the same STEM_RULES table.
     """
-    low = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
-    st = (
-        low.str.replace("sses$", "ss", regex=True)
-        .str.replace("(.)ies$", r"\1y", regex=True)
-        .str.replace("([^sui])s$", r"\1", regex=True)
-    )
+    st = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
+    for pat, rep in STEM_RULES:
+        st = st.str.replace(pat, rep, regex=True)
     kept = (st != "") & (
         (st.str.len() < MAX_UNFILTERED_LEN) | ~st.str.contains("[0-9]", regex=True)
     )

@@ -7,20 +7,30 @@ Reference semantics (IndexService.java:159-166, 596-618):
   positions        = 0-based counter over KEPT terms only (IndexService.java:221-225)
 
 The reference stems with Stanford CoreNLP ``Morphology`` (an English
-lemmatizer). Bit-exact reimplementation of CoreNLP is out of scope; per
-SURVEY.md §1.5 this engine substitutes a small deterministic S-stemmer
-whose rules are expressible BOTH as pure Python and as a chain of
-``regexp_replace`` calls, so the exact same normalization runs in three
-places and provably agrees:
+lemmatizer — WordNet-morphy-style detachment rules + lexicon). Bit-exact
+reimplementation of CoreNLP is out of scope; per SURVEY.md §1.5 this
+engine substitutes a deterministic Porter-lite rule chain whose rules
+are expressible in ALL THREE dialects (no regex backreferences — DuckDB
+is RE2), so the exact same normalization runs in three places and
+provably agrees:
 
   1. pure Python (`normalize`)              — the pytest oracle
   2. Spark SQL expression (`spark_tokens_expr`) — JVM-side codegen fast path
   3. DuckDB SQL (`duckdb_tokens_expr`)      — the driver correctness oracle
 
-Stemmer rules (applied in order, at most one rewrite each, all anchored):
-  r1:  sses$          -> ss       (classes -> class)
-  r2:  (.)ies$        -> \1y      (queries -> query; "ies" alone untouched)
-  r3:  ([^sui])s$     -> \1       (joins -> join; "ss"/"us"/"is" untouched)
+The single rule table is STEM_RULES below (applied in order, each a
+whole-suffix anchored rewrite; a later rule sees the earlier rules'
+output, and the chain runs ONCE — no refixpointing, which is what keeps
+the reference's own example `searchings -> searching` intact:
+QueryProcessor.java:192 strips only the plural, and so does this chain,
+because the -ing rules run BEFORE the plural rules and `searchings`
+does not end in `ing`). Where stripping -ing/-ed is ambiguous between
+`+ing` and `e+ing` (morphy tries both against a lexicon), the chain
+restores `e` exactly when the orthography implies it: soft g (`rg`/
+`dg`), word-final `v` (English words don't end in bare v), and a
+CVC tail (`writ+e`, `updat+e`) — Porter's 1b fix-ups minus the measure
+test, which trades `visiting -> visite`-class overfires for the
+`updating -> update`-class lemmas CoreNLP produces.
 
 `\\W` in Java default mode is [^a-zA-Z0-9_]; we lowercase first so the
 strip class is written [^a-z0-9_].
@@ -49,18 +59,64 @@ WS_CLASS = r"[ \t\n\x0b\f\r]+"
 _WS = re.compile(WS_CLASS)
 _NONWORD = re.compile(r"[^a-z0-9_]")
 _DIGIT = re.compile(r"[0-9]")
-_R1 = re.compile(r"sses$")
-_R2 = re.compile(r"(.)ies$")
-_R3 = re.compile(r"([^sui])s$")
 
 MAX_UNFILTERED_LEN = 12  # IndexService.java:612 — drop len>=12 tokens with a digit
 
+# The Porter-lite rule table — ONE definition, rendered into all three
+# dialects. Patterns use no backreferences (RE2-safe); replacements use
+# Python group syntax (\1), converted to $1 for Spark. Order matters:
+# -ing/-ed rules first (so `searchings` is only de-pluralized), most
+# specific first within a class.
+# consonants undoubled before -ing/-ed. Excluded: l/s/z (fall/miss/buzz
+# keep their doubles, as in Porter 1b) and d (the `add/added` base class
+# beats the `nod/nodded` class once the plain-strip rules run)
+_UNDOUBLE = "bgmnprtv"
+STEM_RULES = (
+    # --- -ing / -ed (verb inflections) ---
+    # soft g (merging->merge, judged->judge) and consonant+s
+    # (parsed->parse, collapsed->collapse, sensed->sense: English bases
+    # ending Cs always carry an e — and without the restore, the later
+    # plural rule would double-strip `parsed` down to `par`)
+    [(r"(rs|ns|ps|ls|rg|dg)(ing|ed)$", r"\1e")]
+    + [(c + c + r"(ing|ed)$", c) for c in _UNDOUBLE]  # running->run, dropped->drop
+    + [
+        (r"v(ing|ed)$", r"ve"),              # retrieved->retrieve, giving->give
+        (r"([a-z0-9_][a-z0-9_])ied$", r"\1y"),  # studied->study (died stays)
+        # consonant+l tail -> restore e (shuffle/enable/handle/sample
+        # class: English words don't end in Cl); l/r excluded from the
+        # leading class so call/controll fall through to the plain strip
+        (r"([bcdfgkpstz]l)(ing|ed)$", r"\1e"),
+        # CVC tail -> restore e (writ+e, updat+e, stor+e, compil+e);
+        # w/x/y excluded as in Porter's *o; h excluded (searching must
+        # NOT become searche); tail vowel e excluded — `-eC(ed|ing)` is
+        # dominated by unstressed -en/-er/-et verbs (open/filter/target)
+        # where restoring e is wrong
+        (r"([^aeiou][aiou][bcdfgjklmnpqrstz])(ing|ed)$", r"\1e"),
+        (r"^([aeiou][bcdfgjklmnpqrstz])(ing|ed)$", r"\1e"),  # using->use, aged->age
+        # plain strips: stem must contain a vowel (sing/string/bring keep
+        # theirs); -ed additionally requires a non-e/i stem tail so
+        # seed/agreed/died survive
+        (r"^([a-z0-9_]*[aeiou][a-z0-9_]*)ing$", r"\1"),
+        (r"^([a-z0-9_]*[aeiou][a-z0-9_]*[^ei])ed$", r"\1"),
+    ]
+    # --- plural / -s inflections (the original S-stemmer core) ---
+    + [
+        (r"sses$", r"ss"),                   # classes->class
+        # es after the productive sibilants only — bare `s` excluded so
+        # uses/databases/parses keep their e via the final s-strip rule
+        (r"(ch|sh|[xz])es$", r"\1"),         # searches->search, indexes->index
+        (r"(.)ies$", r"\1y"),                # queries->query ("ies" alone untouched)
+        (r"([^sui])s$", r"\1"),              # joins->join ("ss"/"us"/"is" untouched)
+    ]
+)
+
+_COMPILED_RULES = [(re.compile(p), r) for p, r in STEM_RULES]
+
 
 def stem(word: str) -> str:
-    """Deterministic S-stemmer (see module docstring)."""
-    word = _R1.sub("ss", word)
-    word = _R2.sub(r"\1y", word)
-    word = _R3.sub(r"\1", word)
+    """Deterministic Porter-lite stemmer (see module docstring)."""
+    for pat, rep in _COMPILED_RULES:
+        word = pat.sub(rep, word)
     return word
 
 
@@ -97,16 +153,26 @@ def tokenize(text: str) -> list:
 
 
 # --- SQL expression builders ----------------------------------------------
-# Both dialects implement exactly the pipeline above. Spark's form uses
-# higher-order functions (transform/filter) so the tokenizer runs fully
-# JVM-side inside whole-stage codegen; DuckDB's uses list lambdas.
+# Both dialects implement exactly the pipeline above, generated from the
+# SAME STEM_RULES table. Spark's form uses higher-order functions
+# (transform/filter) so the tokenizer runs fully JVM-side inside
+# whole-stage codegen; DuckDB's uses list lambdas.
+
+def _render_stem_chain(base: str, dialect: str) -> str:
+    """Nest the STEM_RULES regexp_replace chain around `base`."""
+    expr = base
+    for pat, rep in STEM_RULES:
+        if dialect == "spark":
+            rep_sql = rep.replace("\\1", "$1")
+            expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}')"
+        else:  # duckdb: RE2, \1 group syntax, backslash literal in ''
+            expr = f"regexp_replace({expr}, '{pat}', '{rep}')"
+    return expr
+
 
 def _spark_norm_lambda(var: str = "t") -> str:
     base = f"regexp_replace(lower({var}), '[^a-z0-9_]', '')"
-    s1 = f"regexp_replace({base}, 'sses$', 'ss')"
-    s2 = f"regexp_replace({s1}, '(.)ies$', '$1y')"
-    s3 = f"regexp_replace({s2}, '([^sui])s$', '$1')"
-    return s3
+    return _render_stem_chain(base, "spark")
 
 
 def spark_tokens_expr(col: str = "content") -> str:
@@ -120,12 +186,10 @@ def spark_tokens_expr(col: str = "content") -> str:
 
 def duckdb_tokens_expr(col: str = "text") -> str:
     """DuckDB SQL expression: string column -> list<varchar> of kept terms."""
-    base = f"regexp_replace(lower(t), '[^a-z0-9_]', '', 'g')"
-    s1 = f"regexp_replace({base}, 'sses$', 'ss')"
-    s2 = f"regexp_replace({s1}, '(.)ies$', '\\1y')"
-    s3 = f"regexp_replace({s2}, '([^sui])s$', '\\1')"
+    base = "regexp_replace(lower(t), '[^a-z0-9_]', '', 'g')"
+    chain = _render_stem_chain(base, "duckdb")
     # RE2's \s lacks \x0b (vertical tab); spell out Java's class
     return (
-        f"list_filter(list_transform(regexp_split_to_array({col}, '[ \\t\\n\\x0b\\f\\r]+'), t -> {s3}), "
+        f"list_filter(list_transform(regexp_split_to_array({col}, '[ \\t\\n\\x0b\\f\\r]+'), t -> {chain}), "
         f"t -> t != '' AND (length(t) < {MAX_UNFILTERED_LEN} OR NOT regexp_matches(t, '[0-9]')))"
     )

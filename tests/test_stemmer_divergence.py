@@ -53,29 +53,36 @@ def test_stemmer_divergence_vs_corenlp_is_measured():
     disagree = [(w, stem(w), lemma) for w, lemma in CORENLP_LEMMAS
                 if stem(w) != lemma]
     rate = len(agree) / len(CORENLP_LEMMAS)
-    # Pinned measurement (cited in SURVEY.md §1.5): 22/51 (43%) on this
-    # deliberately adversarial mixed fixture. Breakdown of the 29
-    # divergences: 14 -ing/-ed verb forms (S-stemmers never lemmatize
-    # them), 7 irregulars, 4 '-es after sibilant' truncations
-    # (searches -> 'searche': Harman's es->e rule is ambiguous on
-    # -ses/-ches so no safe suffix rule exists), 4 others. On the
-    # s-inflection classes that dominate the reference's own golden
-    # queries the agreement is 20/20.
+    # Pinned measurement (cited in SURVEY.md §1.5): the round-2
+    # S-stemmer agreed on 22/51 (43%); the round-3 Porter-lite chain
+    # (-ing/-ed with e-restoration classes, sibilant -es) agrees on
+    # 43/51 (84%). The 8 remaining divergences: 7 irregulars
+    # (mice/went/wrote/... — lexicon-only, no suffix rule can produce
+    # them) and `buses` (the bare-s es-rule was deliberately dropped:
+    # it truncated uses/databases/parses, which dominate a source-code
+    # corpus). The s-inflection classes that dominate the reference's
+    # own golden queries stay 20/20.
     assert len(CORENLP_LEMMAS) == 51
-    expected_agree = {
-        "classes", "copies", "corpus", "documents", "engine", "engines",
-        "entries", "files", "glasses", "index", "joins", "libraries",
-        "misses", "pineapples", "queries", "search", "searchings",
-        "tables", "this", "triggers", "windows", "words"}
-    assert {w for w, _ in agree} == expected_agree, disagree
-    assert abs(rate - 22 / 51) < 1e-9
+    expected_disagree = {
+        "buses", "mice", "children", "feet", "went", "ran", "wrote",
+        "built"}
+    assert {w for w, _, _ in disagree} == expected_disagree, disagree
+    assert abs(rate - 43 / 51) < 1e-9, (rate, disagree)
 
 
-def test_sstemmer_known_failure_modes_documented():
+def test_stemmer_known_failure_modes_documented():
     # the failure modes a user sees vs the Java engine — documented, not
-    # hidden: (a) -ing/-ed forms are not lemmatized; (b) -es after a
-    # sibilant over-truncates (search != searche, so 'search' queries
-    # do not match 'searches' docs)
-    assert stem("searching") == "searching" != "search"
-    assert stem("indexed") == "indexed" != "index"
-    assert stem("searches") == "searche" != stem("search")
+    # hidden: (a) irregular forms are never lemmatized (no lexicon);
+    # (b) bases genuinely ending in a bare consonant+se/-us keep or
+    # lose their e by the Cs-restore heuristic, so bus/buses diverge
+    assert stem("went") == "went" != "go"
+    assert stem("mice") == "mice" != "mouse"
+    assert stem("buses") == "buse" != "bus"
+    # and the rules a user RELIES on (the reference's own example plus
+    # the code-corpus verb classes) hold:
+    assert stem("searchings") == "searching"
+    assert stem("searching") == stem("searched") == stem("searches") == "search"
+    assert stem("uses") == stem("used") == stem("using") == "use"
+    assert stem("databases") == "database"
+    assert stem("filtered") == stem("filtering") == "filter"
+    assert stem("shuffled") == "shuffle" and stem("compiled") == "compile"
