@@ -485,6 +485,45 @@ class IndexConfig:
         return self.docs_per_block * self.blocks_per_bucket
 
 
+# --- segmented-table folds (streaming LSM state) ---------------------------
+# The IncrementalIndexer appends per-batch SEGMENT files into the
+# metadata tables (O(delta) bytes per batch) instead of rewriting them;
+# readers fold duplicate term rows. A batch index (or a compacted
+# streaming index) has no segments and reads pass through untouched.
+
+def _fold_dictionary(df: DataFrame) -> DataFrame:
+    # term_ord: only the compacted base carries it (segments hold null),
+    # so max() yields the as-of-last-compaction ordinal, null for terms
+    # added since — see QueryEngine.term_dict_pos for the exact overlay.
+    return (df.groupBy("term").agg(
+        F.max("rterm").alias("rterm"),
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+        F.sum("n_blocks").alias("n_blocks"),
+        F.sum("n_buckets").alias("n_buckets"),   # upper bound, as before
+        F.max("max_block_wand").alias("max_block_wand"),
+        F.max("term_ord").alias("term_ord"))
+        .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
+                "max_block_wand", "term_ord"))
+
+
+def _fold_dictionary_r(df: DataFrame) -> DataFrame:
+    return (df.groupBy("rterm", "term").agg(F.sum("df").alias("df"))
+            .select("rterm", "term", "df"))
+
+
+def _fold_bucket_max(df: DataFrame) -> DataFrame:
+    return (df.groupBy("term", "bucket").agg(
+        F.max("tmax").alias("tmax"), F.sum("n_blocks").alias("n_blocks"))
+        .select("term", "bucket", "tmax", "n_blocks"))
+
+
+_SEGMENT_FOLDS = {
+    "dictionary": _fold_dictionary,
+    "dictionary_r": _fold_dictionary_r,
+    "bucket_max": _fold_bucket_max,
+}
+
+
 @dataclass
 class Index:
     store: TableStore
@@ -496,7 +535,15 @@ class Index:
         return self.store.spark
 
     def table(self, name: str) -> DataFrame:
-        return self.store.read(name)
+        df = self.store.read(name)
+        if name in _SEGMENT_FOLDS and self.store.has_segments(name):
+            return _SEGMENT_FOLDS[name](df)
+        return df
+
+    def is_segmented(self) -> bool:
+        """True while streaming segments are pending compaction (term_ord
+        is then only valid as of the last compaction)."""
+        return self.store.has_segments("dictionary")
 
     def load_stats(self) -> dict:
         if not self.stats:

@@ -86,6 +86,16 @@ class TableStore:
             return self.spark.read.format("iceberg").table(self.ident(name))
         return self.spark.read.parquet(self.path(name))
 
+    def has_segments(self, name: str) -> bool:
+        """True if the table dir holds streaming LSM segment files
+        (`batch<N>_*.parquet`, appended by IncrementalIndexer) pending
+        compaction. An Iceberg deployment has no segment state: merges
+        are transactional MERGE INTO commits."""
+        if self.use_iceberg:
+            return False
+        import glob
+        return bool(glob.glob(os.path.join(self.path(name), "batch*_*.parquet")))
+
     def drop(self, name: str) -> None:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")

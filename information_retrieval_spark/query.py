@@ -281,9 +281,18 @@ class QueryEngine:
     def term_dict_pos(self, term: str) -> int:
         """Ordinal of a term in the sorted dictionary, -1 if absent —
         the reference's getTermDictPos (IndexBody.java:86-88); served
-        from the precomputed term_ord column."""
+        from the precomputed term_ord column. On a live streaming index
+        with uncompacted segments, stored ordinals are only valid as of
+        the last compaction (appended terms shift every ordinal after
+        them), so the EXACT current ordinal is computed with a rank
+        query instead; `IncrementalIndexer.compact()` restores the O(1)
+        column path."""
         st = self.term_stats([term])
-        return int(st[term]["term_ord"]) if term in st else -1
+        if term not in st:
+            return -1
+        if self.index.is_segmented():
+            return int(self._dictionary.filter(F.col("term") < term).count())
+        return int(st[term]["term_ord"])
 
     def _names(self, doc_ids: DataFrame) -> DataFrame:
         """docID set -> sorted file names (QueryProcessor.java:95-98:

@@ -7,24 +7,35 @@ to the live index with `foreachBatch`:
 
   new docs -> docIDs appended after the current N (arrival order, the
   streaming analogue of the reference's walk-order ids,
-  IndexService.java:176) -> Arrow SPIMI kernel -> delta posting blocks
-  appended to `postings` -> `dictionary` / `bucket_max` DELTA-MERGED
-  (aggregate only the batch's blocks, full-outer-join into the previous
-  version — O(delta) aggregation, never a re-scan of all block
-  metadata) -> `stats` updated.
+  IndexService.java:176; ranked with the SAME two-phase
+  range-partition + prefix-sum trick as the batch build — no
+  coalesce(1), no single-task window) -> Arrow SPIMI kernel -> delta
+  posting blocks appended to `postings` -> `dictionary` /
+  `dictionary_r` / `bucket_max` get per-batch SEGMENT files appended
+  (LSM-style): a micro-batch writes O(delta) bytes TOTAL — the batch's
+  own vocabulary, never a rewrite of the full merged dictionary.
+  Readers fold segments (build.Index.table groups duplicate term rows);
+  `compact()` is the explicit maintenance operation that folds the
+  segments into a fresh base and re-ranks the dense `term_ord`
+  ordinals (Q16). Until a compaction, term_ord is valid AS OF the last
+  compaction; QueryEngine.term_dict_pos detects the segmented state
+  and computes the exact current ordinal with a rank query instead.
 
 Idempotency & crash recovery (plain-parquet mode; an Iceberg deployment
 replaces all of this with one transactional commit):
 
   - `applied/<batch_id>.done` markers make a replayed batch a NO-OP.
   - Each batch stages its deltas under `tmp_batch_<id>/` with a
-    `meta.json` holding the PRE-batch stats (docID base, totals) and a
-    hardlink SNAPSHOT of dictionary/bucket_max — so a retry after a
-    partial failure recomputes from the same inputs, byte-identically,
-    regardless of which live tables the failed attempt already touched.
-  - Appends into live tables use DETERMINISTIC file names
-    (`batch<id>_<i>.parquet`); a retry first removes that batch's files
-    and re-links, so partial appends never double-count.
+    `meta.json` holding the PRE-batch stats (docID base, totals) — a
+    retry after a partial failure recomputes from the same inputs,
+    byte-identically, regardless of what the failed attempt already
+    linked.
+  - EVERY live-table mutation a batch makes is an APPEND of files with
+    DETERMINISTIC names (`batch<id>_<i>.parquet`); a retry first
+    removes that batch's files and re-links, so partial appends never
+    double-count. (Round-2 rewrote dictionary/bucket_max per batch and
+    needed hardlink snapshots to make retries deterministic; segments
+    made that machinery unnecessary.)
   - The marker is written last. Tested: the same batch applied twice
     (and a replay after a simulated partial failure) yields an
     identical index (tests/test_streaming.py).
@@ -53,21 +64,14 @@ from ..build import (
     POSTINGS_SCHEMA,
     Index,
     IndexConfig,
+    _fold_bucket_max,
+    _fold_dictionary,
     _make_block_encoder,
     _spimi_invert_arrow,
     with_global_ordinals,
 )
 from ..corpus import DOCUMENTS_SCHEMA, with_sha256
 from ..io import TableStore
-
-
-def _link_dir_snapshot(src: str, dst: str) -> None:
-    """Hardlink-copy a parquet table dir (metadata-only cost)."""
-    os.makedirs(dst, exist_ok=True)
-    for fp in glob.glob(os.path.join(src, "*")):
-        tgt = os.path.join(dst, os.path.basename(fp))
-        if not os.path.exists(tgt):
-            os.link(fp, tgt)
 
 
 class IncrementalIndexer:
@@ -117,10 +121,6 @@ class IncrementalIndexer:
             meta = json.load(open(meta_path))
         else:
             os.makedirs(self._stage_dir(batch_id), exist_ok=True)
-            _link_dir_snapshot(self.store.path("dictionary"),
-                               self._stage_dir(batch_id, "dict_snapshot"))
-            _link_dir_snapshot(self.store.path("bucket_max"),
-                               self._stage_dir(batch_id, "bmax_snapshot"))
             stats = self.store.read("stats").collect()[0].asDict()
             meta = {"n_before": int(stats["n_docs"]),
                     "total_len_before": int(stats["total_len"]),
@@ -133,14 +133,23 @@ class IncrementalIndexer:
         n_before = meta["n_before"]
 
         # -- stage 1: deterministic deltas (overwrite -> retry-safe) -----
-        batch = with_sha256(batch_df).orderBy("repo", "path").coalesce(1)
-        from pyspark.sql import Window
-        w = Window.orderBy("repo", "path")  # micro-batches are small
-        doc_map_delta = batch.select(
-            (F.row_number().over(w).cast("long") - 1 + F.lit(n_before)).alias("docID"),
-            "repo", "path", "commit", "lang", "sha256")
+        # docID assignment: the same two-phase global rank as the batch
+        # build (range-partition the slim key projection, number rows
+        # per partition once, prefix-sum the counts) — distributed, no
+        # coalesce(1)/Window single-task stage, and deterministic
+        # because (repo, path) keys are unique
+        batch = with_sha256(batch_df)
+        order_tbl = f"tmp_batch_{batch_id}_dm_order"
+        ranked = with_global_ordinals(
+            self.spark, self.store, batch.select("repo", "path"),
+            ["repo", "path"], "ord", order_tbl, 4)
+        doc_map_delta = (
+            ranked.join(batch, ["repo", "path"])
+            .select((F.col("ord") + F.lit(n_before)).cast("long").alias("docID"),
+                    "repo", "path", "commit", "lang", "sha256"))
         doc_map_delta.write.mode("overwrite").parquet(
             self._stage_dir(batch_id, "doc_map"))
+        self.store.drop(order_tbl)
         doc_map_delta = self.spark.read.parquet(self._stage_dir(batch_id, "doc_map"))
 
         docs_with_id = batch.join(doc_map_delta.select("docID", "repo", "path"),
@@ -162,68 +171,45 @@ class IncrementalIndexer:
         dl_delta = partials.groupBy("docID").agg(F.max("dl").alias("dl"))
         dl_delta.write.mode("overwrite").parquet(self._stage_dir(batch_id, "doc_len"))
 
-        # -- stage 2: link deltas into the live tables -------------------
-        for table in ("doc_map", "postings", "doc_len"):
-            self._append_files(self._stage_dir(batch_id, table), table, batch_id)
-        crash_point("links")
-
-        # -- stage 3: O(delta) metadata merges (from the SNAPSHOTS, so a
-        # retry that already swapped the live versions stays correct) ----
+        # metadata SEGMENTS: aggregates over the batch's blocks ONLY —
+        # O(batch vocabulary) rows, independent of the live vocabulary.
+        # Readers fold duplicate term rows (build._fold_dictionary etc).
         bmax_delta = (post_delta.groupBy("term", "bucket")
                       .agg(F.max("block_max_wand").alias("tmax"),
                            F.count("*").alias("n_blocks")))
-        old_bmax = self.spark.read.parquet(self._stage_dir(batch_id, "bmax_snapshot"))
-        merged_bmax = (
-            old_bmax.select("term", "bucket", F.col("tmax").alias("t0"),
-                            F.col("n_blocks").alias("b0"))
-            .join(bmax_delta.select("term", "bucket", F.col("tmax").alias("t1"),
-                                    F.col("n_blocks").alias("b1")),
-                  ["term", "bucket"], "full_outer")
-            .select("term", "bucket",
-                    F.greatest(F.col("t0"), F.col("t1")).alias("tmax"),
-                    (F.coalesce(F.col("b0"), F.lit(0))
-                     + F.coalesce(F.col("b1"), F.lit(0))).alias("n_blocks")))
-        self.store.write(merged_bmax, "tmp_bucket_max_new")
-        self._swap("bucket_max", "tmp_bucket_max_new")
-
+        bmax_delta.write.mode("overwrite").parquet(
+            self._stage_dir(batch_id, "bucket_max"))
         dict_delta = (post_delta.groupBy("term")
-                      .agg(F.sum("n_docs").alias("df1"), F.sum("cf").alias("cf1"),
-                           F.count("*").alias("nb1"),
-                           F.max("block_max_wand").alias("mw1"),
-                           F.countDistinct("bucket").alias("nbk1")))
-        old_dict = self.spark.read.parquet(self._stage_dir(batch_id, "dict_snapshot"))
-        merged_dict = (
-            old_dict.select("term", "df", "cf", "n_blocks", "n_buckets",
-                            "max_block_wand")
-            .join(dict_delta, ["term"], "full_outer")
-            .select(
-                "term",
-                F.reverse(F.col("term")).alias("rterm"),
-                (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df1"), F.lit(0))).alias("df"),
-                (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("cf1"), F.lit(0))).alias("cf"),
-                (F.coalesce(F.col("n_blocks"), F.lit(0)) + F.coalesce(F.col("nb1"), F.lit(0))).alias("n_blocks"),
-                # n_buckets: an upper-bound merge (a delta bucket may also
-                # exist in the base). Only used by the WAND driver-slice
-                # size gate, where an overestimate is safe (falls back to
-                # the distributed path earlier, never prunes wrongly).
-                (F.coalesce(F.col("n_buckets"), F.lit(0)) + F.coalesce(F.col("nbk1"), F.lit(0))).alias("n_buckets"),
-                F.greatest(F.col("max_block_wand"), F.col("mw1")).alias("max_block_wand"))
-            .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
-                    "max_block_wand"))
-        # re-rank term ordinals over the merged vocabulary (Q16 surface)
-        merged_dict = with_global_ordinals(
-            self.spark, self.store, merged_dict, ["term"], "term_ord",
-            f"tmp_dict_order_b{batch_id}", 4)
-        self.store.write(merged_dict, "tmp_dictionary_new")
-        self.store.drop(f"tmp_dict_order_b{batch_id}")
-        self._swap("dictionary", "tmp_dictionary_new")
-        d_r = (self.store.read("dictionary").select("rterm", "term", "df")
-               .repartitionByRange(4, "rterm").sortWithinPartitions("rterm"))
-        self.store.write(d_r, "tmp_dictionary_r_new")
-        self._swap("dictionary_r", "tmp_dictionary_r_new")
+                      .agg(F.sum("n_docs").cast("long").alias("df"),
+                           F.sum("cf").cast("long").alias("cf"),
+                           F.count("*").alias("n_blocks"),
+                           # upper-bound semantics (a delta bucket may
+                           # also exist in the base): only used by the
+                           # WAND driver-slice size gate, where an
+                           # overestimate is safe
+                           F.countDistinct("bucket").alias("n_buckets"),
+                           F.max("block_max_wand").alias("max_block_wand"))
+                      .select("term", F.reverse("term").alias("rterm"),
+                              "df", "cf", "n_blocks", "n_buckets",
+                              "max_block_wand",
+                              # ordinals are re-ranked at compaction
+                              F.lit(None).cast("long").alias("term_ord")))
+        dict_delta.write.mode("overwrite").parquet(
+            self._stage_dir(batch_id, "dictionary"))
+        dict_r_delta = dict_delta.select("rterm", "term", "df")
+        dict_r_delta.write.mode("overwrite").parquet(
+            self._stage_dir(batch_id, "dictionary_r"))
+
+        # -- stage 2: link ALL deltas into the live tables (append-only,
+        # deterministic names -> retries converge) ------------------------
+        for table in ("doc_map", "postings", "doc_len"):
+            self._append_files(self._stage_dir(batch_id, table), table, batch_id)
+        crash_point("links")
+        for table in ("dictionary", "dictionary_r", "bucket_max"):
+            self._append_files(self._stage_dir(batch_id, table), table, batch_id)
         crash_point("merges")
 
-        # -- stage 4: stats (from meta + the staged delta, deterministic)
+        # -- stage 3: stats (from meta + the staged delta, deterministic)
         n_delta = doc_map_delta.count()
         batch_len = int(self.spark.read.parquet(self._stage_dir(batch_id, "doc_len"))
                         .agg(F.sum("dl")).collect()[0][0] or 0)
@@ -239,11 +225,39 @@ class IncrementalIndexer:
         self._swap("stats", "tmp_stats_new")
         crash_point("stats")
 
-        # -- stage 5: commit marker + cleanup -----------------------------
+        # -- stage 4: commit marker + cleanup -----------------------------
         tmp = self._marker(batch_id) + ".tmp"
         open(tmp, "w").write("done")
         os.rename(tmp, self._marker(batch_id))
         shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
+
+    # -- compaction --------------------------------------------------------
+    def compact(self) -> None:
+        """Fold pending segments into fresh base tables and re-rank the
+        dense term_ord ordinals (Q16 surface) — the LSM maintenance
+        operation. Cost is O(vocabulary), paid once per compaction
+        instead of once per micro-batch; run it between batches (the
+        plain-parquet swap is not concurrent-reader-safe; an Iceberg
+        deployment makes it one transactional commit)."""
+        if not self.store.has_segments("dictionary") and \
+                not self.store.has_segments("bucket_max"):
+            return
+        merged = _fold_dictionary(self.store.read("dictionary")).drop("term_ord")
+        merged = with_global_ordinals(
+            self.spark, self.store, merged, ["term"], "term_ord",
+            "tmp_compact_order", 4)
+        self.store.write(merged, "tmp_dictionary_new")
+        self.store.drop("tmp_compact_order")
+        self._swap("dictionary", "tmp_dictionary_new")
+        d_r = (self.store.read("dictionary").select("rterm", "term", "df")
+               .repartitionByRange(4, "rterm").sortWithinPartitions("rterm"))
+        self.store.write(d_r, "tmp_dictionary_r_new")
+        self._swap("dictionary_r", "tmp_dictionary_r_new")
+        bmax = (_fold_bucket_max(self.store.read("bucket_max"))
+                .repartitionByRange(4, "term", "bucket")
+                .sortWithinPartitions("term", "bucket"))
+        self.store.write(bmax, "tmp_bucket_max_new")
+        self._swap("bucket_max", "tmp_bucket_max_new")
 
     def _swap(self, live: str, staged: str) -> None:
         self.store.drop(live)
@@ -251,14 +265,23 @@ class IncrementalIndexer:
 
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,
-                              available_now: bool = True):
+                              available_now: bool = True,
+                              compact_every: int | None = None):
         """File-source stream: every new parquet file of documents in
-        `input_dir` is appended to the index, one micro-batch at a time."""
+        `input_dir` is appended to the index, one micro-batch at a time.
+        `compact_every`: fold segments every N batches (after the batch
+        COMMITS, so a compaction crash never affects batch replay)."""
         stream = (self.spark.readStream
                   .schema(DOCUMENTS_SCHEMA)
                   .parquet(input_dir))
+
+        def apply(df, bid):
+            self.append_batch(df, bid)
+            if compact_every and (bid + 1) % compact_every == 0:
+                self.compact()
+
         writer = (stream.writeStream
-                  .foreachBatch(lambda df, bid: self.append_batch(df, bid))
+                  .foreachBatch(apply)
                   .option("checkpointLocation", checkpoint_dir))
         if available_now:
             writer = writer.trigger(availableNow=True)

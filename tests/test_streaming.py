@@ -136,3 +136,101 @@ def test_stream_from_directory(spark, work_dir):
     assert qe.stats["n_docs"] == 7
     names = [r["name"] for r in qe.boolean("streaming").collect()]
     assert sorted(names) == ["test6.txt", "test7.txt"]
+
+
+def _dict_segment_rows(idx_dir, spark, batch_id=0):
+    import glob as g
+    files = sorted(g.glob(f"{idx_dir}/dictionary/batch{batch_id}_*.parquet"))
+    assert files, "expected dictionary segment files"
+    return spark.read.parquet(*files)
+
+
+def test_batch_dictionary_write_is_o_delta(spark, work_dir):
+    # the bytes a micro-batch writes into the dictionary depend ONLY on
+    # the batch's own vocabulary — never on the live vocabulary size
+    # (round 2 rewrote the full merged dictionary every batch)
+    import glob as g
+    import os
+    from information_retrieval_spark.corpus import synthetic_corpus
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+
+    # big-vocabulary base
+    big_dir = f"{work_dir}/odelta_big"
+    IndexBuilder(spark, big_dir, cfg).build(
+        synthetic_corpus(spark, n_docs=300, seed=42), resume=False)
+    base_files = {
+        p: os.path.getsize(p)
+        for p in g.glob(f"{big_dir}/dictionary/*") if "batch" not in p}
+    IncrementalIndexer(spark, big_dir, cfg).append_batch(delta)
+    # base files untouched (append-only) ...
+    for p, sz in base_files.items():
+        assert os.path.exists(p) and os.path.getsize(p) == sz
+    # ... and the segment holds exactly the batch's vocabulary
+    batch_vocab = set()
+    for _, _, _, _, content in NEW_DOCS:
+        from information_retrieval_spark.normalize import tokenize
+        batch_vocab |= set(tokenize(content))
+    seg_big = _dict_segment_rows(big_dir, spark)
+    assert seg_big.count() == len(batch_vocab)
+
+    # small-vocabulary base: identical segment row count
+    small_dir = f"{work_dir}/odelta_small"
+    IndexBuilder(spark, small_dir, cfg).build(fixture_docs(spark), resume=False)
+    IncrementalIndexer(spark, small_dir, cfg).append_batch(delta)
+    assert _dict_segment_rows(small_dir, spark).count() == len(batch_vocab)
+
+
+def test_compact_restores_dense_ordinals_and_base_state(spark, work_dir):
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/compact_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+    inc.append_batch(delta)
+
+    idx = inc.index()
+    assert idx.is_segmented()
+    pre = _index_signature(idx)
+    # exact ordinal while segmented: computed by rank query
+    qe = QueryEngine(idx)
+    terms = sorted(r["term"] for r in idx.table("dictionary").collect())
+    from information_retrieval_spark.normalize import stem
+    t = stem("streaming")  # 'stream' under the Porter-lite chain
+    assert qe.term_dict_pos(t) == terms.index(t)
+    assert qe.term_dict_pos("zzz_absent") == -1
+
+    inc.compact()
+    idx2 = inc.index()
+    assert not idx2.is_segmented()
+    # fold-equivalence: same logical dictionary/postings after compaction
+    assert _index_signature(idx2) == pre
+    # dense, sorted ordinals are back on the column path
+    rows = sorted((r["term_ord"], r["term"])
+                  for r in idx2.table("dictionary").collect())
+    assert [o for o, _ in rows] == list(range(len(rows)))
+    assert [t for _, t in rows] == terms
+    qe2 = QueryEngine(idx2)
+    assert qe2.term_dict_pos(t) == terms.index(t)
+    # compact is a no-op when there is nothing to fold
+    sig = _index_signature(inc.index())
+    inc.compact()
+    assert _index_signature(inc.index()) == sig
+
+
+def test_queries_identical_before_and_after_compact(spark, work_dir):
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/compact_q_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    inc.append_batch(spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA))
+    def snap():
+        qe = QueryEngine(inc.index())
+        bm = [(r["name"], round(r["score"], 9))
+              for r in qe.bm25("fell already", k=10, wand=True,
+                               wand_gate_blocks=0).collect()]
+        bl = [r["name"] for r in qe.boolean("already AND streaming").collect()]
+        return bm, bl
+    before = snap()
+    inc.compact()
+    assert snap() == before
