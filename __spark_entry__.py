@@ -215,11 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_ngram_jaccard(spark, sf):
         # candidate-DRIVEN exact verification (the scale shape): the
         # shared-shingle self-join is never formed over the corpus —
-        # LSH band collisions propose pairs, exact Jaccard verifies.
-        docs = _documents(spark, sf)
-        cand = dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, n=2)
-        return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3,
-                                         candidates=cand)
+        # LSH band collisions propose pairs, exact Jaccard verifies,
+        # and one persisted shingle relation feeds both stages
+        # (dedup.near_duplicates at the gate's 2-gram/0.3 parameters).
+        return dedup.near_duplicates(_documents(spark, sf), n=2,
+                                     threshold=0.3, num_hashes=16,
+                                     band_size=4)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_minhash_lsh(spark, sf):

@@ -60,12 +60,11 @@ def main() -> None:
         "positional": lambda: qe.positional_docs("spark /3 join").count(),
         "joker": lambda: qe.joker_docs("st* *ow").count(),
         # candidate-driven (the gated scale shape): LSH proposes, exact
-        # Jaccard verifies — never the corpus-wide shared-shingle self-join
-        "dedup_ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+        # Jaccard verifies over one shared persisted shingle relation —
+        # never the corpus-wide shared-shingle self-join
+        "dedup_ngram_jaccard": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.3,
-            candidates=dedup.minhash_lsh_pairs(
-                docs, id_col="path", text_col="content",
-                num_hashes=16, band_size=4, n=3)).count(),
+            num_hashes=16, band_size=4).count(),
         "dedup_near": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.8,
             num_hashes=64, band_size=8).count(),

@@ -162,11 +162,16 @@ def _feature_h32(col: str = "feature"):
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
-                       n: int = 1, seed: int = 7) -> DataFrame:
+                       n: int = 1, seed: int = 7,
+                       features: DataFrame | None = None) -> DataFrame:
     """(id, minhash: array<long>): minhash[i] = min over distinct
     features of (a_i * h32(feature) + b_i) mod p. Features are terms
-    (n<=1) or n-gram shingles (see _feature_sets)."""
-    feat = _feature_sets(df, id_col, text_col, n).withColumn("h", _feature_h32())
+    (n<=1) or n-gram shingles (see _feature_sets); pass a precomputed
+    (id, feature) relation via `features` to share one tokenize+shingle
+    pass across a candidate-generation + verification pipeline."""
+    feat = (features if features is not None
+            else _feature_sets(df, id_col, text_col, n)).withColumn(
+        "h", _feature_h32())
     mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
             .alias(f"m{i}")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))]
@@ -178,7 +183,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
                       band_size: int = 2, n: int = 1,
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7,
+                      features: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
 
     bands = num_hashes / band_size; band key = ':'-joined minhashes of
@@ -190,7 +196,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     non-colliding (for the synthetic corpus: shingle features n=3 with
     band_size >= 4).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n=n, seed=seed)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n=n, seed=seed,
+                             features=features)
     n_bands = num_hashes // band_size
     bands = F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -228,8 +235,17 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size, n=n)
+    # ONE shingle relation feeds both LSH candidate generation and the
+    # exact verification (4 consumers: minhash agg, a-side, b-side,
+    # sizes). Spark recomputes the subplan per consumer — measured
+    # FASTER here than persisting it (the columnar cache build costs
+    # more than three recomputes of a pipelined tokenize+shingle scan
+    # on this memory-bandwidth-bound box); at 10^12 docs, materialize
+    # the shingle table once to disk-backed storage instead.
     sh = shingle_sets(df, id_col, text_col, n)
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
+                             n=n, features=sh.withColumnRenamed("shingle",
+                                                                "feature"))
     # candidate-driven verification: expand candidates by id_a's shingles,
     # then keep only shingles id_b also has
     return _jaccard_verify(sh, threshold, candidates=cand)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..normalize import (
     MAX_UNFILTERED_LEN,
+    STEM_GUARD_CHARS,
     STEM_RULES,
     WS_CLASS,
     spark_tokens_expr,
@@ -43,8 +44,16 @@ def _normalize_unique(uniq: pd.Series) -> pd.Series:
     chain is rendered from the same STEM_RULES table.
     """
     st = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
-    for pat, rep in STEM_RULES:
-        st = st.str.replace(pat, rep, regex=True)
+    # last-char guard (normalize.STEM_GUARD_CHARS): the stem chain is a
+    # provable no-op unless the token ends in s/g/d — run the 18 regexes
+    # on that minority only
+    mask = st.str.endswith(tuple(STEM_GUARD_CHARS))
+    if mask.any():
+        sub = st[mask]
+        for pat, rep in STEM_RULES:
+            sub = sub.str.replace(pat, rep, regex=True)
+        st = st.copy()
+        st[mask] = sub
     kept = (st != "") & (
         (st.str.len() < MAX_UNFILTERED_LEN) | ~st.str.contains("[0-9]", regex=True)
     )

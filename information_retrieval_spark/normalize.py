@@ -112,9 +112,18 @@ STEM_RULES = (
 
 _COMPILED_RULES = [(re.compile(p), r) for p, r in STEM_RULES]
 
+# Every rule's pattern ends in `s$`, `(ing|ed)$` or `ies$` — i.e. the
+# last character of any rewritable token is s, g or d. The guard is a
+# pure fast-path (provably a no-op on other tokens) and every dialect
+# applies the SAME guard, so parity is preserved while the 18-regex
+# chain only runs on the minority of suffix-candidate tokens.
+STEM_GUARD_CHARS = "sgd"
+
 
 def stem(word: str) -> str:
     """Deterministic Porter-lite stemmer (see module docstring)."""
+    if word[-1:] not in STEM_GUARD_CHARS:
+        return word
     for pat, rep in _COMPILED_RULES:
         word = pat.sub(rep, word)
     return word
@@ -170,16 +179,26 @@ def _render_stem_chain(base: str, dialect: str) -> str:
     return expr
 
 
+def _guard_list() -> str:
+    return ", ".join(f"'{c}'" for c in STEM_GUARD_CHARS)
+
+
 def _spark_norm_lambda(var: str = "t") -> str:
     base = f"regexp_replace(lower({var}), '[^a-z0-9_]', '')"
     return _render_stem_chain(base, "spark")
 
 
 def spark_tokens_expr(col: str = "content") -> str:
-    """Spark SQL expression: string column -> array<string> of kept terms."""
-    norm = _spark_norm_lambda("t")
+    """Spark SQL expression: string column -> array<string> of kept terms.
+    Two-level transform: the inner one strips/lowercases once per token,
+    the outer applies the stem chain only behind the last-char guard."""
+    base = "regexp_replace(lower(t), '[^a-z0-9_]', '')"
+    chain = _render_stem_chain("t", "spark")
+    guarded = (f"CASE WHEN right(t, 1) IN ({_guard_list()}) "
+               f"THEN {chain} ELSE t END")
     return (
-        f"filter(transform(split({col}, '\\\\s+'), t -> {norm}), "
+        f"filter(transform(transform(split({col}, '\\\\s+'), t -> {base}), "
+        f"t -> {guarded}), "
         f"t -> t != '' AND (length(t) < {MAX_UNFILTERED_LEN} OR t NOT RLIKE '[0-9]'))"
     )
 
@@ -187,9 +206,14 @@ def spark_tokens_expr(col: str = "content") -> str:
 def duckdb_tokens_expr(col: str = "text") -> str:
     """DuckDB SQL expression: string column -> list<varchar> of kept terms."""
     base = "regexp_replace(lower(t), '[^a-z0-9_]', '', 'g')"
-    chain = _render_stem_chain(base, "duckdb")
+    chain = _render_stem_chain("t", "duckdb")
+    # right(t, 1) spelled as t[-1] (DuckDB string slicing)
+    guarded = (f"CASE WHEN t[-1] IN ({_guard_list()}) "
+               f"THEN {chain} ELSE t END")
     # RE2's \s lacks \x0b (vertical tab); spell out Java's class
     return (
-        f"list_filter(list_transform(regexp_split_to_array({col}, '[ \\t\\n\\x0b\\f\\r]+'), t -> {chain}), "
+        f"list_filter(list_transform(list_transform("
+        f"regexp_split_to_array({col}, '[ \\t\\n\\x0b\\f\\r]+'), t -> {base}), "
+        f"t -> {guarded}), "
         f"t -> t != '' AND (length(t) < {MAX_UNFILTERED_LEN} OR NOT regexp_matches(t, '[0-9]')))"
     )
