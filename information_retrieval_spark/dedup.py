@@ -16,9 +16,10 @@ Scale notes (100 TB / 10^12 docs):
   near-duplicate candidates ever pair up (no O(n^2)).
 - simhash: 64-bit signature via per-term sha256 bits weighted by tf;
   grouping by signature (or banded substrings of it) finds near-dups.
-- ngram jaccard: exact verification operator — use after LSH candidate
-  generation at scale; here also exposed as a standalone all-pairs op
-  for small candidate sets.
+- ngram jaccard: exact verification operator — pass `candidates=` (an
+  LSH candidate pair set) so verification is candidate-driven, the
+  only shape that survives 100 TB; the standalone all-pairs
+  shared-shingle self-join remains for small inputs only.
 """
 
 from __future__ import annotations
