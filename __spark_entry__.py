@@ -361,6 +361,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("id", "vec_id")
     q["ann_banded_topk"] = ann_banded_topk
 
+    def dedup_clusters(spark, sf):
+        # the full dedup pipeline: LSH candidates -> exact verify ->
+        # connected components (large-star/small-star) -> canonical
+        # cluster assignment with sizes
+        return dedup.duplicate_clusters(_documents(spark, sf), n=3,
+                                        threshold=0.8, num_hashes=64,
+                                        band_size=8)
+    q["dedup_clusters"] = dedup_clusters
+
     return q
 
 
@@ -754,5 +763,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(c, 6) AS cos
         FROM s ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+    # connected components over the dedup_near pair set: transitive
+    # closure via recursive CTE (fine at oracle scale; the Spark side
+    # runs large-star/small-star, which needs no closure table)
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE {_TOKS},
+        {_minhash_lsh_ctes(num_hashes=64, band_size=8, n=3)},
+        sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
+        inter AS (
+            SELECT id_a, id_b, count(*)::BIGINT AS i
+            FROM cand
+            JOIN sh a ON a.id = id_a
+            JOIN sh b ON b.id = id_b AND b.feature = a.feature
+            GROUP BY 1, 2
+        ),
+        dup_pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.8
+        ),
+        edges AS (
+            SELECT id_a AS ea, id_b AS eb FROM dup_pairs
+            UNION
+            SELECT id_b, id_a FROM dup_pairs
+        ),
+        reach(src, node) AS (
+            SELECT ea, ea FROM edges
+            UNION
+            SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.node
+        ),
+        comp AS (SELECT src AS id, min(node) AS cluster_id
+                 FROM reach GROUP BY src),
+        csize AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+        SELECT comp.id, comp.cluster_id, csize.cluster_size
+        FROM comp JOIN csize USING (cluster_id)
     """
     return o

@@ -252,6 +252,96 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     return _jaccard_verify(sh, threshold, candidates=cand)
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(id, cluster_id) connected components over an undirected pair
+    relation; cluster_id = min node id of the component.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round is two
+    relational passes (symmetrize -> groupBy-min -> join), and the edge
+    set converges to disjoint stars centered at component minima in
+    O(log^2 n) rounds (O(log n) observed). Everything is DataFrame
+    joins/aggregates — no collect_list of neighborhoods, so a high-degree
+    node never materializes its adjacency in one task, and no
+    driver-side graph: the only driver values per round are the 3-field
+    convergence fingerprint. Each round localCheckpoints the edge set
+    (truncates lineage — iterative plans otherwise grow Catalyst trees
+    exponentially; at real 100 TB scale use a reliable checkpoint dir).
+
+    Isolated nodes never appear in `pairs`, so every returned row
+    belongs to a component of size >= 2 (callers wanting singletons
+    left-join this onto their node set).
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+
+    def fingerprint(e: DataFrame):
+        # set-equality check: count + two order-sensitive hash sums.
+        # A collision would only cost one early stop; the fixed point
+        # itself is verified cheaply below by a no-op final round.
+        row = e.agg(F.count(F.lit(1)).alias("c"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+                    F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2")
+                    ).collect()[0]
+        return (row["c"], row["h1"], row["h2"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        # (v, m) for v in N(u), v > u; m <= u < v so never a self-loop
+        return (sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), m.alias("v")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+        j = o.join(mins, "u")
+        return (j.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins.select("u", F.col("m").alias("v")))
+                .distinct())
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = fingerprint(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # fixed point = stars (child, center): sym min-neighbor of a child is
+    # its center, of the center its smallest child (> center) — least()
+    # with the node id itself resolves both to the center
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select(F.col("u").alias("id"),
+                    F.least(F.col("mv"), F.col("u")).alias("cluster_id")))
+
+
+def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       threshold: float = 0.8, num_hashes: int = 64,
+                       band_size: int = 8) -> DataFrame:
+    """End-to-end dedup grouping: near_duplicates pairs -> connected
+    components -> (id, cluster_id, cluster_size) for every document in
+    a near-duplicate cluster (size >= 2). cluster_id = min doc id of
+    the cluster, the canonical representative a curation pipeline keeps
+    while dropping the rest."""
+    pairs = near_duplicates(df, id_col, text_col, n, threshold,
+                            num_hashes, band_size)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, simhash) where simhash is a `bits`-char '0'/'1' string.

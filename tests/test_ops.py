@@ -112,6 +112,67 @@ def test_near_duplicates_chain(docs_df):
     assert (0, 1) in got and got[(0, 1)] == 1.0
 
 
+def _py_components(edges):
+    """Union-find oracle: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("edges", [
+    [],                                            # empty
+    [(5, 9)],                                      # one pair
+    [(i, i + 1) for i in range(50)],               # 50-chain: worst diameter
+    [(0, 1), (1, 2), (10, 11), (12, 11), (3, 0),
+     (20, 21), (21, 22), (22, 20), (2, 3)],        # cycles + several comps
+    [(100, i) for i in range(40)],                 # high-degree star
+], ids=["empty", "pair", "chain50", "mixed", "star"])
+def test_connected_components(spark, edges):
+    df = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        df = df.filter("id_a != id_a")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.RandomState(11)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 120, size=(200, 2))
+             if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_duplicate_clusters_chain(docs_df):
+    # near_duplicates pairs at these params: (0,1) exact and (0,2)/(1,2)
+    # near -> one cluster {0,1,2} with canonical id 0
+    rows = dedup.duplicate_clusters(docs_df, n=2, threshold=0.5,
+                                    num_hashes=16, band_size=4).collect()
+    got = {(r["id"], r["cluster_id"], r["cluster_size"]) for r in rows}
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             dedup.near_duplicates(docs_df, n=2, threshold=0.5,
+                                   num_hashes=16, band_size=4).collect()]
+    comp = _py_components(pairs)
+    from collections import Counter
+    sizes = Counter(comp.values())
+    assert got == {(i, c, sizes[c]) for i, c in comp.items()}
+    assert {0, 1, 2} <= {i for i, _, _ in got}
+
+
 def test_minhash_shingle_features_discriminative(docs_df):
     # shingle-based bands must NOT pair docs that merely share vocabulary
     pairs = {(r["id_a"], r["id_b"]) for r in
