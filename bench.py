@@ -68,6 +68,12 @@ def main() -> None:
         "dedup_near": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.8,
             num_hashes=64, band_size=8).count(),
+        # pairs -> connected components -> canonical clusters (the full
+        # curation pipeline; cost on top of dedup_near is the O(log n)
+        # star rounds over the tiny pair set)
+        "dedup_clusters": lambda: dedup.duplicate_clusters(
+            docs, id_col="path", text_col="content", n=3, threshold=0.8,
+            num_hashes=64, band_size=8).count(),
         "dedup_simhash": lambda: dedup.simhash_signatures(
             docs, id_col="path", text_col="content").count(),
         "text_quality": lambda: textstats.quality_scores(

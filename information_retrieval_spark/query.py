@@ -324,9 +324,32 @@ class QueryEngine:
     def boolean(self, q: str) -> DataFrame:
         return self._names(self.boolean_docs(q))
 
+    def _subtract_excluded(self, clause: DataFrame, exc: list) -> DataFrame:
+        """clause ANTI-JOIN (union of exc terms' docs), decoding ONLY the
+        excluded terms' posting blocks whose docID bucket occurs in the
+        clause result: a high-df excluded term never decodes its full
+        posting list when the clause is concentrated in few buckets.
+        Pruning is relational — blocks join the clause's distinct bucket
+        set (cardinality bounded by n_docs/docs_per_bucket, and by the
+        clause's own spread), so AQE broadcasts the bucket set when it
+        is small. The clause subtree is evaluated twice (bucket set +
+        anti-join) over the per-query decoded cache — at real scale,
+        persist the clause result instead."""
+        dpb = self.index.config.docs_per_bucket
+        buckets = clause.select(
+            (F.col("docID") / F.lit(dpb)).cast("long").alias("bucket")).distinct()
+        blocks = self.blocks_for(exc).join(buckets, "bucket")
+        ex_docs = blocks.mapInArrow(
+            lambda it: _decode_iter(it, False),
+            schema=_DECODED_SCHEMA).select("docID").distinct()
+        return clause.join(ex_docs, "docID", "left_anti")
+
     def boolean_docs(self, q: str) -> DataFrame:
         clauses = self.parse_boolean(q)
-        all_terms = {t for inc, exc in clauses for t in inc + exc if t is not None}
+        # decode + cache INCLUDE terms only: excluded terms go through
+        # the bucket-pruned path in _subtract_excluded, which skips
+        # whole blocks instead of decoding the full posting list
+        all_terms = {t for inc, _ in clauses for t in inc if t is not None}
         decoded = self.postings_for(all_terms).select("term", "docID")
         decoded = self._cache(decoded)  # one decode pass feeds every clause
         try:
@@ -351,9 +374,7 @@ class QueryEngine:
                      for t in inc])
                 exc = [t for t in exc if t is not None]
                 if exc:
-                    ex_docs = (decoded.filter(F.col("term").isin(exc))
-                               .select("docID").distinct())
-                    clause = clause.join(ex_docs, "docID", "left_anti")
+                    clause = self._subtract_excluded(clause, exc)
                 parts.append(clause)
             if not parts:
                 return decoded.select("docID").filter(F.lit(False))

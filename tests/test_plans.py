@@ -138,3 +138,16 @@ def test_gated_ngram_jaccard_has_no_allpairs_shingle_join(spark):
         cond = m.group(1)
         if "shingle" in cond or "feature" in cond:
             assert "id" in cond, cond
+
+
+def test_not_term_decode_is_bucket_pruned(synth_engine):
+    # VERDICT r2 "what's wrong #5": an excluded (NOT) term must not
+    # decode its full posting list — its blocks join the clause's
+    # distinct bucket set BEFORE the Arrow decode, so off-bucket blocks
+    # are skipped compressed
+    import re
+    df = synth_engine.boolean_docs("sym0 AND NOT the")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # two decode kernels: one for include terms, one (pruned) for NOT
+    assert plan.count("MapInArrow") >= 2, plan
+    assert re.search(r"Join Inner, \(bucket#", plan), plan
