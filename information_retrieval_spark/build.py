@@ -599,6 +599,24 @@ class IndexBuilder:
         return self.config.n_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
 
+    def _postings_partitions(self) -> int:
+        """Partition count for the postings encode shuffle: WAVE-BALANCED,
+        not core-count-sized. The encode kernel's per-(term,bucket) work
+        is high-variance (Zipf head terms carry dense blocks), so at
+        n_partitions == 2*cores the stage runs in 2 task waves and one
+        heavy partition stalls half the machine for the whole last wave
+        — measured 35.5s -> 28.7s (medians of >=4 pinned 8-core runs at
+        1M docs) by cutting finer. Target >=8 tasks/core, capped by the
+        partials byte size (~4 MB of zstd partials per task) so small
+        corpora don't fragment into empty files."""
+        import glob as _glob
+        n = self._n_partitions()
+        par = self.spark.sparkContext.defaultParallelism
+        part_bytes = sum(
+            os.path.getsize(fp) for fp in
+            _glob.glob(os.path.join(self.store.path("partials"), "*.parquet")))
+        return max(n, min(8 * par, part_bytes // (4 << 20) + 1))
+
     def _record_lineage(self, stage: str, df_name: str, detail: str = "") -> None:
         """Per-partition row counts of a committed stage output, read from
         the parquet file footers — metadata only, no Spark job, no data
@@ -652,13 +670,17 @@ class IndexBuilder:
                      pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
                     names=["repo", "path", "pid", "local_idx"])
 
+        # ONE materialization via eager localCheckpoint: partitions are
+        # computed once and pinned, so the counts job and the doc_map
+        # write below both read the SAME frozen numbering (the parquet
+        # round-trip this replaces cost two commit barriers + a re-read;
+        # a multi-node deployment would use a reliable checkpoint dir to
+        # also survive executor loss)
         numbered = keys.select("repo", "path").mapInArrow(
-            number_local, schema="repo string, path string, pid int, local_idx long")
-        self.store.write(numbered, "tmp_doc_order")
-        numbered = self.store.read("tmp_doc_order")
-        counts = self._pid_counts_from_footers("tmp_doc_order") or {
-            r["pid"]: r["cnt"] for r in
-            numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+            number_local, schema="repo string, path string, pid int, local_idx long"
+        ).localCheckpoint(eager=True)
+        counts = {r["pid"]: r["cnt"] for r in
+                  numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -686,7 +708,7 @@ class IndexBuilder:
             obs, F.count(F.lit(1)).alias("c"), F.max("docID").alias("m"),
             F.sum(F.col("docID").cast("decimal(38,0)")).alias("s"))
         self.store.write(doc_map, "doc_map")
-        self.store.drop("tmp_doc_order")
+        numbered.unpersist()
         self._validate_doc_ids(acc, obs.get)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc
@@ -699,9 +721,6 @@ class IndexBuilder:
         import pyarrow.parquet as pq
         return sum(pq.ParquetFile(fp).metadata.num_rows for fp in
                    glob.glob(os.path.join(self.store.path(name), "*.parquet")))
-
-    def _pid_counts_from_footers(self, name: str) -> dict | None:
-        return pid_counts_from_footers(self.store, name)
 
     def _validate_doc_ids(self, n: int, agg) -> None:
         """Permutation invariant over the written doc_map: docIDs must be
@@ -803,7 +822,7 @@ class IndexBuilder:
         avgdl = float(stats["avgdl"]) or 1.0
         encode = _make_block_encoder(cfg, avgdl)
         partials = self.store.read("partials")
-        n = self._n_partitions()
+        n = self._postings_partitions()
         cols = ["term", "docID", "tf", "dl"] + \
             (["pos_bytes"] if cfg.store_positions else [])
         enc = (
