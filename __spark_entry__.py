@@ -76,6 +76,78 @@ def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
         )"""
 
 
+def _ivf_oracle_sql(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
+                    k: int = 10, dim: int = 64) -> str:
+    """DuckDB oracle for ann_ivf_topk: re-derives the deterministic
+    quantized-k-means centroids (exact int64 sums; left-associated
+    float64 distance folds identical to similarity._ivf_dists), the
+    final assignments, the query's nprobe lists, and the exact cosine
+    re-rank — iterations unrolled as chained CTEs."""
+    from information_retrieval_spark.similarity import ivf_quantize_expr
+
+    def dist(iv: str, c: str) -> str:
+        terms = [
+            f"(CAST({iv}[{i + 1}] AS DOUBLE) - {c}[{i + 1}])"
+            f" * (CAST({iv}[{i + 1}] AS DOUBLE) - {c}[{i + 1}])"
+            for i in range(dim)]
+        return "(" + " + ".join(terms) + ")"
+
+    sums = ", ".join(f"sum(iv[{i + 1}])::BIGINT AS s{i}" for i in range(dim))
+    newc = ", ".join(f"CAST(s{i} AS DOUBLE) / cnt" for i in range(dim))
+    qz = ivf_quantize_expr("embedding", "duckdb")
+    ctes = [
+        f"ivq AS (SELECT vec_id, {qz} AS iv FROM embeddings)",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                   list_transform(iv, x -> CAST(x AS DOUBLE)) AS c
+            FROM (SELECT * FROM ivq ORDER BY vec_id LIMIT {n_lists}))""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes += [
+            f"""d{t} AS (SELECT v.vec_id, c.list_id,
+                {dist('v.iv', 'c.c')} AS dist
+                FROM ivq v CROSS JOIN {prev} c)""",
+            f"""a{t} AS (SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+                FROM d{t}) WHERE rn = 1)""",
+            f"""s{t} AS (SELECT list_id, count(*)::BIGINT AS cnt, {sums}
+                FROM a{t} JOIN ivq USING (vec_id) GROUP BY list_id)""",
+            f"""c{t} AS (SELECT p.list_id,
+                CASE WHEN s.cnt IS NULL THEN p.c ELSE [{newc}] END AS c
+                FROM {prev} p LEFT JOIN s{t} s USING (list_id))""",
+        ]
+        prev = f"c{t}"
+    ctes += [
+        # final assignment under the trained centroids
+        f"""df_ AS (SELECT v.vec_id, c.list_id, {dist('v.iv', 'c.c')} AS dist
+            FROM ivq v CROSS JOIN {prev} c)""",
+        """af AS (SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+            FROM df_) WHERE rn = 1)""",
+        f"""q AS (SELECT embedding AS qv, {qz} AS qiv
+            FROM embeddings WHERE vec_id = 0)""",
+        f"""qd AS (SELECT c.list_id, {dist('q.qiv', 'c.c')} AS dist
+            FROM q CROSS JOIN {prev} c)""",
+        f"pr AS (SELECT list_id FROM qd ORDER BY dist, list_id LIMIT {nprobe})",
+        """cand AS (SELECT e.vec_id, e.embedding
+            FROM embeddings e JOIN af USING (vec_id) JOIN pr USING (list_id))""",
+        """sc AS (SELECT vec_id,
+            list_sum(list_transform(range(len(embedding)),
+                     i -> embedding[i + 1]::DOUBLE * qv[i + 1]::DOUBLE))
+            / (greatest(sqrt(list_sum(list_transform(embedding,
+                             x -> x::DOUBLE * x::DOUBLE))), 1e-12)
+               * sqrt(list_sum(list_transform(qv,
+                               x -> x::DOUBLE * x::DOUBLE)))) AS c
+            FROM cand CROSS JOIN q)""",
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, round(c, 6) AS cos FROM sc "
+              f"ORDER BY c DESC, vec_id LIMIT {k}")
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
     """Build (or reuse) the inverted index for a testdata scale factor."""
     key = os.path.abspath(sf_dir)
@@ -216,11 +288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate-DRIVEN exact verification (the scale shape): the
         # shared-shingle self-join is never formed over the corpus —
         # LSH band collisions propose pairs, exact Jaccard verifies,
-        # and one persisted shingle relation feeds both stages
-        # (dedup.near_duplicates at the gate's 2-gram/0.3 parameters).
+        # and one persisted shingle relation feeds both stages.
+        # Bands of 2 keep candidate recall meaningful at the op's own
+        # threshold (J=0.3 collides in >=1 of 8 bands w.p. ~0.53,
+        # J=0.5 ~0.90, true dups ~1.0); the exact all-pairs op remains
+        # available standalone for small candidate sets.
         return dedup.near_duplicates(_documents(spark, sf), n=2,
                                      threshold=0.3, num_hashes=16,
-                                     band_size=4)
+                                     band_size=2)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_minhash_lsh(spark, sf):
@@ -361,6 +436,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("id", "vec_id")
     q["ann_banded_topk"] = ann_banded_topk
 
+    def ann_ivf_topk(spark, sf):
+        # IVF-Flat: deterministic quantized k-means coarse quantizer
+        # (trained + persisted once per corpus), probe the nprobe
+        # nearest lists, exact cosine re-rank inside members — the
+        # data-adaptive ANN scale path next to the LSH tables. The
+        # oracle re-derives the SAME centroids from the same rows.
+        cents, asg = _ivf_index(spark, sf)
+        qv = _query_vec(spark, sf)
+        return similarity.ivf_topk(
+            _embeddings(spark, sf), qv, k=10, nprobe=2,
+            centroids=cents, assignments=asg
+        ).withColumnRenamed("id", "vec_id")
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def dedup_clusters(spark, sf):
         # the full dedup pipeline: LSH candidates -> exact verify ->
         # connected components (large-star/small-star) -> canonical
@@ -380,6 +469,17 @@ def _ann_signatures(spark: SparkSession, sf: str) -> DataFrame:
     sig_dir = os.path.join(tempfile.gettempdir(), f"irs_ann_sigs_v2_{tag}")
     return similarity.persist_signatures(
         _embeddings(spark, sf), sig_dir, nbits=8, seed=42)
+
+
+def _ivf_index(spark: SparkSession, sf: str):
+    """Persisted IVF index (centroids + assignments) for a testdata dir."""
+    tag = os.path.abspath(sf).strip("/").replace("/", "_")
+    # path keyed by params: a persisted IVF index is only valid for the
+    # (n_lists, iters, dataset) it was trained on
+    return similarity.persist_ivf(
+        _embeddings(spark, sf),
+        os.path.join(tempfile.gettempdir(), f"irs_ann_ivf_L8i2_{tag}"),
+        n_lists=8, iters=2)
 
 
 def _banded_signatures(spark: SparkSession, sf: str) -> DataFrame:
@@ -505,13 +605,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 HAVING count(*) >= 2
     """
 
-    # candidate-driven: LSH band collisions (16 hashes, 4 bands of 4,
+    # candidate-driven: LSH band collisions (16 hashes, 8 bands of 2,
     # 2-gram shingle features) propose pairs; exact 2-gram Jaccard >=0.3
     # verifies — mirrors the Spark gate's scale shape exactly (the `sh`
     # CTE from the minhash block doubles as the verification shingles)
     o["dedup_ngram_jaccard"] = f"""
         WITH {_TOKS},
-        {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=2)},
+        {_minhash_lsh_ctes(num_hashes=16, band_size=2, n=2)},
         sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
         inter AS (
             SELECT id_a, id_b, count(*)::BIGINT AS i
@@ -764,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(c, 6) AS cos
         FROM s ORDER BY c DESC, vec_id LIMIT 10
     """
+
+    o["ann_ivf_topk"] = _ivf_oracle_sql(n_lists=8, iters=2, nprobe=2,
+                                        k=10, dim=64)
 
     # connected components over the dedup_near pair set: transitive
     # closure via recursive CTE (fine at oracle scale; the Spark side

@@ -64,7 +64,7 @@ def main() -> None:
         # never the corpus-wide shared-shingle self-join
         "dedup_ngram_jaccard": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.3,
-            num_hashes=16, band_size=4).count(),
+            num_hashes=16, band_size=2).count(),
         "dedup_near": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.8,
             num_hashes=64, band_size=8).count(),
@@ -108,6 +108,15 @@ def main() -> None:
         steps["ann_banded_topk"] = lambda: similarity.banded_lsh_topk(
             emb, qv, k=10, n_tables=16, nbits=8,
             signatures=sig_state["banded"]).collect()
+
+        def ann_ivf_build():
+            sig_state["ivf"] = similarity.persist_ivf(
+                emb, f"{sig_dir}/ivf", n_lists=8, iters=2)
+
+        steps["ann_ivf_build"] = ann_ivf_build
+        steps["ann_ivf_topk"] = lambda: similarity.ivf_topk(
+            emb, qv, k=10, nprobe=2, centroids=sig_state["ivf"][0],
+            assignments=sig_state["ivf"][1]).collect()
 
     for name, fn in steps.items():
         dt, _ = timed(fn)

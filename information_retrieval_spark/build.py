@@ -654,8 +654,7 @@ class IndexBuilder:
         # counts AND final ids both derive from that single materialization.
         keys = (docs.select("repo", "path")
                 .repartitionByRange(n, "repo", "path")
-                .sortWithinPartitions("repo", "path")
-                .withColumn("pid", F.spark_partition_id()))
+                .sortWithinPartitions("repo", "path"))
 
         def number_local(batches):
             import pyarrow as pa

@@ -256,7 +256,9 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
                          max_iter: int = 50) -> DataFrame:
     """(id, cluster_id) connected components over an undirected pair
-    relation; cluster_id = min node id of the component.
+    relation; cluster_id = min node id of the component. Ids may be any
+    orderable type (long doc ids, string paths, ...) — min/least and the
+    star orientations only need the column's natural ordering.
 
     Alternating large-star / small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014): each round is two
@@ -274,19 +276,26 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     belongs to a component of size >= 2 (callers wanting singletons
     left-join this onto their node set).
     """
-    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
-                          F.col(b_col).cast("long").alias("v"))
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .filter(F.col("u") != F.col("v")).distinct())
 
     def fingerprint(e: DataFrame):
-        # set-equality check: count + two order-sensitive hash sums.
-        # A collision would only cost one early stop; the fixed point
-        # itself is verified cheaply below by a no-op final round.
+        # cheap per-round set-equality check: count + two hash sums.
+        # On an apparent match the loop confirms the fixed point EXACTLY
+        # (anti-join, below) before trusting it, so a hash collision can
+        # cost one wasted confirmation, never a wrong result.
         row = e.agg(F.count(F.lit(1)).alias("c"),
                     F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
                     F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2")
                     ).collect()[0]
         return (row["c"], row["h1"], row["h2"])
+
+    def same_edge_set(a: DataFrame, b: DataFrame) -> bool:
+        # both are distinct sets; equal counts + empty one-way anti-join
+        # is exact set equality
+        if a.count() != b.count():
+            return False
+        return a.join(b, ["u", "v"], "left_anti").limit(1).count() == 0
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -309,10 +318,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     edges = edges.localCheckpoint(eager=True)
     prev = fingerprint(edges)
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        cur = fingerprint(edges)
-        if cur == prev:
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = fingerprint(nxt)
+        if cur == prev and same_edge_set(nxt, edges):
+            edges.unpersist()
+            edges = nxt
             break
+        edges.unpersist()  # release the superseded round's checkpoint
+        edges = nxt
         prev = cur
     else:
         raise RuntimeError(

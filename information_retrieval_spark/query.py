@@ -334,8 +334,12 @@ class QueryEngine:
         clause's own spread), so AQE broadcasts the bucket set when it
         is small. The clause subtree is evaluated twice (bucket set +
         anti-join) over the per-query decoded cache — at real scale,
-        persist the clause result instead."""
-        dpb = self.index.config.docs_per_bucket
+        persist the clause result instead. An exc term shared by several
+        OR-clauses decodes once per clause (rare shape; each decode is
+        bucket-pruned). dpb comes from the PERSISTED stats — the bucket
+        key must match what the index was built with, not this engine's
+        in-memory config (same rule as the BM25/WAND paths)."""
+        dpb = int(self.stats["docs_per_bucket"])
         buckets = clause.select(
             (F.col("docID") / F.lit(dpb)).cast("long").alias("bucket")).distinct()
         blocks = self.blocks_for(exc).join(buckets, "bucket")

@@ -403,3 +403,217 @@ def banded_lsh_topk(df: DataFrame, query_vec, k: int = 10,
     cand = df.join(F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
                    id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+# Coarse quantizer = deterministic k-means over QUANTIZED vectors:
+# iv_i = floor(v_i * 2^20 + 0.5) as int64. Centroid updates are exact
+# int64 sums (associative — partition order cannot change them), so the
+# trained centroids are bit-identical regardless of parallelism, and
+# every distance is a left-associated float64 fold over (iv_i - c_i)^2
+# (the same IEEE-operation-sequence trick as the LSH signatures). The
+# whole pipeline — train, assign, probe — is therefore reproducible in
+# Spark, numpy, pure Python and DuckDB alike, which is what lets an
+# adaptive, data-dependent ANN index keep an EXACT correctness oracle.
+#
+# Scale shape: training touches the corpus iters times with a
+# map-side partial aggregation (the driver sees n_partitions * n_lists
+# partial rows, never vectors); assignments persist like the LSH
+# signature table; a query probes nprobe lists -> candidate rows ->
+# exact cosine re-rank. n_lists grows with sqrt(n) at 10^12 rows.
+
+IVF_SCALE = float(1 << 20)
+
+
+def ivf_quantize_expr(vec_col: str, dialect: str = "duckdb") -> str:
+    """SQL for the quantized int64 vector (oracle path)."""
+    if dialect == "duckdb":
+        return (f"list_transform({vec_col}, x -> "
+                f"CAST(FLOOR(x::DOUBLE * {IVF_SCALE!r} + 0.5) AS BIGINT))")
+    return (f"transform({vec_col}, x -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {IVF_SCALE!r} + 0.5) AS BIGINT))")
+
+
+def _ivf_quantize_py(vec) -> list:
+    import math
+    return [int(math.floor(float(x) * IVF_SCALE + 0.5)) for x in vec]
+
+
+def ivf_assign_of(ivec, centroids) -> int:
+    """Pure-Python argmin list for one quantized vector — the reference
+    fold (ties -> lowest list id, like np.argmin and the SQL window)."""
+    best, bestd = 0, None
+    for j in range(len(centroids)):
+        acc = 0.0
+        c = centroids[j]
+        for x, cc in zip(ivec, c):
+            t = float(x) - float(cc)
+            acc = acc + t * t
+        if bestd is None or acc < bestd:
+            best, bestd = j, acc
+    return best
+
+
+def _ivf_quantize_np(batch, dim: int) -> np.ndarray:
+    flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+    v = flat.astype(np.float64).reshape(batch.num_rows, dim)
+    # one multiply + one add + floor, all exactly the python/SQL sequence
+    return np.floor(v * IVF_SCALE + 0.5)
+
+
+def _ivf_dists(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(N, L) float64 distances, same left fold over dims as
+    ivf_assign_of: acc = acc + (iv - c)^2, in dim order."""
+    acc = np.zeros((v.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(v.shape[1]):
+        t = v[:, i:i + 1] - cents[None, :, i]
+        acc = acc + t * t
+    return acc
+
+
+def ivf_train(df: DataFrame, n_lists: int = 8, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic Lloyd's k-means in quantized space; returns float64
+    centroids [n_lists x dim] (or None on empty input). Initial
+    centroids = the n_lists lowest-id vectors, quantized. Each
+    iteration is ONE Spark job: an Arrow kernel assigns rows and emits
+    per-partition partial (list_id, count, int64 sum-vector) rows; the
+    driver merges partials exactly and divides in float64. A list with
+    no members keeps its previous centroid."""
+    import pyarrow as pa
+
+    init = df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    if not init:
+        return None
+    cents = np.array([_ivf_quantize_py(r[0]) for r in init], dtype=np.float64)
+    dim = cents.shape[1]
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    for _ in range(iters):
+        C = cents
+
+        def partials(batches):
+            cnt = np.zeros(len(C), dtype=np.int64)
+            sums = np.zeros((len(C), dim), dtype=np.int64)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                v = _ivf_quantize_np(batch, dim)
+                lid = np.argmin(_ivf_dists(v, C), axis=1)
+                iv = v.astype(np.int64)
+                for j in np.unique(lid):
+                    m = lid == j
+                    cnt[j] += int(m.sum())
+                    sums[j] += iv[m].sum(axis=0)
+            nz = np.nonzero(cnt)[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz, pa.int64()), pa.array(cnt[nz], pa.int64()),
+                 pa.array([sums[j].tolist() for j in nz],
+                          pa.list_(pa.int64()))],
+                names=["list_id", "cnt", "sums"])
+
+        rows = slim.mapInArrow(
+            partials, schema="list_id long, cnt long, sums array<long>"
+        ).collect()
+        cnt = np.zeros(len(C), dtype=np.int64)
+        sums = np.zeros((len(C), dim), dtype=np.int64)
+        for r in rows:
+            cnt[r["list_id"]] += r["cnt"]
+            sums[r["list_id"]] += np.array(r["sums"], dtype=np.int64)
+        new = cents.copy()
+        for j in np.nonzero(cnt)[0]:
+            new[j] = sums[j].astype(np.float64) / np.float64(cnt[j])
+        cents = new
+    return cents
+
+
+def ivf_assignments(df: DataFrame, centroids,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id) via the Arrow assignment kernel."""
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def assign(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            v = _ivf_quantize_np(batch, dim)
+            lid = np.argmin(_ivf_dists(v, C), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(lid.astype(np.int64), pa.int64())],
+                names=["id", "list_id"])
+
+    return slim.mapInArrow(assign, schema="id long, list_id long")
+
+
+def persist_ivf(df: DataFrame, path: str, n_lists: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_partitions: int = 4):
+    """Train + persist the IVF index (centroids table + assignments
+    sorted by list_id so a probe's `list_id IN (...)` scan prunes row
+    groups). Idempotent on `path`: an existing index at the path is
+    returned AS-IS, so the caller must key the path by (n_lists, iters,
+    dataset version) — a stale path silently serves the old index."""
+    import os
+
+    import pyarrow.parquet as pq
+    spark = df.sparkSession
+    cpath, apath = os.path.join(path, "centroids"), os.path.join(path, "assignments")
+    if not os.path.exists(os.path.join(apath, "_SUCCESS")):
+        cents = ivf_train(df, n_lists, iters, id_col, vec_col)
+        if cents is None:
+            return None, None
+        spark.createDataFrame(
+            [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+            "list_id long, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(cpath)
+        (ivf_assignments(df, cents, id_col, vec_col)
+         .repartitionByRange(n_partitions, "list_id")
+         .sortWithinPartitions("list_id")
+         .write.mode("overwrite").parquet(apath))
+    t = pq.read_table(cpath).sort_by("list_id")
+    cents = np.array(t.column("centroid").to_pylist(), dtype=np.float64)
+    return cents, spark.read.parquet(apath)
+
+
+def ivf_probe_lists(query_vec, centroids, nprobe: int) -> list:
+    """The nprobe nearest lists for a query (python fold; ties ->
+    lowest list id)."""
+    qiv = _ivf_quantize_py(query_vec)
+    dists = []
+    for j in range(len(centroids)):
+        acc = 0.0
+        for x, cc in zip(qiv, centroids[j]):
+            t = float(x) - float(cc)
+            acc = acc + t * t
+        dists.append(acc)
+    return sorted(range(len(centroids)), key=lambda j: (dists[j], j))[:nprobe]
+
+
+def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_lists: int = 8,
+             iters: int = 2, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int = 6, centroids=None,
+             assignments: DataFrame | None = None) -> DataFrame:
+    """Approximate cosine top-k through the IVF index: probe the nprobe
+    nearest lists, exact cosine re-rank inside their members only.
+    nprobe == n_lists degenerates to exact brute force (pinned by
+    tests/test_ops.py::test_ivf_all_probes_equals_exact). Deterministic
+    end-to-end (quantized training), so the gate has an exact DuckDB
+    oracle that re-derives the same centroids from the same table."""
+    if centroids is None:
+        centroids = ivf_train(df, n_lists, iters, id_col, vec_col)
+    if centroids is None:
+        return (df.select(F.col(id_col).cast("long").alias("id"),
+                          F.lit(0.0).alias("cos")).limit(0))
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    asg = assignments if assignments is not None else ivf_assignments(
+        df, centroids, id_col, vec_col)
+    cand_ids = (asg.filter(F.col("list_id").isin([int(p) for p in probes]))
+                .select(F.col("id").alias(id_col)))
+    cand = df.join(F.broadcast(cand_ids), id_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)

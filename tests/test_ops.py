@@ -494,3 +494,65 @@ def test_banded_matches_exact_when_candidates_cover(planted_emb):
         df, qv, k=10, n_tables=16, nbits=8, seed=42).collect()}
     for i in set(approx) & set(exact):
         assert approx[i] == exact[i]
+
+
+# --- IVF ANN ----------------------------------------------------------------
+
+def test_ivf_all_probes_equals_exact(emb_df):
+    # probing every list = brute force: result must EQUAL cosine_topk
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    exact = similarity.cosine_topk(df, q, k=5).collect()
+    ivf = similarity.ivf_topk(df, q, k=5, n_lists=4, iters=2,
+                              nprobe=4).collect()
+    assert [(r["id"], r["cos"]) for r in ivf] == \
+        [(r["id"], r["cos"]) for r in exact]
+
+
+def test_ivf_assignment_paths_agree(emb_df):
+    df, _ = emb_df
+    cents = similarity.ivf_train(df, n_lists=4, iters=2)
+    got = {r["id"]: r["list_id"]
+           for r in similarity.ivf_assignments(df, cents).collect()}
+    for r in df.collect():
+        ivec = similarity._ivf_quantize_py(r["embedding"])
+        assert got[r["vec_id"]] == similarity.ivf_assign_of(ivec, cents)
+
+
+def test_ivf_train_invariant_to_partitioning(emb_df):
+    df, _ = emb_df
+    a = similarity.ivf_train(df, n_lists=4, iters=2)
+    b = similarity.ivf_train(df.repartition(7), n_lists=4, iters=2)
+    assert np.array_equal(a, b)  # exact int64 sums -> bitwise equal
+
+
+def test_ivf_empty_input(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    empty = df.filter(F.lit(False))
+    assert similarity.ivf_train(empty, n_lists=4) is None
+    assert similarity.ivf_topk(empty, q, k=5).collect() == []
+
+
+def test_ivf_persisted_roundtrip(emb_df, tmp_path):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    cents, asg = similarity.persist_ivf(df, str(tmp_path / "ivf"),
+                                        n_lists=4, iters=2)
+    assert np.array_equal(cents, similarity.ivf_train(df, n_lists=4, iters=2))
+    inline = similarity.ivf_topk(df, q, k=5, n_lists=4, iters=2,
+                                 nprobe=2).collect()
+    persisted = similarity.ivf_topk(df, q, k=5, nprobe=2, centroids=cents,
+                                    assignments=asg).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in inline]
+
+
+def test_ivf_quantize_spark_dialect_parity(emb_df):
+    # the Spark SQL quantizer must agree with the python/kernel path
+    df, _ = emb_df
+    got = {r["vec_id"]: list(r["iv"]) for r in df.select(
+        "vec_id",
+        F.expr(similarity.ivf_quantize_expr("embedding", "spark")).alias("iv")
+    ).collect()}
+    for r in df.collect():
+        assert got[r["vec_id"]] == similarity._ivf_quantize_py(r["embedding"])
