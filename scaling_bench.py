@@ -234,7 +234,14 @@ def main() -> None:
             "ceiling; the 32-core row documents the hardware ceiling "
             "itself. On a real multi-executor cluster each node brings "
             "its own memory bus, so the below-ceiling pairs are the "
-            "representative ones.\n")
+            "representative ones.\n\n"
+            "NOTE: this sequential ladder is CONTEXT. The host also has "
+            "session-scale interference that drifts per-level medians in "
+            "opposite directions; the PRIMARY efficiency evidence is the "
+            "paired-ratio protocol (`scaling_bench.py --paired`: N and 4N "
+            "back-to-back per repeat, median of per-repeat ratios), which "
+            "cancels that drift. Merge its output into this file when "
+            "regenerating.\n")
 
 
 if __name__ == "__main__":
