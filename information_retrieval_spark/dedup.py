@@ -20,6 +20,11 @@ Scale notes (100 TB / 10^12 docs):
   LSH candidate pair set) so verification is candidate-driven, the
   only shape that survives 100 TB; the standalone all-pairs
   shared-shingle self-join remains for small inputs only.
+- duplicate clusters: near-dup pairs -> connected components
+  (alternating large-star/small-star: pure joins/aggregates, no
+  adjacency lists, O(log n) rounds) -> (id, canonical cluster_id,
+  cluster_size) — the grouping step a curation pipeline keeps/drops
+  documents by.
 """
 
 from __future__ import annotations

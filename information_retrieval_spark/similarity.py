@@ -18,6 +18,13 @@
   (1-(1-p_table)^L), the standard fix for single-table LSH recall at
   10^12 rows — same construction dedup.minhash_lsh_pairs uses for
   text shingles, applied to hyperplane signatures.
+- `ivf_topk`           — IVF-Flat: a DATA-ADAPTIVE coarse quantizer
+  (deterministic k-means in quantized-int64 space, `ivf_train`),
+  persisted assignment lists (`persist_ivf`), probe the nprobe
+  nearest lists, exact cosine re-rank inside members. Fully
+  deterministic (exact integer centroid sums + left-associated
+  distance folds), so even the trained index has an exact DuckDB
+  oracle that re-derives identical centroids.
 
 Signature computation has three provably-equal paths (pinned by
 tests/test_ops.py::test_signature_paths_agree):
