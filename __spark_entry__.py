@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from information_retrieval_spark import dedup, similarity, textstats
+from information_retrieval_spark import dedup, sampling, similarity, textstats
 from information_retrieval_spark.build import (
     INDEX_FORMAT_VERSION,
     IndexBuilder,
@@ -450,6 +450,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("id", "vec_id")
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def sample_split(spark, sf):
+        # deterministic per-language stratified sample + train/val
+        # split: pure filtered scan (no shuffle at any scale), stable
+        # under repartitioning/appends, exact cross-engine oracle
+        d = sampling.stratified_sample(_documents(spark, sf),
+                                       {"en": 0.5, "de": 0.3}, "lang",
+                                       default_rate=0.2, key_col="doc_id",
+                                       seed="s1")
+        return (sampling.train_val_split(d, 0.25, key_col="doc_id", seed="s2")
+                .select(F.col("doc_id").alias("id"), "lang", "split"))
+    q["sample_split"] = sample_split
+
     def dedup_clusters(spark, sf):
         # the full dedup pipeline: LSH candidates -> exact verify ->
         # connected components (large-star/small-star) -> canonical
@@ -867,6 +879,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["ann_ivf_topk"] = _ivf_oracle_sql(n_lists=8, iters=2, nprobe=2,
                                         k=10, dim=64)
+
+    u1 = sampling.uniform_expr("doc_id", "s1", dialect="duckdb")
+    u2 = sampling.uniform_expr("doc_id", "s2", dialect="duckdb")
+    o["sample_split"] = f"""
+        SELECT doc_id AS id, lang,
+               CASE WHEN {u2} < 0.25 THEN 'val' ELSE 'train' END AS split
+        FROM documents
+        WHERE {u1} < (CASE lang WHEN 'en' THEN 0.5
+                                WHEN 'de' THEN 0.3 ELSE 0.2 END)
+    """
 
     # connected components over the dedup_near pair set: transitive
     # closure via recursive CTE (fine at oracle scale; the Spark side

@@ -16,7 +16,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from information_retrieval_spark import dedup, similarity, textstats
+from information_retrieval_spark import dedup, sampling, similarity, textstats
 from information_retrieval_spark.build import IndexBuilder, IndexConfig
 from information_retrieval_spark.corpus import load_testdata_documents
 from information_retrieval_spark.query import QueryEngine
@@ -78,6 +78,9 @@ def main() -> None:
             docs, id_col="path", text_col="content").count(),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
+        "sample_split": lambda: sampling.train_val_split(
+            sampling.hash_sample(docs, 0.5, key_col="path"), 0.25,
+            key_col="path").groupBy("split").count().collect(),
     }
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):

@@ -1,0 +1,78 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data pipelines need reproducible subsets: a sampled corpus, a
+train/validation split, per-language quotas. All operators here derive
+a uniform u in [0, 1) from sha256(seed || ':' || key) — the decision is
+a pure function of (seed, row key), so it is:
+
+- shuffle-free: a filter on a scan, no exchange at any scale;
+- stable under repartitioning, retries and incremental growth (a row's
+  fate never depends on which partition it landed in — unlike
+  df.sample(), whose per-partition RNG reseeds with the split);
+- bit-identical across Spark, DuckDB and Python (sha256 + exact-in-
+  float64 division; the same cross-engine trick as the dedup/minhash
+  family), so sampled gates keep exact oracles.
+
+u = int(first 8 hex chars of sha256(seed || ':' || key)) / 2^32 — the
+numerator is an exact 32-bit integer, the division is a single IEEE
+operation, identical everywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def uniform_expr(key_col: str, seed: str, dialect: str = "spark") -> str:
+    """SQL for the deterministic uniform u in [0,1) of a key column."""
+    if dialect == "duckdb":
+        h = f"sha256('{seed}:' || CAST({key_col} AS VARCHAR))"
+        val = " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {k + 1}, 1)) - 1)"
+            f" * {16 ** (7 - k)}" for k in range(8))
+        return f"(({val}) / {_U32!r})"
+    return (f"(conv(substring(sha2(concat('{seed}:', CAST({key_col} AS STRING)),"
+            f" 256), 1, 8), 16, 10) / {_U32!r})")
+
+
+def uniform_of(key, seed: str) -> float:
+    """Pure-Python reference of uniform_expr."""
+    h = hashlib.sha256(f"{seed}:{key}".encode()).hexdigest()[:8]
+    return int(h, 16) / _U32
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                seed: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed by `key_col`."""
+    return df.filter(F.expr(uniform_expr(key_col, seed)) < F.lit(float(rate)))
+
+
+def stratified_sample(df: DataFrame, rates: dict, strata_col: str,
+                      default_rate: float = 0.0, key_col: str = "doc_id",
+                      seed: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas):
+    keep a row iff u < rates.get(stratum, default_rate). Rebalancing a
+    100 TB corpus is a single filtered scan — no shuffle, no count
+    pass, and growing the corpus never resamples retained rows."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(F.expr(uniform_expr(key_col, seed)) < rate)
+
+
+def train_val_split(df: DataFrame, val_fraction: float,
+                    key_col: str = "doc_id",
+                    seed: str = "split") -> DataFrame:
+    """Adds a 'split' column ('val' iff u < val_fraction else 'train').
+    Disjoint and exhaustive by construction; membership is a pure
+    function of (seed, key), so the split survives reprocessing,
+    retries and incremental appends without leakage between sides."""
+    u = F.expr(uniform_expr(key_col, seed))
+    return df.withColumn(
+        "split", F.when(u < F.lit(float(val_fraction)), F.lit("val"))
+        .otherwise(F.lit("train")))

@@ -556,3 +556,56 @@ def test_ivf_quantize_spark_dialect_parity(emb_df):
     ).collect()}
     for r in df.collect():
         assert got[r["vec_id"]] == similarity._ivf_quantize_py(r["embedding"])
+
+
+# --- deterministic sampling / splits ---------------------------------------
+
+from information_retrieval_spark import sampling
+
+
+def test_uniform_expr_matches_python(docs_df):
+    got = {r["doc_id"]: r["u"] for r in docs_df.select(
+        "doc_id",
+        F.expr(sampling.uniform_expr("doc_id", "s1")).alias("u")).collect()}
+    for doc_id, _ in DOCS:
+        assert abs(got[doc_id] - sampling.uniform_of(doc_id, "s1")) == 0.0
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in
+               sampling.hash_sample(df, 0.3, key_col="doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.hash_sample(df.repartition(13), 0.3,
+                                    key_col="doc_id").collect())
+    assert a == b
+    assert a == [i for i in range(2000) if sampling.uniform_of(i, "sample") < 0.3]
+    assert 0.25 < len(a) / 2000 < 0.35  # rate roughly honored
+
+
+def test_train_val_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = sampling.train_val_split(df, 0.25, key_col="doc_id")
+    rows = s.collect()
+    assert len(rows) == 1000
+    val = {r["doc_id"] for r in rows if r["split"] == "val"}
+    assert 0.18 < len(val) / 1000 < 0.32
+    # growing the table never reassigns existing keys
+    bigger = sampling.train_val_split(
+        spark.range(2000).withColumnRenamed("id", "doc_id"), 0.25,
+        key_col="doc_id")
+    val2 = {r["doc_id"] for r in bigger.collect() if r["split"] == "val"}
+    assert val == {v for v in val2 if v < 1000}
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s = sampling.stratified_sample(df, {"en": 0.8, "de": 0.1}, "lang",
+                                   key_col="doc_id").collect()
+    en = sum(1 for r in s if r["lang"] == "en") / 1000
+    de = sum(1 for r in s if r["lang"] == "de") / 1000
+    assert 0.72 < en < 0.88 and 0.04 < de < 0.16
+    for r in s:  # exact membership vs the python reference
+        rate = 0.8 if r["lang"] == "en" else 0.1
+        assert sampling.uniform_of(r["doc_id"], "sample") < rate
