@@ -62,7 +62,7 @@ def main() -> None:
         # candidate-driven (the gated scale shape): LSH proposes, exact
         # Jaccard verifies over one shared persisted shingle relation —
         # never the corpus-wide shared-shingle self-join
-        "dedup_ngram_jaccard": lambda: dedup.near_duplicates(
+        "dedup_ngram_jaccard_lsh": lambda: dedup.near_duplicates(
             docs, id_col="path", text_col="content", n=3, threshold=0.3,
             num_hashes=16, band_size=2).count(),
         "dedup_near": lambda: dedup.near_duplicates(

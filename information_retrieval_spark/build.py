@@ -338,8 +338,10 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
     return kernel
 
 
-# bump when the on-disk table layout changes (consumers key cache dirs on it)
-INDEX_FORMAT_VERSION = 4
+# bump when the on-disk table layout OR the tokenizer semantics change
+# (consumers key cache dirs on it; r4 added the irregular-stem lexicon,
+# which changes the indexed vocabulary)
+INDEX_FORMAT_VERSION = 5
 
 
 def _number_partitions(batches):

@@ -224,7 +224,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def near_duplicates(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     threshold: float = 0.8, num_hashes: int = 64,
-                    band_size: int = 8) -> DataFrame:
+                    band_size: int = 8,
+                    shingles_path: str | None = None) -> DataFrame:
     """The 100 TB near-dup pipeline in one operator: banded MinHash-LSH
     candidate generation CHAINED into exact n-gram-shingle Jaccard
     verification computed on the candidate pairs only.
@@ -243,12 +244,21 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """
     # ONE shingle relation feeds both LSH candidate generation and the
     # exact verification (4 consumers: minhash agg, a-side, b-side,
-    # sizes). Spark recomputes the subplan per consumer — measured
-    # FASTER here than persisting it (the columnar cache build costs
-    # more than three recomputes of a pipelined tokenize+shingle scan
-    # on this memory-bandwidth-bound box); at 10^12 docs, materialize
-    # the shingle table once to disk-backed storage instead.
+    # sizes). Without `shingles_path`, Spark recomputes the subplan per
+    # consumer — measured FASTER at sandbox scale than an in-memory
+    # cache (the columnar cache build costs more than three recomputes
+    # of a pipelined tokenize+shingle scan on a memory-bandwidth-bound
+    # box). At 10^12 docs, pass `shingles_path`: the shingle relation
+    # is written ONCE to disk-backed storage (idempotent on the path's
+    # _SUCCESS marker) and every consumer scans the materialized
+    # parquet — the tokenize+shingle work runs once total instead of
+    # once per consumer, and the scan is column-pruned per stage.
     sh = shingle_sets(df, id_col, text_col, n)
+    if shingles_path is not None:
+        import os
+        if not os.path.exists(os.path.join(shingles_path, "_SUCCESS")):
+            sh.write.mode("overwrite").parquet(shingles_path)
+        sh = df.sparkSession.read.parquet(shingles_path)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
                              n=n, features=sh.withColumnRenamed("shingle",
                                                                 "feature"))
@@ -347,14 +357,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.8, num_hashes: int = 64,
-                       band_size: int = 8) -> DataFrame:
+                       band_size: int = 8,
+                       shingles_path: str | None = None) -> DataFrame:
     """End-to-end dedup grouping: near_duplicates pairs -> connected
     components -> (id, cluster_id, cluster_size) for every document in
     a near-duplicate cluster (size >= 2). cluster_id = min doc id of
     the cluster, the canonical representative a curation pipeline keeps
-    while dropping the rest."""
+    while dropping the rest. `shingles_path` materializes the shared
+    shingle relation once (see near_duplicates)."""
     pairs = near_duplicates(df, id_col, text_col, n, threshold,
-                            num_hashes, band_size)
+                            num_hashes, band_size,
+                            shingles_path=shingles_path)
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")

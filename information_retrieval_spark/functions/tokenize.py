@@ -24,6 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..normalize import (
+    IRREGULAR_LEMMAS,
     MAX_UNFILTERED_LEN,
     STEM_GUARD_CHARS,
     STEM_RULES,
@@ -44,16 +45,22 @@ def _normalize_unique(uniq: pd.Series) -> pd.Series:
     chain is rendered from the same STEM_RULES table.
     """
     st = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
+    # irregular lexicon first, as an EXCLUSIVE branch (normalize.stem):
+    # a lexicon hit takes its lemma and never enters the rule chain
+    lex_mask = st.isin(IRREGULAR_LEMMAS)
     # last-char guard (normalize.STEM_GUARD_CHARS): the stem chain is a
     # provable no-op unless the token ends in s/g/d — run the 18 regexes
     # on that minority only
-    mask = st.str.endswith(tuple(STEM_GUARD_CHARS))
+    mask = st.str.endswith(tuple(STEM_GUARD_CHARS)) & ~lex_mask
+    if mask.any() or lex_mask.any():
+        st = st.copy()
     if mask.any():
         sub = st[mask]
         for pat, rep in STEM_RULES:
             sub = sub.str.replace(pat, rep, regex=True)
-        st = st.copy()
         st[mask] = sub
+    if lex_mask.any():
+        st[lex_mask] = st[lex_mask].map(IRREGULAR_LEMMAS)
     kept = (st != "") & (
         (st.str.len() < MAX_UNFILTERED_LEN) | ~st.str.contains("[0-9]", regex=True)
     )

@@ -23,6 +23,7 @@ skips every stage whose output committed (north_rule resumability).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -58,7 +59,64 @@ class TableStore:
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
+        """Resolved directory of a table. Tables that have been through
+        `publish()` resolve via their manifest pointer to the current
+        `<name>@v<N>` version directory; everything else is the plain
+        `<root>/<name>` directory."""
+        m = self._manifest_file(name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return os.path.join(self.root, json.load(f)["current"])
         return os.path.join(self.root, name)
+
+    def _manifest_file(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.manifest.json")
+
+    def publish(self, name: str, staged: str) -> None:
+        """Atomically swap table `name` to the contents of staged table
+        `staged` — the crash-safe, concurrent-reader-safe replacement
+        for drop+rename (which loses the table if the process dies
+        between the two calls, and yanks files out from under a reader
+        mid-scan):
+
+        1. the staged dir is renamed to `<name>@v<N+1>` (a leftover
+           orphan at that path from a previously crashed publish is
+           removed first),
+        2. the manifest pointer is written via tmp + os.replace — the
+           ONE atomic commit point; a crash before it leaves the old
+           version live, after it the new one,
+        3. the previous-previous version is deleted. The immediately
+           previous version is RETAINED until the next publish, so a
+           reader that resolved its file list just before the swap
+           keeps a readable table (bounded-grace concurrency, the
+           plain-parquet stand-in for an Iceberg snapshot commit).
+        """
+        if self.use_iceberg:  # transactional swap via catalog rename
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")
+            self.spark.sql(
+                f"ALTER TABLE {self.ident(staged)} RENAME TO {self.ident(name)}")
+            return
+        m = self._manifest_file(name)
+        version, prev = 0, None
+        if os.path.exists(m):
+            with open(m) as f:
+                info = json.load(f)
+            version, prev = info["version"], info["current"]
+        elif os.path.exists(os.path.join(self.root, name)):
+            prev = name  # pre-versioning plain dir becomes the grace copy
+        new_dir = f"{name}@v{version + 1}"
+        tgt = os.path.join(self.root, new_dir)
+        if os.path.exists(tgt):  # orphan of a publish that crashed pre-commit
+            shutil.rmtree(tgt)
+        os.rename(os.path.join(self.root, staged), tgt)
+        tmp = m + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version + 1, "current": new_dir,
+                       "previous": prev}, f)
+        os.replace(tmp, m)  # atomic commit point
+        stale = info.get("previous") if version else None
+        if stale and stale != new_dir:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
 
     def ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -100,9 +158,14 @@ class TableStore:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")
             return
-        p = self.path(name)
-        if os.path.exists(p):
-            shutil.rmtree(p)
+        import glob
+        for p in ([self.path(name), os.path.join(self.root, name)]
+                  + glob.glob(os.path.join(self.root, f"{name}@v*"))):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        m = self._manifest_file(name)
+        if os.path.exists(m):
+            os.remove(m)
 
     def drop_all(self) -> None:
         if self.use_iceberg:

@@ -112,6 +112,27 @@ STEM_RULES = (
 
 _COMPILED_RULES = [(re.compile(p), r) for p, r in STEM_RULES]
 
+# Irregular-form lexicon — the CoreNLP ``Morphology`` behavior no suffix
+# rule can produce (the reference's lemmatizer carries a WordNet exception
+# list; IndexService.java:5, 159-166). Checked BEFORE the rule chain as
+# an exclusive branch in every dialect: a lexicon hit returns its lemma
+# directly, never re-entering the regex chain. Only surface forms that
+# are UNAMBIGUOUSLY an inflection are listed (``saw``/``left``/``found``
+# are also base nouns/verbs and excluded — CoreNLP disambiguates with a
+# POS tag this engine does not have). ``buses`` stays deliberately
+# un-lexiconed: treating it here would be inconsistent with the measured
+# Cs-restore heuristic that keeps uses/databases/parses correct, and the
+# divergence is pinned in tests/test_stemmer_divergence.py.
+IRREGULAR_LEMMAS = {
+    # plural nouns
+    "mice": "mouse", "children": "child", "feet": "foot",
+    "geese": "goose", "teeth": "tooth", "men": "man", "women": "woman",
+    # verb past / participle forms
+    "went": "go", "gone": "go", "ran": "run", "wrote": "write",
+    "written": "write", "built": "build", "did": "do", "done": "do",
+    "made": "make", "taken": "take", "came": "come",
+}
+
 # Every rule's pattern ends in `s$`, `(ing|ed)$` or `ies$` — i.e. the
 # last character of any rewritable token is s, g or d. The guard is a
 # pure fast-path (provably a no-op on other tokens) and every dialect
@@ -121,7 +142,11 @@ STEM_GUARD_CHARS = "sgd"
 
 
 def stem(word: str) -> str:
-    """Deterministic Porter-lite stemmer (see module docstring)."""
+    """Deterministic Porter-lite stemmer (see module docstring):
+    irregular lexicon first (exclusive), then the guarded rule chain."""
+    lemma = IRREGULAR_LEMMAS.get(word)
+    if lemma is not None:
+        return lemma
     if word[-1:] not in STEM_GUARD_CHARS:
         return word
     for pat, rep in _COMPILED_RULES:
@@ -183,6 +208,13 @@ def _guard_list() -> str:
     return ", ".join(f"'{c}'" for c in STEM_GUARD_CHARS)
 
 
+def _lexicon_whens() -> str:
+    """The IRREGULAR_LEMMAS branch as `WHEN t = '..' THEN '..'` arms,
+    sorted for deterministic SQL text (both dialects share it)."""
+    return " ".join(f"WHEN t = '{w}' THEN '{lemma}'"
+                    for w, lemma in sorted(IRREGULAR_LEMMAS.items()))
+
+
 def _spark_norm_lambda(var: str = "t") -> str:
     base = f"regexp_replace(lower({var}), '[^a-z0-9_]', '')"
     return _render_stem_chain(base, "spark")
@@ -194,7 +226,8 @@ def spark_tokens_expr(col: str = "content") -> str:
     the outer applies the stem chain only behind the last-char guard."""
     base = "regexp_replace(lower(t), '[^a-z0-9_]', '')"
     chain = _render_stem_chain("t", "spark")
-    guarded = (f"CASE WHEN right(t, 1) IN ({_guard_list()}) "
+    guarded = (f"CASE {_lexicon_whens()} "
+               f"WHEN right(t, 1) IN ({_guard_list()}) "
                f"THEN {chain} ELSE t END")
     return (
         f"filter(transform(transform(split({col}, '\\\\s+'), t -> {base}), "
@@ -208,7 +241,8 @@ def duckdb_tokens_expr(col: str = "text") -> str:
     base = "regexp_replace(lower(t), '[^a-z0-9_]', '', 'g')"
     chain = _render_stem_chain("t", "duckdb")
     # right(t, 1) spelled as t[-1] (DuckDB string slicing)
-    guarded = (f"CASE WHEN t[-1] IN ({_guard_list()}) "
+    guarded = (f"CASE {_lexicon_whens()} "
+               f"WHEN t[-1] IN ({_guard_list()}) "
                f"THEN {chain} ELSE t END")
     # RE2's \s lacks \x0b (vertical tab); spell out Java's class
     return (

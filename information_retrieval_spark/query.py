@@ -332,14 +332,20 @@ class QueryEngine:
         Pruning is relational — blocks join the clause's distinct bucket
         set (cardinality bounded by n_docs/docs_per_bucket, and by the
         clause's own spread), so AQE broadcasts the bucket set when it
-        is small. The clause subtree is evaluated twice (bucket set +
-        anti-join) over the per-query decoded cache — at real scale,
-        persist the clause result instead. An exc term shared by several
-        OR-clauses decodes once per clause (rare shape; each decode is
-        bucket-pruned). dpb comes from the PERSISTED stats — the bucket
-        key must match what the index was built with, not this engine's
-        in-memory config (same rule as the BM25/WAND paths)."""
+        is small. The clause result is PERSISTED before its two
+        consumers (bucket set + anti-join) read it, so the clause
+        subtree — include-term decode + intersection joins — evaluates
+        exactly once per query (round 3 evaluated it twice; the one
+        real bench regression). The cache is released with the query's
+        other per-query caches on the next query. An exc term shared by
+        several OR-clauses decodes once per clause (rare shape; each
+        decode is bucket-pruned). dpb comes from the PERSISTED stats —
+        the bucket key must match what the index was built with, not
+        this engine's in-memory config (same rule as the BM25/WAND
+        paths)."""
         dpb = int(self.stats["docs_per_bucket"])
+        clause = clause.persist()
+        self._cached.append(clause)
         buckets = clause.select(
             (F.col("docID") / F.lit(dpb)).cast("long").alias("bucket")).distinct()
         blocks = self.blocks_for(exc).join(buckets, "bucket")

@@ -21,15 +21,31 @@ operation, identical everywhere.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _U32 = float(1 << 32)
 
+# both interpolate into SQL text: constrain to safe charsets (a quote in
+# a seed would otherwise produce broken/injectable SQL — and Spark and
+# DuckDB would diverge on escaping). The charset also keeps the
+# `seed || ':' || key` preimage unambiguous across engines.
+_SEED_OK = re.compile(r"[A-Za-z0-9_.:\-]+")
+_IDENT_OK = re.compile(r"[A-Za-z0-9_.]+")
+
 
 def uniform_expr(key_col: str, seed: str, dialect: str = "spark") -> str:
-    """SQL for the deterministic uniform u in [0,1) of a key column."""
+    """SQL for the deterministic uniform u in [0,1) of a key column.
+    `seed` and `key_col` are validated against safe charsets (they are
+    interpolated into SQL text); parity with `uniform_of` holds for
+    every accepted seed by construction."""
+    if _SEED_OK.fullmatch(seed) is None:
+        raise ValueError(
+            f"seed must match [A-Za-z0-9_.:-]+ (interpolated into SQL): {seed!r}")
+    if _IDENT_OK.fullmatch(key_col) is None:
+        raise ValueError(f"key_col must be a plain identifier: {key_col!r}")
     if dialect == "duckdb":
         h = f"sha256('{seed}:' || CAST({key_col} AS VARCHAR))"
         val = " + ".join(

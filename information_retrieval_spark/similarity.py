@@ -479,16 +479,34 @@ def _ivf_dists(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def ivf_train(df: DataFrame, n_lists: int = 8, iters: int = 2,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              train_rate: float | None = None,
+              train_seed: str = "ivf-train"):
     """Deterministic Lloyd's k-means in quantized space; returns float64
     centroids [n_lists x dim] (or None on empty input). Initial
     centroids = the n_lists lowest-id vectors, quantized. Each
     iteration is ONE Spark job: an Arrow kernel assigns rows and emits
     per-partition partial (list_id, count, int64 sum-vector) rows; the
     driver merges partials exactly and divides in float64. A list with
-    no members keeps its previous centroid."""
+    no members keeps its previous centroid.
+
+    ``train_rate``: train the coarse quantizer on a DETERMINISTIC hash
+    sample of the corpus (sampling.uniform_expr keyed by ``id_col``)
+    instead of full scans — standard IVF practice: the quantizer needs
+    a representative sample, not every vector, and at 10^12 rows
+    ``iters`` full-corpus training scans dominate the build.
+    Assignments (ivf_assignments) always scan everything once — that
+    is inherent. The sample predicate is a pure function of
+    (seed, id), bit-identical in Spark/DuckDB/Python, so sampled
+    training keeps the exact cross-engine oracle
+    (tests/test_ops.py::test_ivf_sampled_training_*)."""
     import pyarrow as pa
 
+    from .sampling import uniform_expr
+
+    if train_rate is not None:
+        df = df.filter(
+            F.expr(uniform_expr(id_col, train_seed)) < F.lit(float(train_rate)))
     init = df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
     if not init:
         return None
@@ -559,19 +577,22 @@ def ivf_assignments(df: DataFrame, centroids,
 
 def persist_ivf(df: DataFrame, path: str, n_lists: int = 8, iters: int = 2,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                n_partitions: int = 4):
+                n_partitions: int = 4, train_rate: float | None = None,
+                train_seed: str = "ivf-train"):
     """Train + persist the IVF index (centroids table + assignments
     sorted by list_id so a probe's `list_id IN (...)` scan prunes row
     groups). Idempotent on `path`: an existing index at the path is
     returned AS-IS, so the caller must key the path by (n_lists, iters,
-    dataset version) — a stale path silently serves the old index."""
+    train_rate, dataset version) — a stale path silently serves the old
+    index."""
     import os
 
     import pyarrow.parquet as pq
     spark = df.sparkSession
     cpath, apath = os.path.join(path, "centroids"), os.path.join(path, "assignments")
     if not os.path.exists(os.path.join(apath, "_SUCCESS")):
-        cents = ivf_train(df, n_lists, iters, id_col, vec_col)
+        cents = ivf_train(df, n_lists, iters, id_col, vec_col,
+                          train_rate=train_rate, train_seed=train_seed)
         if cents is None:
             return None, None
         spark.createDataFrame(
@@ -605,7 +626,9 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_lists: int = 8,
              iters: int = 2, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_to: int = 6, centroids=None,
-             assignments: DataFrame | None = None) -> DataFrame:
+             assignments: DataFrame | None = None,
+             train_rate: float | None = None,
+             train_seed: str = "ivf-train") -> DataFrame:
     """Approximate cosine top-k through the IVF index: probe the nprobe
     nearest lists, exact cosine re-rank inside their members only.
     nprobe == n_lists degenerates to exact brute force (pinned by
@@ -613,7 +636,8 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_lists: int = 8,
     end-to-end (quantized training), so the gate has an exact DuckDB
     oracle that re-derives the same centroids from the same table."""
     if centroids is None:
-        centroids = ivf_train(df, n_lists, iters, id_col, vec_col)
+        centroids = ivf_train(df, n_lists, iters, id_col, vec_col,
+                              train_rate=train_rate, train_seed=train_seed)
     if centroids is None:
         return (df.select(F.col(id_col).cast("long").alias("id"),
                           F.lit(0.0).alias("cos")).limit(0))

@@ -236,9 +236,12 @@ class IncrementalIndexer:
         """Fold pending segments into fresh base tables and re-rank the
         dense term_ord ordinals (Q16 surface) — the LSM maintenance
         operation. Cost is O(vocabulary), paid once per compaction
-        instead of once per micro-batch; run it between batches (the
-        plain-parquet swap is not concurrent-reader-safe; an Iceberg
-        deployment makes it one transactional commit)."""
+        instead of once per micro-batch. Each table swap is a versioned
+        manifest-pointer flip (TableStore.publish): crash-safe (the
+        pointer rename is the single atomic commit) and safe for
+        concurrent readers (the previous version stays on disk until
+        the next compaction; an Iceberg deployment gets the same
+        semantics as a snapshot commit)."""
         if not self.store.has_segments("dictionary") and \
                 not self.store.has_segments("bucket_max"):
             return
@@ -260,8 +263,14 @@ class IncrementalIndexer:
         self._swap("bucket_max", "tmp_bucket_max_new")
 
     def _swap(self, live: str, staged: str) -> None:
-        self.store.drop(live)
-        os.rename(self.store.path(staged), self.store.path(live))
+        """Versioned atomic swap (TableStore.publish): the manifest
+        pointer flip is the single commit point, so a crash anywhere in
+        the swap never loses the live table (ADVICE r3: the old
+        drop+rename lost dictionary/dictionary_r/bucket_max on a crash
+        between the two calls, and compaction has no replay marker to
+        rebuild from), and a concurrent reader that resolved the old
+        version keeps a readable table until the NEXT compaction."""
+        self.store.publish(live, staged)
 
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,

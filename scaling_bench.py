@@ -142,7 +142,13 @@ def paired_main() -> None:
            "n_docs": N_DOCS, "repeats": REPEATS, "pairs": {}}
     for lo_c, hi_c in PAIRS:
         reps = []
+        attempts = 0
         while len(reps) < REPEATS:
+            attempts += 1
+            if attempts > REPEATS + 2:  # same bound as run_level: a
+                # persistently failing level must error, not loop forever
+                raise RuntimeError(
+                    f"pair {lo_c}->{hi_c}: {attempts - 1} attempts failed")
             lo = run_single(lo_c)
             hi = run_single(hi_c)
             if lo is None or hi is None:

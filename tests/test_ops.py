@@ -558,6 +558,64 @@ def test_ivf_quantize_spark_dialect_parity(emb_df):
         assert got[r["vec_id"]] == similarity._ivf_quantize_py(r["embedding"])
 
 
+def _ivf_train_py(vecs_by_id: dict, n_lists: int, iters: int):
+    """Pure-python mirror of similarity.ivf_train over an {id: vec} dict
+    (exact int64 sums, same left-associated distance fold)."""
+    ids = sorted(vecs_by_id)
+    cents = [
+        [float(x) for x in similarity._ivf_quantize_py(vecs_by_id[i])]
+        for i in ids[:n_lists]]
+    for _ in range(iters):
+        cnt = [0] * len(cents)
+        sums = [[0] * len(cents[0]) for _ in cents]
+        for i in ids:
+            iv = similarity._ivf_quantize_py(vecs_by_id[i])
+            j = similarity.ivf_assign_of(iv, cents)
+            cnt[j] += 1
+            sums[j] = [a + b for a, b in zip(sums[j], iv)]
+        cents = [
+            [s / cnt[j] for s in sums[j]] if cnt[j] else cents[j]
+            for j in range(len(cents))]
+    return cents
+
+
+def test_ivf_sampled_training_matches_python_oracle(emb_df):
+    # train_rate filters by the deterministic hash sample BEFORE init and
+    # every training scan — Spark must agree bitwise with a pure-python
+    # k-means over exactly the sampled ids (the contract the DuckDB
+    # oracle's ivqt CTE relies on)
+    df, vecs = emb_df
+    got = similarity.ivf_train(df, n_lists=4, iters=2, train_rate=0.5)
+    sample = {i: vecs[i] for i in range(len(vecs))
+              if sampling.uniform_of(i, "ivf-train") < 0.5}
+    assert 4 < len(sample) < len(vecs)  # the sample is real and proper
+    want = _ivf_train_py(sample, n_lists=4, iters=2)
+    assert np.array_equal(got, np.array(want, dtype=np.float64))
+
+
+def test_ivf_sampled_training_preserves_quality(emb_df):
+    # the coarse quantizer trained on half the corpus must serve probes
+    # about as well as the full-trained one: recall@5 of nprobe=2 (of 4
+    # lists) within one hit of the full-trained recall on this corpus
+    df, vecs = emb_df
+    full = similarity.ivf_train(df, n_lists=4, iters=2)
+    samp = similarity.ivf_train(df, n_lists=4, iters=2, train_rate=0.5)
+    hits_full = hits_samp = total = 0
+    for qid in (0, 7, 23):
+        q = [float(x) for x in vecs[qid]]
+        exact = {r["id"] for r in similarity.cosine_topk(df, q, k=5).collect()}
+        for cents, acc in ((full, "f"), (samp, "s")):
+            got = {r["id"] for r in similarity.ivf_topk(
+                df, q, k=5, nprobe=2, centroids=cents).collect()}
+            if acc == "f":
+                hits_full += len(got & exact)
+            else:
+                hits_samp += len(got & exact)
+        total += 5
+    assert hits_samp >= hits_full - 3, (hits_samp, hits_full, total)
+    assert hits_samp >= total * 0.5, (hits_samp, total)
+
+
 # --- deterministic sampling / splits ---------------------------------------
 
 from information_retrieval_spark import sampling
@@ -609,3 +667,37 @@ def test_stratified_sample_per_stratum_rates(spark):
     for r in s:  # exact membership vs the python reference
         rate = 0.8 if r["lang"] == "en" else 0.1
         assert sampling.uniform_of(r["doc_id"], "sample") < rate
+
+
+def test_near_duplicates_shingles_path_materializes_once(docs_df, tmp_path):
+    # shingles_path: identical results to the recompute path, the
+    # relation is written exactly once (idempotent on _SUCCESS), and
+    # every consumer scans the materialized parquet instead of
+    # re-tokenizing (the executable form of the 10^12-doc advice)
+    import os
+    base = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            dedup.near_duplicates(docs_df, n=2, threshold=0.5,
+                                  num_hashes=16, band_size=4).collect()}
+    p = str(tmp_path / "shingles")
+    mat = dedup.near_duplicates(docs_df, n=2, threshold=0.5,
+                                num_hashes=16, band_size=4,
+                                shingles_path=p)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in mat.collect()}
+    assert got == base
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    # the final plan reads the parquet, not the tokenizer subplan
+    plan = mat._jdf.queryExecution().sparkPlan().toString()
+    assert "shingles" in plan, plan
+    mtime = os.path.getmtime(os.path.join(p, "_SUCCESS"))
+    # second call reuses the materialization (no rewrite)
+    again = dedup.near_duplicates(docs_df, n=2, threshold=0.5,
+                                  num_hashes=16, band_size=4,
+                                  shingles_path=p)
+    assert {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in again.collect()} == base
+    assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == mtime
+    # clusters accept the same path
+    cl = dedup.duplicate_clusters(docs_df, n=2, threshold=0.5,
+                                  num_hashes=16, band_size=4,
+                                  shingles_path=p)
+    assert cl.count() >= 0

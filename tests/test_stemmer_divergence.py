@@ -55,28 +55,28 @@ def test_stemmer_divergence_vs_corenlp_is_measured():
     rate = len(agree) / len(CORENLP_LEMMAS)
     # Pinned measurement (cited in SURVEY.md §1.5): the round-2
     # S-stemmer agreed on 22/51 (43%); the round-3 Porter-lite chain
-    # (-ing/-ed with e-restoration classes, sibilant -es) agrees on
-    # 43/51 (84%). The 8 remaining divergences: 7 irregulars
-    # (mice/went/wrote/... — lexicon-only, no suffix rule can produce
-    # them) and `buses` (the bare-s es-rule was deliberately dropped:
-    # it truncated uses/databases/parses, which dominate a source-code
-    # corpus). The s-inflection classes that dominate the reference's
-    # own golden queries stay 20/20.
+    # (-ing/-ed with e-restoration classes, sibilant -es) reached
+    # 43/51 (84%); round 4's IRREGULAR_LEMMAS lexicon (the CoreNLP
+    # exception-list behavior, rendered into all three dialects)
+    # closes the 7 irregulars -> 50/51 (98%). The single remaining
+    # divergence is `buses` (the bare-s es-rule was deliberately
+    # dropped: it truncated uses/databases/parses, which dominate a
+    # source-code corpus). The s-inflection classes that dominate the
+    # reference's own golden queries stay 20/20.
     assert len(CORENLP_LEMMAS) == 51
-    expected_disagree = {
-        "buses", "mice", "children", "feet", "went", "ran", "wrote",
-        "built"}
-    assert {w for w, _, _ in disagree} == expected_disagree, disagree
-    assert abs(rate - 43 / 51) < 1e-9, (rate, disagree)
+    assert {w for w, _, _ in disagree} == {"buses"}, disagree
+    assert abs(rate - 50 / 51) < 1e-9, (rate, disagree)
 
 
 def test_stemmer_known_failure_modes_documented():
     # the failure modes a user sees vs the Java engine — documented, not
-    # hidden: (a) irregular forms are never lemmatized (no lexicon);
-    # (b) bases genuinely ending in a bare consonant+se/-us keep or
-    # lose their e by the Cs-restore heuristic, so bus/buses diverge
-    assert stem("went") == "went" != "go"
-    assert stem("mice") == "mice" != "mouse"
+    # hidden: (a) irregular forms not in IRREGULAR_LEMMAS (ambiguous
+    # surface forms like saw/left/found need a POS tag) fall through to
+    # the rule chain; (b) bases genuinely ending in a bare
+    # consonant+se/-us keep or lose their e by the Cs-restore
+    # heuristic, so bus/buses diverge
+    assert stem("went") == "go" and stem("mice") == "mouse"  # lexicon hits
+    assert stem("saw") == "saw" != "see"  # ambiguous: also a base noun
     assert stem("buses") == "buse" != "bus"
     # and the rules a user RELIES on (the reference's own example plus
     # the code-corpus verb classes) hold:

@@ -234,3 +234,98 @@ def test_queries_identical_before_and_after_compact(spark, work_dir):
     before = snap()
     inc.compact()
     assert snap() == before
+
+
+def test_compaction_swap_is_crash_safe_and_reader_safe(spark, work_dir):
+    """The versioned manifest swap (TableStore.publish): a crash at ANY
+    point of the swap leaves a readable dictionary (old version before
+    the manifest flip, new after), and a reader that resolved its file
+    list just before a compaction keeps a readable table afterwards."""
+    import os
+
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/swapsafe_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    inc.append_batch(spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA))
+
+    # a reader opened BEFORE compaction (file list resolved eagerly by
+    # the parquet scan) must survive the swap: the previous version is
+    # retained until the next publish
+    pre_reader = inc.store.read("dictionary")
+    pre_terms = {r["term"] for r in pre_reader.collect()}
+
+    # crash INSIDE the swap, after the staged rename but before the
+    # manifest commit: inject by making the manifest write fail once
+    store = inc.store
+    real_replace = os.replace
+    import builtins  # noqa: F401  (documenting the monkeypatch scope)
+
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        if dst.endswith("dictionary.manifest.json"):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before manifest commit")
+        return real_replace(src, dst)
+
+    os.replace = failing_replace
+    try:
+        try:
+            inc.compact()
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        assert calls["n"] == 1
+    finally:
+        os.replace = real_replace
+
+    # pre-commit crash: the OLD dictionary is still what resolves
+    assert {r["term"] for r in store.read("dictionary").collect()} == pre_terms
+
+    # re-run the compaction for real: it must succeed (the orphaned
+    # @v1 dir from the crashed attempt is cleaned up) and flip the
+    # pointer to a versioned dir
+    inc2 = IncrementalIndexer(spark, idx_dir, cfg)
+    inc2.append_batch(  # fresh segments so compact() has work
+        spark.createDataFrame(
+            [("ref/testing_files", "test8.txt", "c8", "txt",
+              "post crash doc already")], DOCUMENTS_SCHEMA),
+        batch_id=1)
+    inc2.compact()
+    assert "@v" in store.path("dictionary")
+    post_terms = {r["term"] for r in store.read("dictionary").collect()}
+    assert pre_terms <= post_terms
+
+    # the pre-swap reader still collects (its version dir was retained)
+    assert {r["term"] for r in pre_reader.collect()} == pre_terms
+
+    # queries through the compacted index resolve the new version
+    qe = QueryEngine(inc2.index())
+    names = [r["name"] for r in qe.boolean("already AND streaming").collect()]
+    assert names == ["test6.txt", "test7.txt"]
+
+
+def test_publish_garbage_collects_old_versions(spark, work_dir):
+    """Repeated compactions keep exactly current + previous version of
+    each published table (bounded grace), never an unbounded chain."""
+    import glob
+    import os
+
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/gc_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    for bid in range(3):
+        inc.append_batch(
+            spark.createDataFrame(
+                [(f"r{bid}", f"p{bid}.txt", f"c{bid}", "txt",
+                  f"streaming gc doc {bid} already")], DOCUMENTS_SCHEMA),
+            batch_id=bid)
+        inc.compact()
+    dirs = sorted(os.path.basename(p) for p in
+                  glob.glob(os.path.join(idx_dir, "dictionary@v*")))
+    assert len(dirs) <= 2, dirs  # current + grace copy only
+    assert "@v" in inc.store.path("dictionary")
+    # and the live table is the highest version
+    cur = os.path.basename(inc.store.path("dictionary"))
+    assert cur == dirs[-1]
