@@ -637,25 +637,36 @@ class IndexBuilder:
     def _build_doc_map(self, docs: DataFrame) -> None:
         """Dense docID = global rank of (repo, path), without a global sort.
 
-        Range-partition the slim key projection, count per partition,
+        Range-partition the corpus on the keys, count per partition,
         exclusive-prefix-sum the counts, then docID = offset +
         partition-local row_number. The result is invariant to where the
         range boundaries fall (rank within a range partition + offset of
-        everything before it IS the global rank), so the two passes over
-        the same DataFrame need not even produce identical boundaries —
-        though they do, since Spark's range sampler is seeded by RDD id.
-        All JVM (whole-stage codegen); only the two key columns shuffle.
+        everything before it IS the global rank).
+
+        ONE wide exchange for the whole stage: the narrow meta columns
+        (commit, lang, sha256 — ~200 bytes/row, content projected away
+        after the map-side sha256) RIDE the range shuffle with the keys,
+        so the round-3 shape's second corpus-sized exchange + shuffle-hash
+        join (ids x meta on (repo, path) — the 2->8 scaling bottleneck
+        stage, per-stage efficiency 0.49) no longer exists. The meta
+        projection is checkpointed BEFORE range partitioning so the range
+        sampler's extra pass reads pinned narrow blocks instead of
+        re-scanning content and re-hashing the corpus.
         """
         n = self._n_partitions()
-        # Rank over the KEY COLUMNS ONLY, materialized exactly once: range
+        # Materialized exactly once, BEFORE any range exchange: range
         # partitioning samples with a per-RDD seed, so two separate ACTIONS
         # over the same range-partitioned plan can land on DIFFERENT
         # boundaries (and AQE may re-coalesce) — offsets computed in one
         # action must never be applied to rows produced by another. The
-        # numbered keys are therefore written to a checkpoint table first;
+        # numbered rows are pinned by a second eager localCheckpoint;
         # counts AND final ids both derive from that single materialization.
-        keys = (docs.select("repo", "path")
-                .repartitionByRange(n, "repo", "path")
+        # (A multi-node deployment would use a reliable checkpoint dir to
+        # also survive executor loss.)
+        meta = (with_sha256(docs)
+                .select("repo", "path", "commit", "lang", "sha256")
+                .localCheckpoint(eager=True))
+        keys = (meta.repartitionByRange(n, "repo", "path")
                 .sortWithinPartitions("repo", "path"))
 
         def number_local(batches):
@@ -667,19 +678,16 @@ class IndexBuilder:
                 idx = pa.array(np.arange(local, local + rb.num_rows, dtype=np.int64))
                 local += rb.num_rows
                 yield pa.RecordBatch.from_arrays(
-                    [rb.column(0), rb.column(1),
-                     pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
-                    names=["repo", "path", "pid", "local_idx"])
+                    rb.columns
+                    + [pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
+                    names=rb.schema.names + ["pid", "local_idx"])
 
-        # ONE materialization via eager localCheckpoint: partitions are
-        # computed once and pinned, so the counts job and the doc_map
-        # write below both read the SAME frozen numbering (the parquet
-        # round-trip this replaces cost two commit barriers + a re-read;
-        # a multi-node deployment would use a reliable checkpoint dir to
-        # also survive executor loss)
-        numbered = keys.select("repo", "path").mapInArrow(
-            number_local, schema="repo string, path string, pid int, local_idx long"
+        numbered = keys.mapInArrow(
+            number_local,
+            schema=("repo string, path string, commit string, lang string, "
+                    "sha256 string, pid int, local_idx long")
         ).localCheckpoint(eager=True)
+        meta.unpersist()
         counts = {r["pid"]: r["cnt"] for r in
                   numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
         offsets, acc = {}, 0
@@ -688,19 +696,11 @@ class IndexBuilder:
             acc += counts[pid]
         offsets_df = self.spark.createDataFrame(
             [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
-        ids = (
+        doc_map = (
             numbered.join(F.broadcast(offsets_df), "pid")
             .select((F.col("offset") + F.col("local_idx")).alias("docID"),
-                    "repo", "path")
+                    "repo", "path", "commit", "lang", "sha256")
         )
-        meta = with_sha256(docs).select("repo", "path", "commit", "lang", "sha256")
-        # shuffle-hash, NOT broadcast: both sides are corpus-sized (the
-        # slim ids projection fits under the local-mode broadcast
-        # threshold, but collecting 10^6+ rows to the driver and building
-        # the hashed relation is single-threaded — measured ~1/3 of this
-        # stage's non-scaling time; at 10^12 rows it's impossible anyway)
-        doc_map = ids.join(meta.hint("shuffle_hash"), ["repo", "path"]).select(
-            "docID", "repo", "path", "commit", "lang", "sha256")
         # permutation invariant rides the write as an Observation — no
         # separate validation job (round 1 ran a second doc_map scan)
         from pyspark.sql import Observation
