@@ -43,28 +43,49 @@ def _normalize_unique(uniq: pd.Series) -> pd.Series:
     Returns the kept normalized term, or None for dropped tokens.
     Mirrors normalize.normalize + normalize.keep exactly — the stemmer
     chain is rendered from the same STEM_RULES table.
+
+    Lowercasing runs in pandas (Python unicode case mapping, matching
+    the pure-Python oracle exactly); every regex after the strip
+    operates on `[a-z0-9_]*` ASCII strings and runs in Arrow's RE2
+    (C++) — measured ~5x faster than Python `re` on the rule chain,
+    and provably identical there: the SAME patterns already run under
+    RE2 in the DuckDB oracle dialect, and the cross-path parity is
+    pinned by tests/test_normalize.py.
     """
-    st = uniq.str.lower().str.replace("[^a-z0-9_]", "", regex=True)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    low = uniq.str.lower()
+    arr = pa.array(low.to_numpy(dtype=object), type=pa.string())
+    st_arr = pc.replace_substring_regex(arr, pattern="[^a-z0-9_]",
+                                        replacement="")
     # irregular lexicon first, as an EXCLUSIVE branch (normalize.stem):
     # a lexicon hit takes its lemma and never enters the rule chain
-    lex_mask = st.isin(IRREGULAR_LEMMAS)
+    lex_mask = pc.is_in(st_arr, value_set=pa.array(list(IRREGULAR_LEMMAS),
+                                                   type=pa.string()))
     # last-char guard (normalize.STEM_GUARD_CHARS): the stem chain is a
     # provable no-op unless the token ends in s/g/d — run the 18 regexes
     # on that minority only
-    mask = st.str.endswith(tuple(STEM_GUARD_CHARS)) & ~lex_mask
-    if mask.any() or lex_mask.any():
-        st = st.copy()
-    if mask.any():
-        sub = st[mask]
+    chain_mask = pc.and_(
+        pc.match_substring_regex(st_arr, f"[{STEM_GUARD_CHARS}]$"),
+        pc.invert(lex_mask))
+    st = st_arr.to_numpy(zero_copy_only=False).astype(object)
+    chain_np = chain_mask.to_numpy(zero_copy_only=False)
+    if chain_np.any():
+        sub = pc.filter(st_arr, chain_mask)
         for pat, rep in STEM_RULES:
-            sub = sub.str.replace(pat, rep, regex=True)
-        st[mask] = sub
-    if lex_mask.any():
-        st[lex_mask] = st[lex_mask].map(IRREGULAR_LEMMAS)
-    kept = (st != "") & (
-        (st.str.len() < MAX_UNFILTERED_LEN) | ~st.str.contains("[0-9]", regex=True)
-    )
-    return st.where(kept, None)
+            sub = pc.replace_substring_regex(sub, pattern=pat, replacement=rep)
+        st[chain_np] = np.asarray(sub.to_pylist(), dtype=object)
+    lex_np = lex_mask.to_numpy(zero_copy_only=False)
+    if lex_np.any():
+        st[lex_np] = [IRREGULAR_LEMMAS[t] for t in st[lex_np]]
+    res = pa.array(st, type=pa.string())
+    kept = pc.and_(
+        pc.not_equal(res, ""),
+        pc.or_(pc.less(pc.utf8_length(res), MAX_UNFILTERED_LEN),
+               pc.invert(pc.match_substring_regex(res, "[0-9]"))))
+    st[~kept.to_numpy(zero_copy_only=False)] = None
+    return pd.Series(st, index=uniq.index, dtype=object)
 
 
 def tokenize_pandas_udf():
