@@ -336,6 +336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_signatures(_documents(spark, sf))
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_simhash_pairs(spark, sf):
+        # block-banded Hamming<=k pairing: max_hamming+1 signature
+        # blocks, pigeonhole makes the block-equality join a COMPLETE
+        # candidate cover (recall exactly 1.0), exact Hamming verify on
+        # candidates only — gated against an ALL-PAIRS oracle, so the
+        # hash compare is an empirical completeness proof of the banding
+        return dedup.simhash_near_duplicates(_documents(spark, sf),
+                                             max_hamming=6)
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
     # ---- text analysis suite ----
     def text_token_counts(spark, sf):
         return textstats.token_counts(_documents(spark, sf)).select(
@@ -688,8 +698,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.8
     """
 
-    o["dedup_simhash"] = f"""
-        WITH {_TOKS},
+    # shared simhash CTE chain: shs(id, simhash) — used by the signature
+    # gate and the Hamming-pairing gate
+    _SIMHASH_CTES = """
         tf AS (
             SELECT doc_id AS id, term, count(*)::BIGINT AS tf
             FROM (SELECT doc_id, unnest(t) AS term FROM toks)
@@ -703,9 +714,32 @@ def oracle_sql() -> dict[str, str]:
                                   // CAST(pow(2, 3 - bb.b % 4) AS INT)) % 2) - 1)) AS s
             FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
             GROUP BY id, bb.b
+        ),
+        shs AS (
+            SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+            FROM bits GROUP BY id
+        )"""
+
+    o["dedup_simhash"] = f"""
+        WITH {_TOKS},
+        {_SIMHASH_CTES}
+        SELECT id, simhash FROM shs
+    """
+
+    # all-pairs Hamming oracle: the Spark side runs the block-banded
+    # plan (pigeonhole-complete candidate cover), so gate equality is an
+    # empirical completeness check of the banding on top of unit tests
+    o["dedup_simhash_pairs"] = f"""
+        WITH {_TOKS},
+        {_SIMHASH_CTES},
+        pr AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   list_sum(list_transform(range(64),
+                            i -> CASE WHEN a.simhash[i + 1] = b.simhash[i + 1]
+                                      THEN 0 ELSE 1 END))::BIGINT AS hamming
+            FROM shs a JOIN shs b ON a.id < b.id
         )
-        SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-        FROM bits GROUP BY id
+        SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 6
     """
 
     o["text_token_counts"] = f"""

@@ -119,6 +119,9 @@ def main() -> None:
             num_hashes=64, band_size=8).count(),
         "dedup_simhash": lambda: dedup.simhash_signatures(
             docs, id_col="path", text_col="content").count(),
+        # block-banded Hamming pairing (pigeonhole-complete candidates)
+        "dedup_simhash_pairs": lambda: dedup.simhash_near_duplicates(
+            docs, max_hamming=6, id_col="path", text_col="content").count(),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
         "sample_split": lambda: sampling.train_val_split(

@@ -412,3 +412,64 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
     return (sig.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_id"))
             .filter(F.col("n_docs") >= 2))
+
+
+def simhash_near_duplicates(df: DataFrame | None = None,
+                            max_hamming: int = 3, bits: int = 64,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            signatures: DataFrame | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within `max_hamming` bits of
+    simhash distance — the pairing operator over simhash_signatures.
+
+    Scale shape — block banding (the permuted-table idea of Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW
+    2007, expressed relationally): the `bits`-char signature splits
+    into max_hamming+1 contiguous blocks, and by PIGEONHOLE any pair
+    with Hamming <= max_hamming agrees exactly on at least one whole
+    block. The block-equality self-join is therefore a COMPLETE
+    candidate cover — recall is exactly 1.0, unlike the probabilistic
+    minhash bands — and the exact Hamming verify (a fold over the
+    candidate pairs only) makes the result set exactly
+    {(a, b) : H(sig_a, sig_b) <= max_hamming}. Candidates form on slim
+    (id, block_idx, block_value) projections; the full signatures join
+    back only for verification. At 10^12 docs, persist the signature
+    table (signatures=) sorted by (blk, val) so the self-join
+    co-locates without recomputing signatures.
+
+    The fold is the same left-associated integer chain in Spark /
+    DuckDB / Python, so the operator keeps an exact cross-engine
+    oracle (driver gate dedup_simhash_pairs verifies the banded plan
+    against an all-pairs DuckDB oracle — an empirical check of the
+    pigeonhole completeness on top of the unit tests).
+    """
+    if signatures is None:
+        signatures = simhash_signatures(df, id_col, text_col, bits)
+    sigs = signatures.select(F.col("id"), F.col("simhash"))
+    nb = max_hamming + 1
+    base, rem = divmod(bits, nb)
+    bounds, start = [], 1
+    for i in range(nb):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    blocks = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.substring("simhash", s, ln).alias("val"))
+            for i, (s, ln) in enumerate(bounds)])).alias("b")
+    ).select("id", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select("blk", "val", F.col("id").alias("id_a"))
+    b = blocks.select("blk", "val", F.col("id").alias("id_b"))
+    cand = (a.join(b, ["blk", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    ham = F.expr(
+        f"aggregate(transform(sequence(1, {bits}), "
+        f"i -> IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1)), "
+        f"0, (acc, x) -> acc + x)").cast("long")
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -701,3 +701,56 @@ def test_near_duplicates_shingles_path_materializes_once(docs_df, tmp_path):
                                   num_hashes=16, band_size=4,
                                   shingles_path=p)
     assert cl.count() >= 0
+
+
+def test_simhash_near_duplicates_matches_allpairs_oracle(docs_df):
+    # banded plan == brute-force all-pairs Hamming (pigeonhole: a pair
+    # within max_hamming agrees on >=1 of max_hamming+1 blocks, so the
+    # block join is a COMPLETE cover — recall exactly 1.0)
+    sig = {r["id"]: r["simhash"] for r in
+           dedup.simhash_signatures(docs_df).collect()}
+    for k in (0, 3, 6):
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               dedup.simhash_near_duplicates(docs_df, max_hamming=k).collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sig), 2):
+            h = sum(x != y for x, y in zip(sig[a], sig[b]))
+            if h <= k:
+                want[(a, b)] = h
+        assert got == want, (k, got, want)
+    # the exact-dup pair is found at every threshold including 0
+    assert (0, 1) in {(a, b) for (a, b) in
+                      {(r["id_a"], r["id_b"]) for r in
+                       dedup.simhash_near_duplicates(docs_df, max_hamming=0)
+                       .collect()}}
+
+
+def test_simhash_near_duplicates_uneven_blocks(spark):
+    # bits not divisible by max_hamming+1 (64 / 7 blocks): pigeonhole
+    # still holds with uneven contiguous blocks; verify vs brute force
+    # on a corpus with planted near-identical docs
+    docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(3)]
+    docs += [(3, "alpha beta gamma delta epsilon zeta eta iota"),
+             (4, "totally different content here with other words entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           dedup.simhash_near_duplicates(df, max_hamming=6).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        h = sum(x != y for x, y in zip(sig[a], sig[b]))
+        if h <= 6:
+            want[(a, b)] = h
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0
+
+
+def test_simhash_near_duplicates_block_join_is_slim(docs_df):
+    # the candidate explode/join must carry (id, blk, val) only — the
+    # 64-char signatures join back for verification on candidates
+    nd = dedup.simhash_near_duplicates(docs_df, max_hamming=3)
+    plan = nd._jdf.queryExecution().optimizedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        assert "sig_a" not in ln and "sig_b" not in ln, ln
