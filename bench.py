@@ -74,12 +74,12 @@ def main() -> None:
     results: dict[str, float] = {}
 
     def _median(vals: list) -> float:
-        return sorted(vals)[len(vals) // 2]
+        import statistics
+        return round(statistics.median(vals), 3)  # true median, even or odd N
 
     state: dict = {}
 
     def build_once():
-        shutil.rmtree(idx_dir, ignore_errors=True)
         state["idx"] = IndexBuilder(spark, idx_dir, IndexConfig()).build(
             docs, resume=False)
 
@@ -87,13 +87,14 @@ def main() -> None:
         runs = []
         for _ in range(repeats):
             if reset is not None:
-                reset()
+                reset()  # state teardown happens OUTSIDE the timed window
             dt, _out = timed(fn)
             runs.append(round(dt, 3))
         all_runs[name] = runs
         results[name] = _median(runs)
 
-    record("index_build", build_once)
+    record("index_build", build_once,
+           reset=lambda: shutil.rmtree(idx_dir, ignore_errors=True))
     qe = QueryEngine(state["idx"])
     steps = {
         "bm25_wand": lambda: qe.bm25("spark join window", k=10, wand=True).collect(),

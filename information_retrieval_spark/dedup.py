@@ -253,6 +253,13 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     # _SUCCESS marker) and every consumer scans the materialized
     # parquet — the tokenize+shingle work runs once total instead of
     # once per consumer, and the scan is column-pruned per stage.
+    # Caveats (same contract as similarity.persist_ivf): the CALLER
+    # must key the path by (dataset version, n, id_col) — a stale
+    # path silently serves the old shingles; the idempotency check
+    # is a driver-local os.path probe, correct for local/NFS paths
+    # (this sandbox's TableStore backend) — an object-store
+    # deployment should route the marker check through its
+    # Iceberg/Hadoop catalog instead.
     sh = shingle_sets(df, id_col, text_col, n)
     if shingles_path is not None:
         import os
@@ -443,6 +450,9 @@ def simhash_near_duplicates(df: DataFrame | None = None,
     pigeonhole completeness on top of the unit tests).
     """
     if signatures is None:
+        if df is None:
+            raise ValueError(
+                "simhash_near_duplicates needs either df= or signatures=")
         signatures = simhash_signatures(df, id_col, text_col, bits)
     sigs = signatures.select(F.col("id"), F.col("simhash"))
     nb = max_hamming + 1

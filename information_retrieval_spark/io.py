@@ -91,10 +91,15 @@ class TableStore:
            keeps a readable table (bounded-grace concurrency, the
            plain-parquet stand-in for an Iceberg snapshot commit).
         """
-        if self.use_iceberg:  # transactional swap via catalog rename
-            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")
+        if self.use_iceberg:
+            # ONE transactional commit (Iceberg CREATE OR REPLACE swaps
+            # the table pointer atomically; readers on the old snapshot
+            # keep reading it) — never DROP-then-RENAME, which loses the
+            # table if the process dies between the two statements
             self.spark.sql(
-                f"ALTER TABLE {self.ident(staged)} RENAME TO {self.ident(name)}")
+                f"CREATE OR REPLACE TABLE {self.ident(name)} "
+                f"AS SELECT * FROM {self.ident(staged)}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(staged)}")
             return
         m = self._manifest_file(name)
         version, prev = 0, None
@@ -114,9 +119,18 @@ class TableStore:
             json.dump({"version": version + 1, "current": new_dir,
                        "previous": prev}, f)
         os.replace(tmp, m)  # atomic commit point
-        stale = info.get("previous") if version else None
-        if stale and stale != new_dir:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+        # sweep EVERY version except current + immediately-previous (not
+        # just the old manifest's 'previous': a crash between a past
+        # commit and its sweep would otherwise leak that version forever)
+        import glob
+        keep = {new_dir, prev}
+        for p in glob.glob(os.path.join(self.root, f"{name}@v*")):
+            if os.path.basename(p) not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+        if version >= 1:
+            # the pre-versioning plain dir was the grace copy for v1's
+            # readers only; from v2 on it is two generations stale
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     def ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"

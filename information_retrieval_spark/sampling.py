@@ -30,9 +30,11 @@ _U32 = float(1 << 32)
 
 # both interpolate into SQL text: constrain to safe charsets (a quote in
 # a seed would otherwise produce broken/injectable SQL — and Spark and
-# DuckDB would diverge on escaping). The charset also keeps the
-# `seed || ':' || key` preimage unambiguous across engines.
-_SEED_OK = re.compile(r"[A-Za-z0-9_.:\-]+")
+# DuckDB would diverge on escaping). ':' is excluded from seeds so
+# the `seed || ':' || key` preimage stays unambiguous — seed 'exp:1'
+# with key '2' must never hash the same bytes as seed 'exp' with
+# key '1:2'.
+_SEED_OK = re.compile(r"[A-Za-z0-9_.\-]+")
 _IDENT_OK = re.compile(r"[A-Za-z0-9_.]+")
 
 
@@ -43,7 +45,8 @@ def uniform_expr(key_col: str, seed: str, dialect: str = "spark") -> str:
     every accepted seed by construction."""
     if _SEED_OK.fullmatch(seed) is None:
         raise ValueError(
-            f"seed must match [A-Za-z0-9_.:-]+ (interpolated into SQL): {seed!r}")
+            f"seed must match [A-Za-z0-9_.-]+ (interpolated into SQL; "
+            f"':' reserved as the seed/key separator): {seed!r}")
     if _IDENT_OK.fullmatch(key_col) is None:
         raise ValueError(f"key_col must be a plain identifier: {key_col!r}")
     if dialect == "duckdb":

@@ -142,16 +142,17 @@ def paired_main() -> None:
            "n_docs": N_DOCS, "repeats": REPEATS, "pairs": {}}
     for lo_c, hi_c in PAIRS:
         reps = []
-        attempts = 0
+        failures = 0
         while len(reps) < REPEATS:
-            attempts += 1
-            if attempts > REPEATS + 2:  # same bound as run_level: a
-                # persistently failing level must error, not loop forever
+            if failures > 2:  # same bound as run_level: a persistently
+                # failing level must error, not loop forever
                 raise RuntimeError(
-                    f"pair {lo_c}->{hi_c}: {attempts - 1} attempts failed")
+                    f"pair {lo_c}->{hi_c}: {failures} attempts failed "
+                    f"({len(reps)} paired repeats completed before giving up)")
             lo = run_single(lo_c)
             hi = run_single(hi_c)
             if lo is None or hi is None:
+                failures += 1
                 time.sleep(5)
                 continue
             reps.append({"lo_sec": lo["build_sec"], "hi_sec": hi["build_sec"],
