@@ -754,3 +754,16 @@ def test_simhash_near_duplicates_block_join_is_slim(docs_df):
     assert gen_lines, plan
     for ln in gen_lines:
         assert "sig_a" not in ln and "sig_b" not in ln, ln
+
+
+def test_uniform_expr_rejects_unsafe_seed_and_key():
+    # seeds/keys interpolate into SQL text: quotes must be rejected, and
+    # ':' is reserved as the seed/key separator (seed 'exp:1' + key '2'
+    # would otherwise hash the same preimage as seed 'exp' + key '1:2')
+    import pytest as _pytest
+    for bad in ("o'brien", "exp:1", "a b", ""):
+        with _pytest.raises(ValueError):
+            sampling.uniform_expr("doc_id", bad)
+    with _pytest.raises(ValueError):
+        sampling.uniform_expr("doc id; DROP", "ok")
+    assert "sha2" in sampling.uniform_expr("doc_id", "ok-seed_1.2")
