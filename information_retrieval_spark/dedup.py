@@ -298,19 +298,28 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     belongs to a component of size >= 2 (callers wanting singletons
     left-join this onto their node set).
     """
+    from pyspark.sql import Observation
+
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .filter(F.col("u") != F.col("v")).distinct())
 
-    def fingerprint(e: DataFrame):
-        # cheap per-round set-equality check: count + two hash sums.
-        # On an apparent match the loop confirms the fixed point EXACTLY
-        # (anti-join, below) before trusting it, so a hash collision can
-        # cost one wasted confirmation, never a wrong result.
-        row = e.agg(F.count(F.lit(1)).alias("c"),
-                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
-                    F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2")
-                    ).collect()[0]
-        return (row["c"], row["h1"], row["h2"])
+    _FP_AGGS = lambda: (  # noqa: E731  (shared metric list, fresh per obs)
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")).alias("h2"))
+
+    def checkpoint_with_fingerprint(e: DataFrame, tag: str):
+        """Eager localCheckpoint with the convergence fingerprint RIDING
+        the same job as an Observation — per round the driver runs ONE
+        job, not checkpoint + a separate fingerprint collect (cheap
+        set-equality check: count + two order-independent hash sums; on
+        an apparent match the loop still confirms the fixed point
+        EXACTLY via anti-join before trusting it, so a hash collision
+        can cost one wasted confirmation, never a wrong result)."""
+        obs = Observation(tag)
+        ck = e.observe(obs, *_FP_AGGS()).localCheckpoint(eager=True)
+        row = obs.get
+        return ck, (row["c"], row["h1"], row["h2"])
 
     def same_edge_set(a: DataFrame, b: DataFrame) -> bool:
         # both are distinct sets; equal counts + empty one-way anti-join
@@ -337,11 +346,10 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                 .union(mins.select("u", F.col("m").alias("v")))
                 .distinct())
 
-    edges = edges.localCheckpoint(eager=True)
-    prev = fingerprint(edges)
-    for _ in range(max_iter):
-        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
-        cur = fingerprint(nxt)
+    edges, prev = checkpoint_with_fingerprint(edges, "cc_init")
+    for i in range(max_iter):
+        nxt, cur = checkpoint_with_fingerprint(
+            small_star(large_star(edges)), f"cc_round_{i}")
         if cur == prev and same_edge_set(nxt, edges):
             edges.unpersist()
             edges = nxt
