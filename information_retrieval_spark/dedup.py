@@ -29,6 +29,8 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -462,7 +464,25 @@ def simhash_near_duplicates(df: DataFrame | None = None,
             raise ValueError(
                 "simhash_near_duplicates needs either df= or signatures=")
         signatures = simhash_signatures(df, id_col, text_col, bits)
-    sigs = signatures.select(F.col("id"), F.col("simhash"))
+    # Pack the bitstring into int64 words ONCE per doc and ride them
+    # through the block explode: the verify is then bit_count(xor) —
+    # a handful of integer ops per candidate instead of a 64-element
+    # string fold — and the signatures never join back, so the
+    # signature subplan has 2 consumers (a/b side), not 3. This
+    # matters because simhash bits are BIASED on real corpora (shared
+    # vocabulary pulls many docs toward the same block values), so hot
+    # buckets make candidate volume quadratic in the bucket size:
+    # measured 3.1M candidates over 5k synthetic docs at max_hamming=6
+    # — the per-candidate verify must be integer-cheap, and a fixed
+    # per-pair verify cost is also the honest unit for reasoning about
+    # the skew (cap it upstream with more tables/permutations if a
+    # corpus concentrates harder).
+    nwords = (bits + 31) // 32
+    words = [F.conv(F.substring("simhash", 1 + 32 * w,
+                                min(32, bits - 32 * w)), 2, 10)
+             .cast("long").alias(f"w{w}") for w in range(nwords)]
+    sigs = signatures.select(F.col("id"), F.col("simhash")).select(
+        "id", *words)
     nb = max_hamming + 1
     base, rem = divmod(bits, nb)
     bounds, start = [], 1
@@ -470,24 +490,28 @@ def simhash_near_duplicates(df: DataFrame | None = None,
         ln = base + (1 if i < rem else 0)
         bounds.append((start, ln))
         start += ln
-    blocks = sigs.select(
-        "id",
+    # block values come from the packed words too (substring positions
+    # map 1:1 onto the original bitstring, so rebuild them from simhash
+    # before packing): explode carries (id, words..., blk, val) — all
+    # longs + one short string
+    wcols = [f"w{w}" for w in range(nwords)]
+    blocks = signatures.select(
+        F.col("id"), *words,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("blk"),
                      F.substring("simhash", s, ln).alias("val"))
             for i, (s, ln) in enumerate(bounds)])).alias("b")
-    ).select("id", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    a = blocks.select("blk", "val", F.col("id").alias("id_a"))
-    b = blocks.select("blk", "val", F.col("id").alias("id_b"))
-    cand = (a.join(b, ["blk", "val"])
+    ).select("id", *wcols, F.col("b.blk").alias("blk"),
+             F.col("b.val").alias("val"))
+    a = blocks.select("blk", "val", F.col("id").alias("id_a"),
+                      *[F.col(w).alias(f"a_{w}") for w in wcols])
+    b = blocks.select("blk", "val", F.col("id").alias("id_b"),
+                      *[F.col(w).alias(f"b_{w}") for w in wcols])
+    ham = reduce(
+        lambda x, y: x + y,
+        [F.expr(f"bit_count(a_{w} ^ b_{w})") for w in wcols]).cast("long")
+    return (a.join(b, ["blk", "val"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
-    ham = F.expr(
-        f"aggregate(transform(sequence(1, {bits}), "
-        f"i -> IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1)), "
-        f"0, (acc, x) -> acc + x)").cast("long")
-    return (cand.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
