@@ -431,58 +431,104 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_docs") >= 2))
 
 
-def simhash_near_duplicates(df: DataFrame | None = None,
-                            max_hamming: int = 3, bits: int = 64,
-                            id_col: str = "doc_id", text_col: str = "text",
-                            signatures: DataFrame | None = None) -> DataFrame:
-    """(id_a, id_b, hamming) for every pair within `max_hamming` bits of
-    simhash distance — the pairing operator over simhash_signatures.
+def _packed_full_expr(bits: int):
+    """The whole signature as ONE long built from the packed word
+    columns w0[, w1] (bits <= 64): w0 holds the first min(32, bits)
+    bits, w1 the remainder. Bit ops only — sign-safe because
+    shiftleft/bitwiseOR operate on the raw two's-complement pattern."""
+    if bits <= 32:
+        return F.col("w0")
+    return F.shiftleft(F.col("w0"), bits - 32).bitwiseOR(F.col("w1"))
 
-    Scale shape — block banding (the permuted-table idea of Manku,
-    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW
-    2007, expressed relationally): the `bits`-char signature splits
-    into max_hamming+1 contiguous blocks, and by PIGEONHOLE any pair
-    with Hamming <= max_hamming agrees exactly on at least one whole
-    block. The block-equality self-join is therefore a COMPLETE
-    candidate cover — recall is exactly 1.0, unlike the probabilistic
-    minhash bands — and the exact Hamming verify (a fold over the
-    candidate pairs only) makes the result set exactly
-    {(a, b) : H(sig_a, sig_b) <= max_hamming}. Candidates form on slim
-    (id, block_idx, block_value) projections; the full signatures join
-    back only for verification. At 10^12 docs, persist the signature
-    table (signatures=) sorted by (blk, val) so the self-join
-    co-locates without recomputing signatures.
 
-    The fold is the same left-associated integer chain in Spark /
-    DuckDB / Python, so the operator keeps an exact cross-engine
-    oracle (driver gate dedup_simhash_pairs verifies the banded plan
-    against an all-pairs DuckDB oracle — an empirical check of the
-    pigeonhole completeness on top of the unit tests).
+def _bit_slice_expr(full, bits: int, p: int, ln: int):
+    """Value of signature bits [p, p+ln) (0-based, MSB-first) as a long."""
+    e = F.shiftrightunsigned(full, bits - p - ln) if bits - p - ln else full
+    return e.bitwiseAND(F.lit((1 << ln) - 1))
+
+
+def _complement_groups(bounds0, i: int, bits: int, nb: int):
+    """Partition the COMPLEMENT of block i (all signature bits outside
+    [s_i, e_i)) into nb groups of near-equal size; each group is a list
+    of (start, len) original-coordinate runs (a group may straddle the
+    excluded block, hence up to two runs)."""
+    s, e = bounds0[i]
+    runs = [(a, b) for a, b in ((0, s), (e, bits)) if b > a]
+    cl = bits - (e - s)
+    gb, gr = divmod(cl, nb)
+    groups, run_idx = [], 0
+    cur = runs[0][0] if runs else 0
+    for j in range(nb):
+        need = gb + (1 if j < gr else 0)
+        intervals = []
+        while need > 0:
+            ra, rb = runs[run_idx]
+            take = min(need, rb - cur)
+            intervals.append((cur, take))
+            cur += take
+            need -= take
+            if cur == rb:
+                run_idx += 1
+                if run_idx < len(runs):
+                    cur = runs[run_idx][0]
+        groups.append(intervals)
+    return groups
+
+
+def _group_val_expr(full, bits: int, intervals):
+    """Concatenated value of a complement group's bit runs as a long."""
+    if not intervals:
+        return F.lit(0).cast("long")
+    expr, shift_acc = None, sum(ln for _, ln in intervals)
+    for p, ln in intervals:
+        shift_acc -= ln
+        part = _bit_slice_expr(full, bits, p, ln)
+        if shift_acc:
+            part = F.shiftleft(part, shift_acc)
+        expr = part if expr is None else expr.bitwiseOR(part)
+    return expr.cast("long")
+
+
+def _simhash_candidates(signatures: DataFrame, max_hamming: int, bits: int,
+                        bucket_cap: int | None) -> DataFrame:
+    """Candidate pair generation for simhash_near_duplicates: returns
+    (id_a, id_b, a_w*, b_w*) rows (NOT yet verified or deduplicated).
+
+    Level 1 — block banding: the signature splits into max_hamming+1
+    contiguous blocks; by pigeonhole a pair at Hamming <= max_hamming
+    agrees exactly on >=1 whole block, so the (blk, val) self-join is a
+    COMPLETE candidate cover (recall exactly 1.0).
+
+    Level 2 — the skew cap: simhash bits are BIASED on real corpora
+    (shared vocabulary pulls many docs toward the same block values), so
+    a hot (blk, val) bucket makes candidate volume QUADRATIC in the
+    bucket size (measured 3.1M candidates over 5k synthetic docs at
+    max_hamming=6 before this cap). Any bucket larger than `bucket_cap`
+    is therefore re-banded on a SECOND pigeonhole split: its members all
+    share block i exactly, so a qualifying pair's <= max_hamming
+    differing bits lie entirely in the COMPLEMENT of block i — split the
+    complement into max_hamming+1 groups and the pair agrees fully on
+    >=1 group. Hot-bucket members join on (blk, val, sub, sval) instead
+    of (blk, val): completeness is preserved (every qualifying pair
+    still shares >=1 join key somewhere) while the key gains
+    ~(bits - bits/(k+1))/(k+1) bits of entropy, collapsing the
+    bias-driven quadratic blow-up; genuinely-identical signatures still
+    collide — those pairs are the operator's true output, not skew.
+    Group values are extracted from the already-packed int64 words with
+    JVM shift/mask ops (no extra strings ride the explode).
+
+    The exploded block relation feeds 5 consumers (sizes, cold a/b,
+    hot a/b), so it is persisted (MEMORY_AND_DISK) for the duration of
+    the plan — it is slim: (id, <=2 longs, blk, short val string) x
+    (max_hamming+1) rows per doc. At 10^12 docs, pass a pre-persisted
+    `signatures=` table so the signature computation itself never
+    re-runs.
     """
-    if signatures is None:
-        if df is None:
-            raise ValueError(
-                "simhash_near_duplicates needs either df= or signatures=")
-        signatures = simhash_signatures(df, id_col, text_col, bits)
-    # Pack the bitstring into int64 words ONCE per doc and ride them
-    # through the block explode: the verify is then bit_count(xor) —
-    # a handful of integer ops per candidate instead of a 64-element
-    # string fold — and the signatures never join back, so the
-    # signature subplan has 2 consumers (a/b side), not 3. This
-    # matters because simhash bits are BIASED on real corpora (shared
-    # vocabulary pulls many docs toward the same block values), so hot
-    # buckets make candidate volume quadratic in the bucket size:
-    # measured 3.1M candidates over 5k synthetic docs at max_hamming=6
-    # — the per-candidate verify must be integer-cheap, and a fixed
-    # per-pair verify cost is also the honest unit for reasoning about
-    # the skew (cap it upstream with more tables/permutations if a
-    # corpus concentrates harder).
     nwords = (bits + 31) // 32
     words = [F.conv(F.substring("simhash", 1 + 32 * w,
                                 min(32, bits - 32 * w)), 2, 10)
              .cast("long").alias(f"w{w}") for w in range(nwords)]
-    sigs = signatures.select(F.col("id"), F.col("simhash")).select(
-        "id", *words)
+    wcols = [f"w{w}" for w in range(nwords)]
     nb = max_hamming + 1
     base, rem = divmod(bits, nb)
     bounds, start = [], 1
@@ -490,11 +536,10 @@ def simhash_near_duplicates(df: DataFrame | None = None,
         ln = base + (1 if i < rem else 0)
         bounds.append((start, ln))
         start += ln
-    # block values come from the packed words too (substring positions
-    # map 1:1 onto the original bitstring, so rebuild them from simhash
-    # before packing): explode carries (id, words..., blk, val) — all
-    # longs + one short string
-    wcols = [f"w{w}" for w in range(nwords)]
+    # block values come from the original bitstring (substring positions
+    # map 1:1), packed words ride the explode for the integer verify:
+    # explode carries (id, words..., blk, val) — all longs + one short
+    # string
     blocks = signatures.select(
         F.col("id"), *words,
         F.explode(F.array(*[
@@ -503,15 +548,121 @@ def simhash_near_duplicates(df: DataFrame | None = None,
             for i, (s, ln) in enumerate(bounds)])).alias("b")
     ).select("id", *wcols, F.col("b.blk").alias("blk"),
              F.col("b.val").alias("val"))
-    a = blocks.select("blk", "val", F.col("id").alias("id_a"),
-                      *[F.col(w).alias(f"a_{w}") for w in wcols])
-    b = blocks.select("blk", "val", F.col("id").alias("id_b"),
-                      *[F.col(w).alias(f"b_{w}") for w in wcols])
+
+    def joined(rel: DataFrame, keys: list) -> DataFrame:
+        a = rel.select(*keys, F.col("id").alias("id_a"),
+                       *[F.col(w).alias(f"a_{w}") for w in wcols])
+        b = rel.select(*keys, F.col("id").alias("id_b"),
+                       *[F.col(w).alias(f"b_{w}") for w in wcols])
+        cols = ["id_a", "id_b"] + [f"a_{w}" for w in wcols] + \
+            [f"b_{w}" for w in wcols]
+        return a.join(b, keys).select(*cols)
+
+    # sub-splitting needs >=1 complement bit per doc pair to discriminate
+    # and the single-long packing; outside that envelope (max_hamming=0:
+    # the block IS the signature, so hot buckets are all-true-pairs) the
+    # plain block join is already the right shape
+    split = bucket_cap is not None and max_hamming >= 1 and bits <= 64
+    if not split:
+        return joined(blocks, ["blk", "val"])
+
+    from pyspark.storagelevel import StorageLevel
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = blocks.groupBy("blk", "val").agg(F.count(F.lit(1)).alias("bsz"))
+    # hot keys are FEW by construction (each covers > bucket_cap docs),
+    # so the marker join broadcasts them
+    hot_keys = F.broadcast(
+        sizes.filter(F.col("bsz") > bucket_cap).select(
+            "blk", "val", F.lit(True).alias("__hot")))
+    full = _packed_full_expr(bits)
+    sub_arr = None
+    for i in range(nb):
+        arr = F.array(*[
+            F.struct(F.lit(j).alias("sub"),
+                     _group_val_expr(full, bits,
+                                     _complement_groups(
+                                         [(s - 1, s - 1 + ln)
+                                          for s, ln in bounds], i, bits, nb)
+                                     [j]).alias("sval"))
+            for j in range(nb)])
+        sub_arr = (F.when(F.col("blk") == i, arr) if sub_arr is None
+                   else sub_arr.when(F.col("blk") == i, arr))
+    # ONE uniform key (blk, val, sub, sval) and ONE self-join: cold rows
+    # carry the dummy sub-key (-1, 0) (a single row each), hot rows
+    # explode their nb complement-group keys. Cold and hot rows can
+    # never cross-match — hot (blk, val) values are by definition absent
+    # from the cold rows — so the fused join produces exactly the
+    # cold-join ∪ hot-join pair set while keeping one join subtree (no
+    # union of two joins: measured job-count overhead at interactive
+    # scale, see sandbox notes on the per-job floor).
+    dummy = F.array(F.struct(F.lit(-1).alias("sub"),
+                             F.lit(0).cast("long").alias("sval")))
+    keyed = (blocks.join(hot_keys, ["blk", "val"], "left")
+             .select("id", *wcols, "blk", "val",
+                     F.explode(F.when(F.col("__hot").isNotNull(), sub_arr)
+                               .otherwise(dummy)).alias("sb"))
+             .select("id", *wcols, "blk", "val",
+                     F.col("sb.sub").alias("sub"),
+                     F.col("sb.sval").alias("sval")))
+    return joined(keyed, ["blk", "val", "sub", "sval"])
+
+
+def simhash_near_duplicates(df: DataFrame | None = None,
+                            max_hamming: int = 3, bits: int = 64,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            signatures: DataFrame | None = None,
+                            bucket_cap: int | None = 256) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within `max_hamming` bits of
+    simhash distance — the pairing operator over simhash_signatures.
+
+    Scale shape — block banding with a skew cap (the permuted-table idea
+    of Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007, expressed relationally): the `bits`-char
+    signature splits into max_hamming+1 contiguous blocks, and by
+    PIGEONHOLE any pair with Hamming <= max_hamming agrees exactly on at
+    least one whole block — the block-equality self-join is a COMPLETE
+    candidate cover (recall exactly 1.0, unlike probabilistic minhash
+    bands). Buckets larger than `bucket_cap` docs are re-banded on a
+    second pigeonhole split of the block's complement bits
+    (`_simhash_candidates`), so bias-driven hot buckets never go
+    quadratic; `bucket_cap=None` disables the cap (pure block banding).
+    The exact Hamming verify — integer bit_count over packed int64
+    words riding the explode — then makes the result set exactly
+    {(a, b) : H(sig_a, sig_b) <= max_hamming}.
+
+    The verify is the same integer arithmetic in Spark / DuckDB /
+    Python, so the operator keeps an exact cross-engine oracle (driver
+    gate dedup_simhash_pairs verifies the banded plan against an
+    all-pairs DuckDB oracle — an empirical check of the pigeonhole
+    completeness, including the sub-split, on top of the unit tests).
+
+    When `signatures=` is supplied, every signature must be exactly
+    `bits` chars of '0'/'1' — enforced with a per-row assert_true (a
+    shorter string would silently truncate the packed words and produce
+    wrong Hamming distances).
+    """
+    if signatures is None:
+        if df is None:
+            raise ValueError(
+                "simhash_near_duplicates needs either df= or signatures=")
+        signatures = simhash_signatures(df, id_col, text_col, bits)
+    else:
+        # the check rides the simhash COLUMN (when/raise_error), not a
+        # filter — a filter predicate ORed/folded to true gets pruned by
+        # Catalyst, while a value-producing expression cannot be
+        signatures = signatures.withColumn(
+            "simhash",
+            F.when(F.length("simhash") == F.lit(bits), F.col("simhash"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"simhash signature must be exactly {bits} chars, "
+                      "got: "), F.col("simhash")))))
+    nwords = (bits + 31) // 32
+    wcols = [f"w{w}" for w in range(nwords)]
+    cand = _simhash_candidates(signatures, max_hamming, bits, bucket_cap)
     ham = reduce(
         lambda x, y: x + y,
         [F.expr(f"bit_count(a_{w} ^ b_{w})") for w in wcols]).cast("long")
-    return (a.join(b, ["blk", "val"])
-            .filter(F.col("id_a") < F.col("id_b"))
+    return (cand.filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())

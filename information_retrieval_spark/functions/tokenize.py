@@ -55,7 +55,12 @@ def _normalize_unique(uniq: pd.Series) -> pd.Series:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    low = uniq.str.lower()
+    # null tokens normalize like "" (-> dropped -> None in the output):
+    # without the fill, every downstream Arrow mask carries nulls and
+    # mask.to_numpy() yields an object array that cannot index numpy
+    # arrays (callers currently pre-fill, but the function contract
+    # should not depend on that)
+    low = uniq.str.lower().fillna("")
     arr = pa.array(low.to_numpy(dtype=object), type=pa.string())
     st_arr = pc.replace_substring_regex(arr, pattern="[^a-z0-9_]",
                                         replacement="")

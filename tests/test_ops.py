@@ -767,3 +767,72 @@ def test_uniform_expr_rejects_unsafe_seed_and_key():
     with _pytest.raises(ValueError):
         sampling.uniform_expr("doc id; DROP", "ok")
     assert "sha2" in sampling.uniform_expr("doc_id", "ok-seed_1.2")
+
+def _rand_sigs(n, bits, rng, force_block=None):
+    """n random '0'/'1' signatures; force_block=(start, ln, value) pins a
+    substring so every doc lands in the same (blk, val) bucket."""
+    sigs = (rng.randint(0, 2, size=(n, bits))).astype(np.int8)
+    if force_block is not None:
+        s, ln, v = force_block
+        sigs[:, s:s + ln] = v
+    return ["".join("1" if b else "0" for b in row) for row in sigs]
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    # deliberately biased corpus: every signature shares block 0's value
+    # (the skew shape of real corpora — shared vocabulary biases simhash
+    # bits), so uncapped block banding goes quadratic in that bucket.
+    # The cap must (a) collapse the candidate volume and (b) keep the
+    # result EXACTLY equal to brute force (pigeonhole completeness of
+    # the complement sub-split).
+    rng = np.random.RandomState(11)
+    n, k = 400, 3
+    sig_strs = _rand_sigs(n, 64, rng, force_block=(0, 16, 0))
+    # plant two near-dup pairs (Hamming 2 and 3) so the expected result
+    # is non-empty
+    sig_strs[100] = sig_strs[7][:30] + ("0" if sig_strs[7][30] == "1" else "1") \
+        + sig_strs[7][31:63] + ("0" if sig_strs[7][63] == "1" else "1")
+    sig_strs[200] = sig_strs[50]
+    sigs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sig_strs)], "id long, simhash string")
+
+    uncapped = dedup._simhash_candidates(sigs, k, 64, None).count()
+    capped = dedup._simhash_candidates(sigs, k, 64, 64).count()
+    # uncapped: the shared block-0 bucket alone contributes n^2 ordered
+    # pairs; capped: the hot bucket re-bands on 4 x 12-bit complement
+    # groups, so random signatures spread out (only true near-dups and
+    # rare 12-bit collisions remain)
+    assert uncapped >= n * n
+    assert capped < uncapped / 10, (capped, uncapped)
+    assert capped < 8 * n, (capped, n)  # linear-ish, not quadratic
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           dedup.simhash_near_duplicates(signatures=sigs, max_hamming=k,
+                                         bucket_cap=64).collect()}
+    want = {}
+    for a, b in itertools.combinations(range(n), 2):
+        h = sum(x != y for x, y in zip(sig_strs[a], sig_strs[b]))
+        if h <= k:
+            want[(a, b)] = h
+    assert got == want
+    assert (50, 200) in got and got[(50, 200)] == 0
+    assert (7, 100) in got and got[(7, 100)] == 2
+
+
+def test_simhash_near_duplicates_cap_vs_uncapped_on_docs(docs_df):
+    # same result with the cap engaged at a threshold low enough to
+    # split every bucket on the tiny corpus
+    for cap in (None, 1):
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               dedup.simhash_near_duplicates(docs_df, max_hamming=6,
+                                             bucket_cap=cap).collect()}
+        assert (0, 1) in got and got[(0, 1)] == 0
+
+
+def test_simhash_signatures_length_validated(spark):
+    # a signatures= row shorter than `bits` must fail loudly, not
+    # silently compute wrong Hamming distances on truncated words
+    bad = spark.createDataFrame([(0, "01" * 32), (1, "0101")],
+                                "id long, simhash string")
+    with pytest.raises(Exception, match="simhash signature"):
+        dedup.simhash_near_duplicates(signatures=bad, max_hamming=3).collect()
