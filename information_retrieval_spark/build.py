@@ -142,13 +142,19 @@ def _spimi_invert_arrow(batches):
         pos_arr = pa.Array.from_buffers(
             pa.binary(), len(starts),
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(pos_data)])
+        # is_first marks each doc's FIRST (doc, term) group — rows are
+        # sorted by (doc, term), so doc_len can later be a filtered scan
+        # (one row per doc) instead of a corpus-wide groupBy shuffle
+        first = np.ones(len(starts), dtype=bool)
+        first[1:] = g_doc[starts][1:] != g_doc[starts][:-1]
         yield pa.RecordBatch.from_arrays(
             [term_arr,
              pa.array(doc_ids[g_doc[starts]], type=pa.int64()),
              pa.array(tf, type=pa.int32()),
              pos_arr,
-             pa.array(dl_per_doc[g_doc[starts]].astype(np.int32), type=pa.int32())],
-            names=["term", "docID", "tf", "pos_bytes", "dl"])
+             pa.array(dl_per_doc[g_doc[starts]].astype(np.int32), type=pa.int32()),
+             pa.array(first)],
+            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
 
 
 def _spimi_invert(batches):
@@ -213,6 +219,8 @@ def _spimi_invert(batches):
         row_starts = np.zeros(len(starts), dtype=np.int64)
         row_starts[1:] = row_ends[:-1]
         pos_bytes = [pos_data[s:e] for s, e in zip(row_starts, row_ends)]
+        first = np.ones(len(starts), dtype=bool)
+        first[1:] = g_doc[starts][1:] != g_doc[starts][:-1]
         yield pd.DataFrame({
             "term": term_uniq.to_numpy(dtype=object)[g_term[starts]]
             if hasattr(term_uniq, "to_numpy") else np.asarray(term_uniq, dtype=object)[g_term[starts]],
@@ -220,6 +228,7 @@ def _spimi_invert(batches):
             "tf": tf,
             "pos_bytes": pd.Series(pos_bytes, dtype=object),
             "dl": dl_per_doc[g_doc[starts]].astype(np.int32),
+            "is_first": first,
         })
 
 
@@ -426,7 +435,8 @@ def with_global_ordinals(spark: SparkSession, store: "TableStore",
             .withColumn(ord_name, F.col("offset") + F.col("local_idx"))
             .drop("pid", "local_idx", "offset"))
 
-PARTIALS_SCHEMA = "term string, docID long, tf int, pos_bytes binary, dl int"
+PARTIALS_SCHEMA = ("term string, docID long, tf int, pos_bytes binary, "
+                   "dl int, is_first boolean")
 
 POSTINGS_SCHEMA = (
     "term string, bucket long, block_id long, n_docs int, "
@@ -463,9 +473,75 @@ def _positions_to_bytes(batches):
         pos_arr = pa.Array.from_buffers(
             pa.binary(), rb.num_rows,
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+        # rows arrive in arbitrary post-groupBy order here, so a true
+        # per-doc first-row marker is not computable: emit False and the
+        # doc_len stage falls back to the groupBy path for this tokenizer
         yield pa.RecordBatch.from_arrays(
-            [col["term"], col["docID"], col["tf"], pos_arr, col["dl"]],
-            names=["term", "docID", "tf", "pos_bytes", "dl"])
+            [col["term"], col["docID"], col["tf"], pos_arr, col["dl"],
+             pa.array(np.zeros(rb.num_rows, dtype=bool))],
+            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
+
+
+def _postings_to_partials(batches):
+    """mapInArrow kernel: POSTINGS_SCHEMA block rows -> PARTIALS_SCHEMA
+    posting rows — the exact inverse of _make_block_encoder, used by
+    streaming major compaction (IncrementalIndexer.compact) to turn
+    accumulated per-batch block FRAGMENTS back into a posting stream
+    that the standard encode pipeline re-cuts into full, bucket-major
+    blocks. Buffer-level throughout: ONE vb_decode per binary column
+    per batch (codec.flat_decode), positions re-sliced per posting row
+    from a single re-encode pass (varbyte is value-independent, so the
+    re-encoded bytes are identical to the original per-row blobs).
+    is_first is emitted as False — compaction rebuilds doc_len from the
+    doc_len segments directly, never from these partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import flat_decode, segmented_cumsum
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        n_rows = rb.num_rows
+        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+        n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
+        if len(g) == 0:
+            continue
+        t = flat_decode(col["tfs"], n_rows).astype(np.int64)
+        l = flat_decode(col["dls"], n_rows).astype(np.int64)
+        docs = segmented_cumsum(g, n_docs)
+        n_post = len(docs)
+        idx = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_docs))
+        # positions: the flat pos_gaps stream already has first-value-
+        # absolute per POSTING row; re-encode the decoded values and cut
+        # at per-row boundaries (cumsum of tf)
+        pg = flat_decode(col["pos_gaps"], n_rows)
+        if len(pg):
+            pos_data, nbytes = vb_encode_with_lengths(pg)
+            val_ends = np.cumsum(nbytes)
+            row_last = np.cumsum(t) - 1
+            offsets = np.empty(n_post + 1, dtype=np.int32)
+            offsets[0] = 0
+            offsets[1:] = val_ends[row_last]
+            pos_arr = pa.Array.from_buffers(
+                pa.binary(), n_post,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(pos_data)])
+        else:  # store_positions=False index: empty blobs
+            pos_arr = pa.Array.from_buffers(
+                pa.binary(), n_post,
+                [None, pa.py_buffer(np.zeros(n_post + 1,
+                                             dtype=np.int32).tobytes()),
+                 pa.py_buffer(b"")])
+        yield pa.RecordBatch.from_arrays(
+            [pc.take(col["term"], idx),
+             pa.array(docs, type=pa.int64()),
+             pa.array(t.astype(np.int32), type=pa.int32()),
+             pos_arr,
+             pa.array(l.astype(np.int32), type=pa.int32()),
+             pa.array(np.zeros(n_post, dtype=bool))],
+            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
 
 
 @dataclass
@@ -788,7 +864,20 @@ class IndexBuilder:
         from pyspark.sql import Observation
 
         partials = self.store.read("partials")
-        dl = partials.select("docID", "dl").groupBy("docID").agg(F.max("dl").alias("dl"))
+        if ("is_first" in partials.columns
+                and self.config.tokenizer != "sql"):
+            # SHUFFLE-FREE: the SPIMI kernels emit rows sorted by
+            # (doc, term) and mark each doc's first row, so one filtered
+            # narrow scan yields exactly one (docID, dl) row per doc —
+            # the round-4 shape ran a corpus-wide groupBy exchange of
+            # n_docs rows here (measured 2->8 stage efficiency ~0.47:
+            # pure avoidable bytes on the saturated bus). The SQL
+            # tokenizer path cannot compute the marker (post-groupBy row
+            # order) and keeps the aggregate.
+            dl = partials.filter(F.col("is_first")).select("docID", "dl")
+        else:
+            dl = (partials.select("docID", "dl")
+                  .groupBy("docID").agg(F.max("dl").alias("dl")))
         obs = Observation("doc_len_stats")
         doc_len = dl.observe(obs, F.sum("dl").alias("total_len"))
         self.store.write(doc_len, "doc_len")

@@ -101,3 +101,25 @@ def gap_decode(gaps) -> np.ndarray:
     """Deltas -> absolute values (inverse of gap_encode)."""
     arr = np.asarray(gaps, dtype=np.int64)
     return np.cumsum(arr)
+
+def flat_decode(arr, n_rows) -> np.ndarray:
+    """Decode a whole Arrow binary column's value stream in ONE
+    vb_decode call — binary-array values are contiguous in offset
+    order, so the per-row varbyte blobs concatenate into a single
+    valid stream (varbyte is value-independent)."""
+    voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n_rows + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return vb_decode(data[voff[0]: voff[-1]].tobytes())
+
+
+def segmented_cumsum(gaps, seg_lens) -> np.ndarray:
+    """Absolute values from a flat gap stream with per-segment resets
+    (the first value of every segment is ABSOLUTE): one global cumsum
+    plus a per-segment correction — no Python loop over segments."""
+    starts = np.zeros(len(seg_lens), dtype=np.int64)
+    starts[1:] = np.cumsum(seg_lens[:-1])
+    csum = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    corr = np.zeros(len(seg_lens), dtype=np.int64)
+    corr[1:] = csum[starts[1:] - 1]
+    return csum - np.repeat(corr, np.asarray(seg_lens, dtype=np.int64))

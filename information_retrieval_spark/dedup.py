@@ -29,6 +29,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 import numpy as np
@@ -223,11 +224,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _estimated_input_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for the input relation
+    (file-size based for parquet scans) — the signal the shingle
+    auto-materialization switch keys on."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _auto_shingles_path(df: DataFrame, n: int, id_col: str,
+                        text_col: str) -> str:
+    """Deterministic session-temp cache path for the materialized
+    shingle relation, keyed by the input plan's semantic hash, the
+    shingle parameters and the tokenizer format version (bumps when
+    tokenizer semantics change, so a stale cache from an older engine
+    never serves). Reuse caveat is the same as an explicit
+    shingles_path: identical source path with silently rewritten
+    CONTENT maps to the same key — deployments that rewrite datasets
+    in place should pass an explicit, version-keyed path instead."""
+    import hashlib
+    import tempfile
+
+    from .build import INDEX_FORMAT_VERSION
+    try:
+        plan_key = str(df.semanticHash())
+    except Exception:  # semanticHash is a developer API; fall back
+        plan_key = df._jdf.queryExecution().optimizedPlan().toString()
+    key = hashlib.sha256(
+        f"v{INDEX_FORMAT_VERSION}|{plan_key}|{n}|{id_col}|{text_col}"
+        .encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"irs_shingles_{key}")
+
+
 def near_duplicates(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     threshold: float = 0.8, num_hashes: int = 64,
                     band_size: int = 8,
-                    shingles_path: str | None = None) -> DataFrame:
+                    shingles_path: str | None = None,
+                    materialize_above_bytes: int | None = 2 << 30) -> DataFrame:
     """The 100 TB near-dup pipeline in one operator: banded MinHash-LSH
     candidate generation CHAINED into exact n-gram-shingle Jaccard
     verification computed on the candidate pairs only.
@@ -263,8 +296,14 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     # deployment should route the marker check through its
     # Iceberg/Hadoop catalog instead.
     sh = shingle_sets(df, id_col, text_col, n)
+    if shingles_path is None and materialize_above_bytes is not None and \
+            _estimated_input_bytes(df) > materialize_above_bytes:
+        # the scale path engages ITSELF above the size estimate
+        # (round-4 shipped the mechanism but nothing selected it):
+        # at 10^12 docs the tokenize+shingle pass must run once total,
+        # not once per consumer
+        shingles_path = _auto_shingles_path(df, n, id_col, text_col)
     if shingles_path is not None:
-        import os
         if not os.path.exists(os.path.join(shingles_path, "_SUCCESS")):
             sh.write.mode("overwrite").parquet(shingles_path)
         sh = df.sparkSession.read.parquet(shingles_path)
@@ -375,7 +414,8 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.8, num_hashes: int = 64,
                        band_size: int = 8,
-                       shingles_path: str | None = None) -> DataFrame:
+                       shingles_path: str | None = None,
+                       materialize_above_bytes: int | None = 2 << 30) -> DataFrame:
     """End-to-end dedup grouping: near_duplicates pairs -> connected
     components -> (id, cluster_id, cluster_size) for every document in
     a near-duplicate cluster (size >= 2). cluster_id = min doc id of
@@ -384,7 +424,8 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     shingle relation once (see near_duplicates)."""
     pairs = near_duplicates(df, id_col, text_col, n, threshold,
                             num_hashes, band_size,
-                            shingles_path=shingles_path)
+                            shingles_path=shingles_path,
+                            materialize_above_bytes=materialize_above_bytes)
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")

@@ -57,61 +57,53 @@ _DECODED_SCHEMA = "term string, docID long, tf int, dl int"
 _DECODED_POS_SCHEMA = "term string, docID long, tf int, dl int, positions array<int>"
 
 
+# shared with build's compaction kernel (codec owns the buffer-level
+# varbyte helpers; query/build both import them)
+from .codec import flat_decode as _flat_decode  # noqa: E402
+from .codec import segmented_cumsum as _segmented_cumsum  # noqa: E402
+
+
 def _decode_iter(batches, with_positions: bool):
     """mapInArrow kernel: posting blocks -> exploded postings.
 
-    All decode work is whole-block numpy (codec.vb_decode); the Python
-    loop is per BLOCK (<=128 docs each), never per posting; output rows
-    are assembled straight into Arrow buffers (term strings via a
-    dictionary take — no per-posting Python objects)."""
+    ONE buffer-level vb_decode call per column per BATCH (the same
+    _flat_decode shape as the BM25 kernel — the round-4 version looped
+    per block over to_pylist() blobs): docIDs come from a single
+    segmented gap-cumsum keyed on n_docs, positions from a second one
+    keyed on tf. Output rows are assembled straight into Arrow buffers
+    (term strings via a dictionary take — no per-posting Python
+    objects)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     for rb in batches:
         if rb.num_rows == 0:
             continue
-        names = rb.schema.names
-        col = {nm: rb.column(i) for i, nm in enumerate(names)}
-        doc_gaps = col["doc_gaps"].to_pylist()
-        tfs_bin = col["tfs"].to_pylist()
-        dls_bin = col["dls"].to_pylist()
-        pos_bin = col["pos_gaps"].to_pylist() if with_positions else None
-        term_idx, docs, tfs_out, dls_out = [], [], [], []
-        pos_vals, pos_lens = [], []
-        for i in range(rb.num_rows):
-            d = np.cumsum(vb_decode(doc_gaps[i]).astype(np.int64))
-            t = vb_decode(tfs_bin[i]).astype(np.int64)
-            l = vb_decode(dls_bin[i]).astype(np.int64)
-            term_idx.append(np.full(len(d), i, dtype=np.int32))
-            docs.append(d)
-            tfs_out.append(t)
-            dls_out.append(l)
-            if with_positions:
-                gaps = vb_decode(pos_bin[i]).astype(np.int64)
-                starts = np.zeros(len(t), dtype=np.int64)
-                starts[1:] = np.cumsum(t[:-1])
-                csum = np.cumsum(gaps)
-                corr = np.zeros(len(t), dtype=np.int64)
-                corr[1:] = csum[starts[1:] - 1]
-                pos_vals.append((csum - np.repeat(corr, t)).astype(np.int32))
-                pos_lens.append(t)
-        if not docs:
+        n_rows = rb.num_rows
+        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+        n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = _flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
+        if len(g) == 0:
             continue
-        idx = pa.array(np.concatenate(term_idx))
+        t = _flat_decode(col["tfs"], n_rows).astype(np.int64)
+        l = _flat_decode(col["dls"], n_rows).astype(np.int64)
+        docs = _segmented_cumsum(g, n_docs)
+        idx = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_docs))
         arrays = [
             pc.take(col["term"], idx),
-            pa.array(np.concatenate(docs), type=pa.int64()),
-            pa.array(np.concatenate(tfs_out).astype(np.int32), type=pa.int32()),
-            pa.array(np.concatenate(dls_out).astype(np.int32), type=pa.int32()),
+            pa.array(docs, type=pa.int64()),
+            pa.array(t.astype(np.int32), type=pa.int32()),
+            pa.array(l.astype(np.int32), type=pa.int32()),
         ]
         out_names = ["term", "docID", "tf", "dl"]
         if with_positions:
-            lens = np.concatenate(pos_lens)
-            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-            offsets[1:] = np.cumsum(lens)
+            pg = _flat_decode(col["pos_gaps"], n_rows).astype(np.int64)
+            pos_vals = _segmented_cumsum(pg, t).astype(np.int32)
+            offsets = np.zeros(len(t) + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(t)
             arrays.append(pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
-                pa.array(np.concatenate(pos_vals), type=pa.int32())))
+                pa.array(pos_vals, type=pa.int32())))
             out_names.append("positions")
         yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
@@ -131,14 +123,6 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
     ALL emitted so the global (score desc, docID asc) order stays exact.
     """
     import pyarrow as pa
-
-    def _flat_decode(arr, n_rows):
-        """Decode a whole binary column's value stream in ONE vb_decode
-        call (binary-array values are contiguous in offset order)."""
-        voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset: arr.offset + n_rows + 1].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        return vb_decode(data[voff[0]: voff[-1]].tobytes())
 
     def kernel(batches):
         cur_bucket = None

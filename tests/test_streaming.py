@@ -181,6 +181,22 @@ def test_batch_dictionary_write_is_o_delta(spark, work_dir):
     assert _dict_segment_rows(small_dir, spark).count() == len(batch_vocab)
 
 
+def _logical_signature(idx):
+    """Decoded-content signature: invariant under compaction (which
+    deliberately REWRITES the block structure — fragments merge into
+    full blocks — while preserving every posting, position and stat)."""
+    qe = QueryEngine(idx, cache_tables=False)
+    terms = sorted(r["term"] for r in idx.table("dictionary").collect())
+    post = sorted(
+        (r["term"], r["docID"], r["tf"], r["dl"], tuple(r["positions"]))
+        for r in qe.postings_for(terms, with_positions=True).collect())
+    dicts = sorted((r["term"], r["df"], r["cf"])
+                   for r in idx.table("dictionary").collect())
+    docs = sorted((r["docID"], r["path"]) for r in idx.table("doc_map").collect())
+    dls = sorted((r["docID"], r["dl"]) for r in idx.table("doc_len").collect())
+    return post, dicts, docs, dls
+
+
 def test_compact_restores_dense_ordinals_and_base_state(spark, work_dir):
     cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
     idx_dir = f"{work_dir}/compact_idx"
@@ -191,7 +207,7 @@ def test_compact_restores_dense_ordinals_and_base_state(spark, work_dir):
 
     idx = inc.index()
     assert idx.is_segmented()
-    pre = _index_signature(idx)
+    pre = _logical_signature(idx)
     # exact ordinal while segmented: computed by rank query
     qe = QueryEngine(idx)
     terms = sorted(r["term"] for r in idx.table("dictionary").collect())
@@ -204,7 +220,8 @@ def test_compact_restores_dense_ordinals_and_base_state(spark, work_dir):
     idx2 = inc.index()
     assert not idx2.is_segmented()
     # fold-equivalence: same logical dictionary/postings after compaction
-    assert _index_signature(idx2) == pre
+    # (block structure intentionally differs — fragments merged)
+    assert _logical_signature(idx2) == pre
     # dense, sorted ordinals are back on the column path
     rows = sorted((r["term_ord"], r["term"])
                   for r in idx2.table("dictionary").collect())
@@ -329,3 +346,94 @@ def test_publish_garbage_collects_old_versions(spark, work_dir):
     # and the live table is the highest version
     cur = os.path.basename(inc.store.path("dictionary"))
     assert cur == dirs[-1]
+
+def test_data_compaction_merges_posting_fragments(spark, work_dir):
+    """Major compaction covers the DATA tables: accumulated per-batch
+    postings/doc_map/doc_len segment files are rewritten into merged,
+    bucket-major, term-sorted bases — file counts drop, per-(term,
+    bucket) block fragments merge into full blocks, queries are
+    byte-identical before/after, and avgdl_enc_min heals to the current
+    avgdl (fresh WAND bounds)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/datacompact_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    for bid in range(5):
+        inc.append_batch(
+            spark.createDataFrame(
+                [(f"r{bid}", f"frag{bid}.txt", f"c{bid}", "txt",
+                  f"already streaming fragment doc number{bid}")],
+                DOCUMENTS_SCHEMA),
+            batch_id=bid)
+
+    store = inc.store
+    files_before = {t: len(glob.glob(os.path.join(store.path(t), "*.parquet")))
+                    for t in ("postings", "doc_map", "doc_len")}
+    # per-batch appends left FRAGMENTS: more block rows per
+    # (term, bucket) than the doc count minimally needs
+    def n_fragmented():
+        return (store.read("postings")
+                .groupBy("term", "bucket")
+                .agg(F.count("*").alias("nb"), F.sum("n_docs").alias("nd"))
+                .filter(F.col("nb") >
+                        F.ceil(F.col("nd") / F.lit(cfg.docs_per_block)))
+                .count())
+    assert n_fragmented() > 0
+
+    def snap():
+        qe = QueryEngine(inc.index())
+        return (
+            [(r["name"], round(r["score"], 9))
+             for r in qe.bm25("already streaming", k=10, wand=True,
+                              wand_gate_blocks=0).collect()],
+            [r["name"] for r in qe.boolean("already AND streaming").collect()],
+            [r["name"] for r in qe.positional("already /3 streaming").collect()],
+        )
+
+    before = snap()
+    inc.compact()
+    after_files = {t: len(glob.glob(os.path.join(store.path(t), "*.parquet")))
+                   for t in ("postings", "doc_map", "doc_len")}
+    # no batch segment files remain anywhere
+    for t in IncrementalIndexer.SEGMENTED_TABLES:
+        assert not store.has_segments(t), t
+    for t in ("doc_map", "doc_len"):
+        assert after_files[t] < files_before[t], (t, after_files, files_before)
+    # fragments merged: every (term, bucket) now holds the minimal
+    # number of full blocks
+    assert n_fragmented() == 0
+    # queries identical through the rewrite
+    assert snap() == before
+    # term-sorted base files: row-group pruning stays real post-compaction
+    for fp in glob.glob(os.path.join(store.path("postings"), "*.parquet")):
+        terms = pq.read_table(fp, columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms), fp
+    # every live block is now encoded at the current avgdl
+    stats = store.read("stats").collect()[0].asDict()
+    assert stats["avgdl_enc_min"] == stats["avgdl"]
+
+def test_append_batch_driver_job_budget(spark, work_dir):
+    """Per-micro-batch driver-synchronous job count is pinned: n_delta
+    and batch_len ride the stage-1 staging writes as Observations, and
+    dl_delta is the shuffle-free is_first scan — the round-4 shape
+    (standalone count + sum jobs, groupBy dl_delta) measured 32 jobs on
+    this same fixture; the current shape 26."""
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/jobbudget_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    sc = spark.sparkContext
+    sc.setJobGroup("append_budget", "job budget pin")
+    try:
+        inc.append_batch(
+            spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA), batch_id=0)
+    finally:
+        sc.setJobGroup("append_budget_done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("append_budget")
+    assert len(jobs) <= 26, len(jobs)
