@@ -339,9 +339,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash_pairs(spark, sf):
         # block-banded Hamming<=k pairing: max_hamming+1 signature
         # blocks, pigeonhole makes the block-equality join a COMPLETE
-        # candidate cover (recall exactly 1.0), exact Hamming verify on
-        # candidates only — gated against an ALL-PAIRS oracle, so the
-        # hash compare is an empirical completeness proof of the banding
+        # candidate cover (recall exactly 1.0); hot buckets above the
+        # default bucket_cap re-band on a second pigeonhole split of
+        # the block's complement bits (skew defense — still complete);
+        # exact Hamming verify on candidates only — gated against an
+        # ALL-PAIRS oracle, so the hash compare is an empirical
+        # completeness proof of the banding INCLUDING the sub-split
         return dedup.simhash_near_duplicates(_documents(spark, sf),
                                              max_hamming=6)
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
