@@ -245,6 +245,30 @@ class IncrementalIndexer:
     SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "dictionary",
                         "dictionary_r", "bucket_max")
 
+    def _uncommitted_batch_ids(self) -> set:
+        """Batch ids with linked segment files but NO commit marker —
+        a batch that crashed between stage 2 and stage 4 and is pending
+        a foreachBatch retry. Compaction MUST NOT fold these: once
+        their files are baked into a compacted base, the retry's
+        remove-and-relink (_append_files) can no longer supersede them
+        and the batch's rows would be counted twice."""
+        ids = set()
+        for t in self.SEGMENTED_TABLES:
+            for fp in glob.glob(os.path.join(self.store.path(t),
+                                             "batch*_*.parquet")):
+                ids.add(int(os.path.basename(fp).split("_")[0][5:]))
+        return {i for i in ids if not os.path.exists(self._marker(i))}
+
+    def _require_all_committed(self) -> None:
+        pending = self._uncommitted_batch_ids()
+        if pending:
+            raise RuntimeError(
+                f"compact() refused: batches {sorted(pending)} have "
+                "linked segment files but no commit marker (crashed "
+                "mid-apply). Re-apply them (append_batch replays are "
+                "idempotent) before compacting — folding partial files "
+                "into a base would double-count the retry.")
+
     def compact(self) -> None:
         """Fold ALL pending LSM segments — data tables included — into
         fresh base tables: the major-compaction maintenance operation,
@@ -283,6 +307,7 @@ class IncrementalIndexer:
         """
         if not any(self.store.has_segments(t) for t in self.SEGMENTED_TABLES):
             return
+        self._require_all_committed()
         cfg = self.config
         stats = self.store.read("stats").collect()[0].asDict()
         avgdl = float(stats["avgdl"]) or 1.0
@@ -353,6 +378,86 @@ class IncrementalIndexer:
         self.store.write(new_stats, "tmp_stats_new")
         self._swap("stats", "tmp_stats_new")
 
+    def _publish_with_merged_segments(self, table: str, merged_dir: str,
+                                      seg_files: list, max_id: int) -> None:
+        """Stage a new table version = hardlinks of the untouched base
+        files + the merged segment (named seg<max_id>_*, which the
+        `batch*` segment glob no longer matches), then publish — one
+        atomic pointer flip, reader-safe, no base bytes copied."""
+        stage = f"tmp_{table}_minorstage"
+        stage_path = os.path.join(self.store.root, stage)
+        shutil.rmtree(stage_path, ignore_errors=True)
+        os.makedirs(stage_path)
+        seg_set = set(seg_files)
+        live = self.store.path(table)
+        for fp in glob.glob(os.path.join(live, "*.parquet")):
+            if fp not in seg_set:
+                os.link(fp, os.path.join(stage_path, os.path.basename(fp)))
+        for i, fp in enumerate(sorted(
+                glob.glob(os.path.join(merged_dir, "*.parquet")))):
+            os.link(fp, os.path.join(stage_path,
+                                     f"seg{max_id}_{i:05d}.parquet"))
+        open(os.path.join(stage_path, "_SUCCESS"), "w").close()
+        self.store.publish(table, stage)
+
+    def compact_minor(self) -> None:
+        """L0 segment merge — O(accumulated deltas), NOT O(index): the
+        per-batch segment files of the DATA tables (postings, doc_map,
+        doc_len) fold into one consolidated segment each, and the
+        untouched base files are hardlinked into a fresh table version
+        (TableStore.publish — atomic, reader-safe). Postings segments
+        are decoded and re-cut, so same-(term, bucket) fragments from
+        DIFFERENT batches merge into full blocks and the merged files
+        are term-sorted (row-group pruning works on them); base blocks
+        are not rewritten. This is the cheap steady-state maintenance
+        op for a live index — run it every few batches and file counts
+        stay O(1) per table instead of O(batches), with `compact()`
+        (the O(index) major rebuild + dense term_ord re-rank) reserved
+        for occasional full maintenance.
+
+        Metadata segments (dictionary / dictionary_r / bucket_max) are
+        deliberately left alone: readers fold them, and their per-term
+        aggregates stay SAFE over the merged blocks — n_blocks only
+        ever over-estimates (its single consumer is the WAND
+        driver-slice size gate), and the merged blocks' stored WAND
+        bounds are encoded at avgdl_now while query-time inflation
+        divides by the UNCHANGED stats.avgdl_enc_min, so pruning bounds
+        only ever over-estimate. stats is untouched for the same
+        reason (base blocks still carry the old encode avgdl)."""
+        self._require_all_committed()
+        stats = self.store.read("stats").collect()[0].asDict()
+        avgdl = float(stats["avgdl"]) or 1.0
+        dpb = int(stats["docs_per_bucket"])
+        for table in ("postings", "doc_map", "doc_len"):
+            live = self.store.path(table)
+            seg_files = sorted(glob.glob(os.path.join(live,
+                                                      "batch*_*.parquet")))
+            if not seg_files:
+                continue
+            max_id = max(int(os.path.basename(f).split("_")[0][5:])
+                         for f in seg_files)
+            merged_tbl = f"tmp_{table}_minor"
+            src_df = self.spark.read.parquet(*seg_files)
+            if table == "postings":
+                encode = _make_block_encoder(self.config, avgdl)
+                merged = (src_df
+                          .mapInArrow(_postings_to_partials,
+                                      schema=PARTIALS_SCHEMA)
+                          .withColumn("bucket", (F.col("docID") / F.lit(dpb))
+                                      .cast("long"))
+                          .repartition(4, "term", "bucket")
+                          .sortWithinPartitions("term", "bucket", "docID")
+                          .mapInArrow(encode, schema=POSTINGS_SCHEMA))
+                self.store.write(merged, merged_tbl,
+                                 options={"parquet.block.size": str(8 << 20)})
+            else:
+                merged = (src_df.repartitionByRange(1, "docID")
+                          .sortWithinPartitions("docID"))
+                self.store.write(merged, merged_tbl)
+            self._publish_with_merged_segments(
+                table, self.store.path(merged_tbl), seg_files, max_id)
+            self.store.drop(merged_tbl)  # merged files live on as links
+
     def _swap(self, live: str, staged: str) -> None:
         """Versioned atomic swap (TableStore.publish): the manifest
         pointer flip is the single commit point, so a crash anywhere in
@@ -366,11 +471,14 @@ class IncrementalIndexer:
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,
                               available_now: bool = True,
-                              compact_every: int | None = None):
+                              compact_every: int | None = None,
+                              minor_compact_every: int | None = None):
         """File-source stream: every new parquet file of documents in
         `input_dir` is appended to the index, one micro-batch at a time.
-        `compact_every`: fold segments every N batches (after the batch
-        COMMITS, so a compaction crash never affects batch replay)."""
+        `compact_every`: full O(index) compaction every N batches;
+        `minor_compact_every`: O(delta) segment merge every M batches
+        (both run after the batch COMMITS, so a compaction crash never
+        affects batch replay; major wins when both are due)."""
         stream = (self.spark.readStream
                   .schema(DOCUMENTS_SCHEMA)
                   .parquet(input_dir))
@@ -379,6 +487,9 @@ class IncrementalIndexer:
             self.append_batch(df, bid)
             if compact_every and (bid + 1) % compact_every == 0:
                 self.compact()
+            elif minor_compact_every and \
+                    (bid + 1) % minor_compact_every == 0:
+                self.compact_minor()
 
         writer = (stream.writeStream
                   .foreachBatch(apply)

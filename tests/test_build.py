@@ -134,3 +134,21 @@ def test_lineage_recorded(synth_index):
     fan_in = [r["detail"] for r in synth_index.table("lineage").collect()
               if r["stage"] == "postings"]
     assert any("merge_fan_in=" in d for d in fan_in)
+
+def test_doc_len_stage_is_shuffle_free(fixture_index):
+    # the doc_len relation over the SPIMI partials (is_first filtered
+    # scan) must plan with NO Exchange — the round-4 shape ran a
+    # corpus-wide groupBy of n_docs rows here (2->8 stage efficiency
+    # ~0.47, pure avoidable bytes on a saturated memory bus)
+    from pyspark.sql import functions as F
+    partials = fixture_index.store.read("partials")
+    assert "is_first" in partials.columns
+    dl = partials.filter(F.col("is_first")).select("docID", "dl")
+    plan = dl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it yields exactly one row per doc with >=1 kept term
+    ids = [r["docID"] for r in dl.collect()]
+    assert len(ids) == len(set(ids))
+    want = {r["docID"]: r["dl"] for r in
+            fixture_index.table("doc_len").collect()}
+    assert {r["docID"]: r["dl"] for r in dl.collect()} == want

@@ -437,3 +437,94 @@ def test_append_batch_driver_job_budget(spark, work_dir):
         sc.setJobGroup("append_budget_done", "")
     jobs = sc.statusTracker().getJobIdsForGroup("append_budget")
     assert len(jobs) <= 26, len(jobs)
+
+def test_compact_refuses_uncommitted_batches(spark, work_dir):
+    """A batch that crashed between linking its files and writing its
+    commit marker is pending a retry; compaction must refuse to fold
+    its partial files into a base (the retry's remove-and-relink could
+    no longer supersede them — double count)."""
+    import pytest as _pytest
+
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/guard_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    delta = spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        inc.append_batch(delta, batch_id=0, _fail_after="merges")
+    for op in (inc.compact, inc.compact_minor):
+        with _pytest.raises(RuntimeError, match="no commit marker"):
+            op()
+    # the idempotent retry commits the batch; compaction then proceeds
+    inc.append_batch(delta, batch_id=0)
+    inc.compact()
+    qe = QueryEngine(inc.index())
+    assert [r["name"] for r in qe.boolean("already AND streaming").collect()] \
+        == ["test6.txt", "test7.txt"]
+
+
+def test_minor_compaction_merges_segments_only(spark, work_dir):
+    """compact_minor: per-batch DATA segment files fold into one merged
+    segment per table (O(delta)), base files are hardlinked untouched,
+    metadata segments remain (term_ord stays rank-query-served), and
+    queries are identical; a later major compact() still works."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/minor_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    for bid in range(4):
+        inc.append_batch(
+            spark.createDataFrame(
+                [(f"r{bid}", f"m{bid}.txt", f"c{bid}", "txt",
+                  f"already streaming minor doc number{bid}")],
+                DOCUMENTS_SCHEMA),
+            batch_id=bid)
+    store = inc.store
+
+    def snap():
+        qe = QueryEngine(inc.index())
+        return (
+            [(r["name"], round(r["score"], 9))
+             for r in qe.bm25("already streaming", k=10, wand=True,
+                              wand_gate_blocks=0).collect()],
+            [r["name"] for r in qe.boolean("already AND streaming").collect()],
+            [r["name"] for r in qe.positional("already /3 streaming").collect()],
+        )
+
+    before = snap()
+    stats_before = store.read("stats").collect()[0].asDict()
+    base_postings = {os.path.basename(p) for p in
+                     glob.glob(os.path.join(store.path("postings"), "*.parquet"))
+                     if "batch" not in os.path.basename(p)}
+    inc.compact_minor()
+    for t in ("postings", "doc_map", "doc_len"):
+        live = store.path(t)
+        assert not glob.glob(os.path.join(live, "batch*_*.parquet")), t
+        segs = glob.glob(os.path.join(live, "seg*_*.parquet"))
+        assert segs, t
+        if t == "postings":
+            # merged segment is term-sorted (row-group pruning) and the
+            # base files rode along untouched (hardlinks, same names)
+            for fp in segs:
+                terms = pq.read_table(fp, columns=["term"])["term"].to_pylist()
+                assert terms == sorted(terms)
+            names = {os.path.basename(p) for p in
+                     glob.glob(os.path.join(live, "*.parquet"))}
+            assert base_postings <= names
+    # metadata still segmented: minor compaction does not re-rank
+    assert store.has_segments("dictionary")
+    assert inc.index().is_segmented()
+    assert snap() == before
+    # stats untouched (base blocks still carry the old encode avgdl;
+    # enc_min may exceed the current avgdl when appended docs LOWER it —
+    # inflation clamps at 1 and stored bounds already over-estimate)
+    assert store.read("stats").collect()[0].asDict() == stats_before
+    # a later major compaction completes the story
+    inc.compact()
+    assert not inc.index().is_segmented()
+    assert snap() == before
