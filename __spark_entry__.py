@@ -349,6 +349,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              max_hamming=6)
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
+    def dedup_incremental(spark, sf):
+        # incremental ingestion dedup (streaming/dedup.py): the
+        # corpus-so-far — a deterministic 80% hash split — lives in a
+        # persisted banded-signature store; the remaining 20% arrives
+        # as a new batch and is probed against store + itself. Returns
+        # (id_a, id_b, est_jaccard) candidate pairs with >=1 new-side
+        # member; est_jaccard = fraction of agreeing minhash slots
+        # (the scale-honest verification currency — exact shingle
+        # Jaccard would need every historical shingle set kept hot).
+        # Per-batch cost is O(batch + matched buckets): the new side
+        # broadcasts, its band keys push into the store scan.
+        from information_retrieval_spark.streaming.dedup import (
+            IncrementalDeduper,
+        )
+        docs = _documents(spark, sf)
+        u = F.expr(sampling.uniform_expr("doc_id", "inc-dd"))
+        tag = os.path.abspath(sf).strip("/").replace("/", "_")
+        store = os.path.join(tempfile.gettempdir(),
+                             f"irs_dedup_store_v1_{tag}")
+        dd = IncrementalDeduper(spark, store, num_hashes=16,
+                                band_size=4, n=3)
+        dd.append(docs.filter(u < 0.8), 0)  # idempotent (marker)
+        return dd.probe(docs.filter(u >= 0.8))
+    q["dedup_incremental"] = dedup_incremental
+
     # ---- text analysis suite ----
     def text_token_counts(spark, sf):
         return textstats.token_counts(_documents(spark, sf)).select(
@@ -680,6 +705,25 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKS},
         {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=3)}
         SELECT id_a, id_b FROM cand
+    """
+
+    # incremental-ingestion dedup: same LSH family over the FULL corpus,
+    # restricted to pairs with >=1 member in the 20% "new batch" hash
+    # split; est_jaccard = fraction of agreeing minhash slots (exact
+    # int64 arithmetic in both engines, k/16 exactly representable)
+    _u_new = sampling.uniform_expr("doc_id", "inc-dd", dialect="duckdb")
+    _slots16 = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16))
+    o["dedup_incremental"] = f"""
+        WITH {_TOKS},
+        {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=3)},
+        newdocs AS (SELECT doc_id AS id FROM documents WHERE {_u_new} >= 0.8)
+        SELECT id_a, id_b, round(({_slots16}) / 16.0, 6) AS est_jaccard
+        FROM cand
+        JOIN mins a ON a.id = id_a
+        JOIN mins b ON b.id = id_b
+        WHERE id_a IN (SELECT id FROM newdocs)
+           OR id_b IN (SELECT id FROM newdocs)
     """
 
     o["dedup_near"] = f"""

@@ -47,6 +47,20 @@ from information_retrieval_spark.query import QueryEngine
 from information_retrieval_spark.session import get_spark, warm_python_workers
 
 
+_DD_STORE = "/tmp/irs_bench_ddstore"
+
+
+def _dedup_incremental_step(spark, docs):
+    """80% of the corpus -> persisted banded-signature store; probe the
+    remaining 20% batch against store + itself (streaming/dedup.py)."""
+    from information_retrieval_spark.streaming.dedup import IncrementalDeduper
+    u = F.expr(sampling.uniform_expr("path", "bench-dd"))
+    dd = IncrementalDeduper(spark, _DD_STORE, num_hashes=16, band_size=4,
+                            n=3, id_col="path", text_col="content")
+    dd.append(docs.filter(u < 0.8), 0)
+    return dd.probe(docs.filter(u >= 0.8)).count()
+
+
 def timed(fn):
     t0 = time.time()
     out = fn()
@@ -123,6 +137,10 @@ def main() -> None:
         # block-banded Hamming pairing (pigeonhole-complete candidates)
         "dedup_simhash_pairs": lambda: dedup.simhash_near_duplicates(
             docs, max_hamming=6, id_col="path", text_col="content").count(),
+        # incremental ingestion dedup: build the 80%-corpus signature
+        # store, then probe the 20% batch against store + itself
+        # (store rebuilt per repeat via reset)
+        "dedup_incremental": lambda: _dedup_incremental_step(spark, docs),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
         "sample_split": lambda: sampling.train_val_split(
@@ -130,6 +148,8 @@ def main() -> None:
             key_col="path").groupBy("split").count().collect(),
     }
     resets: dict = {}
+    resets["dedup_incremental"] = lambda: shutil.rmtree(
+        _DD_STORE, ignore_errors=True)
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         emb = spark.read.parquet(emb_path)
