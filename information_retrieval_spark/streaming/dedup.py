@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dedup import minhash_signatures
+from ..io import TableStore
 
 # default streaming-source schema: the documents-table shape
 # (TESTDATA.md); pass `schema=` to stream any other document relation
@@ -117,6 +118,10 @@ class IncrementalDeduper:
         self.id_col, self.text_col = id_col, text_col
         self.threshold = threshold
         os.makedirs(store_dir, exist_ok=True)
+        # tables resolve through TableStore so compact() inherits the
+        # versioned manifest-pointer publish (crash-safe, concurrent-
+        # reader-safe — the streaming/incremental.py machinery)
+        self.store = TableStore(spark, store_dir)
         self._pin_params()
 
     # -- store layout ------------------------------------------------------
@@ -139,7 +144,7 @@ class IncrementalDeduper:
             os.rename(tmp, meta)
 
     def _path(self, table: str) -> str:
-        d = os.path.join(self.root, table)
+        d = self.store.path(table)
         os.makedirs(d, exist_ok=True)
         return d
 
@@ -188,14 +193,17 @@ class IncrementalDeduper:
         the store state at call time: run it BEFORE append()ing the
         same batch, or use probe_and_append."""
         p = self.params
+        # checkpoint the SIGNATURES first, derive the banded relation
+        # from the checkpointed table: the minhash aggregation runs once
+        # total, and every downstream consumer (banded a/b sides, key
+        # collect, est-Jaccard joins) reads the materialized rows. The
+        # batch side is the small one, so both relations broadcast.
         new_sig = _batch_sigs if _batch_sigs is not None \
-            else self._signatures(batch_df)
-        new_banded = _banded(new_sig, p["num_hashes"], p["band_size"])
-        # the batch side is the small one: broadcast it through both
-        # joins, and localCheckpoint so signatures compute once, not
-        # once per consumer (banded x2 + sigs join)
-        new_banded = F.broadcast(new_banded.localCheckpoint(eager=True))
-        new_sig = F.broadcast(new_sig.localCheckpoint(eager=True))
+            else self._signatures(batch_df).localCheckpoint(eager=True)
+        new_banded = F.broadcast(
+            _banded(new_sig, p["num_hashes"], p["band_size"])
+            .localCheckpoint(eager=True))
+        new_sig = F.broadcast(new_sig)
 
         # batch-vs-batch candidates (self-join on the broadcast side)
         l = new_banded.select(F.col("id").alias("id_a"), "band", "band_key")
@@ -301,6 +309,47 @@ class IncrementalDeduper:
     def dup_pairs(self) -> DataFrame | None:
         """All recorded (id_a, id_b, est_jaccard, batch_id) rows."""
         return self._read("dup_pairs")
+
+    # -- compaction --------------------------------------------------------
+    def _uncommitted_batch_ids(self) -> set:
+        """Batch ids with linked segment files but no commit marker —
+        crashed mid-append, pending a foreachBatch retry (the
+        incremental.py guard: folding their partial files into a base
+        would double-count the retry's remove-and-relink)."""
+        ids = set()
+        for t in self.TABLES:
+            for fp in glob.glob(os.path.join(self._path(t),
+                                             "batch*_*.parquet")):
+                ids.add(int(os.path.basename(fp).split("_")[0][5:]))
+        return {i for i in ids if not os.path.exists(self._marker(i))}
+
+    def compact(self) -> None:
+        """Fold the accumulated per-batch segment files into one sorted
+        base per table — after 10^4 micro-batches a probe's store scan
+        would otherwise open 10^4x more files, and the bands table's
+        band_key sort (what makes the IN pushdown prune row groups)
+        only holds WITHIN each segment. O(store), run occasionally;
+        each swap is a versioned manifest-pointer flip (TableStore.
+        publish), so a crash anywhere leaves a consistent, probe-safe
+        store and batch commit markers survive — a replayed batch id
+        stays a no-op after its segments were folded."""
+        pending = self._uncommitted_batch_ids()
+        if pending:
+            raise RuntimeError(
+                f"compact() refused: batches {sorted(pending)} have "
+                "linked segment files but no commit marker — re-apply "
+                "them (appends are idempotent) before compacting")
+        n = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions",
+                                           "8")) // 4)
+        for table, key in (("bands", "band_key"), ("sigs", "id"),
+                           ("dup_pairs", "batch_id")):
+            if not glob.glob(os.path.join(self._path(table),
+                                          "*.parquet")):
+                continue
+            base = (self._read(table)
+                    .repartitionByRange(n, key).sortWithinPartitions(key))
+            self.store.write(base, f"tmp_{table}_new")
+            self.store.publish(table, f"tmp_{table}_new")
 
     # -- streaming driver --------------------------------------------------
     def stream_from_directory(self, input_dir: str, checkpoint_dir: str,

@@ -175,3 +175,55 @@ def test_stream_from_directory_multi_batch(spark, work_dir):
     for bid in range(len(BATCHES)):
         want.update(_expected_pairs(bid))
     assert rec == want
+
+
+def test_compact_folds_segments_and_preserves_results(spark, work_dir):
+    dd = _mk(spark, f"{work_dir}/ddstore_compact")
+    for bid, batch in enumerate(BATCHES[:2]):
+        dd.probe_and_append(_df(spark, batch), bid)
+
+    def seg_files(t):
+        return glob.glob(os.path.join(dd._path(t), "batch*_*.parquet"))
+
+    assert seg_files("bands") and seg_files("sigs")
+    before = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+              dd.probe(_df(spark, BATCHES[2])).collect()}
+    dd.compact()
+    # per-batch segments folded into a sorted base, probe unchanged
+    assert not seg_files("bands") and not seg_files("sigs") \
+        and not seg_files("dup_pairs")
+    after = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             dd.probe(_df(spark, BATCHES[2])).collect()}
+    assert after == before == _expected_pairs(2)
+    # commit markers survive: a replayed folded batch stays a no-op
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           dd.probe_and_append(_df(spark, BATCHES[1]), 1).collect()}
+    assert got == _expected_pairs(1)
+    # and the store keeps working incrementally post-compaction
+    got2 = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+            dd.probe_and_append(_df(spark, BATCHES[2]), 2).collect()}
+    assert got2 == _expected_pairs(2)
+
+
+def test_compact_refuses_uncommitted_batch(spark, work_dir):
+    dd = _mk(spark, f"{work_dir}/ddstore_guard")
+    dd.probe_and_append(_df(spark, BATCHES[0]), 0)
+    # simulate a batch that crashed between linking and its marker
+    sig = dd._signatures(_df(spark, BATCHES[1]))
+    dd._append_segment(sig, "sigs", 1)
+    with pytest.raises(RuntimeError, match="no commit marker"):
+        dd.compact()
+    dd._finish(1)  # marker lands -> compaction proceeds
+    dd.compact()
+
+
+def test_probe_plan_broadcasts_batch_and_pushes_band_keys(spark, work_dir):
+    # the scale contract: the store side is scanned with the batch's
+    # band keys pushed into the parquet scan (row-group pruning) and
+    # the batch side broadcast — never a corpus-wide shuffle join
+    dd = _mk(spark, f"{work_dir}/ddstore_plan")
+    dd.append(_df(spark, BATCHES[0]), 0)
+    probe = dd.probe(_df(spark, BATCHES[1]))
+    plan = probe._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "In(band_key" in plan, plan
