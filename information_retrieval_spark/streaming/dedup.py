@@ -45,6 +45,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -276,7 +277,6 @@ class IncrementalDeduper:
         tmp = self._marker(batch_id) + ".tmp"
         open(tmp, "w").write("done")
         os.rename(tmp, self._marker(batch_id))
-        import shutil
         shutil.rmtree(os.path.join(self.root, f"tmp_batch_{batch_id}"),
                       ignore_errors=True)
 
@@ -289,19 +289,13 @@ class IncrementalDeduper:
         if not os.path.exists(self._marker(batch_id)):
             sig = self._signatures(batch_df).localCheckpoint(eager=True)
             pairs = self.probe(batch_df, _batch_sigs=sig)
+            # pairs segment first, marker last (inside append): a crash
+            # anywhere replays the whole unit idempotently
             self._append_segment(
                 pairs.withColumn("batch_id",
                                  F.lit(batch_id).cast("long")),
                 "dup_pairs", batch_id)
-            p = self.params
-            bands = (_banded(sig, p["num_hashes"], p["band_size"])
-                     .repartitionByRange(1, "band_key")
-                     .sortWithinPartitions("band_key"))
-            self._append_segment(bands, "bands", batch_id)
-            self._append_segment(
-                sig.repartitionByRange(1, "id").sortWithinPartitions("id"),
-                "sigs", batch_id)
-            self._finish(batch_id)
+            self.append(batch_df, batch_id, _batch_sigs=sig)
         return (self.spark.read.parquet(self._path("dup_pairs"))
                 .filter(F.col("batch_id") == batch_id)
                 .drop("batch_id"))
