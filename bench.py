@@ -50,15 +50,30 @@ from information_retrieval_spark.session import get_spark, warm_python_workers
 _DD_STORE = "/tmp/irs_bench_ddstore"
 
 
-def _dedup_incremental_step(spark, docs):
-    """80% of the corpus -> persisted banded-signature store; probe the
-    remaining 20% batch against store + itself (streaming/dedup.py)."""
+def _dedup_store(spark):
     from information_retrieval_spark.streaming.dedup import IncrementalDeduper
+    return IncrementalDeduper(spark, _DD_STORE, num_hashes=16, band_size=4,
+                              n=3, id_col="path", text_col="content")
+
+
+def _dd_split(docs):
     u = F.expr(sampling.uniform_expr("path", "bench-dd"))
-    dd = IncrementalDeduper(spark, _DD_STORE, num_hashes=16, band_size=4,
-                            n=3, id_col="path", text_col="content")
-    dd.append(docs.filter(u < 0.8), 0)
-    return dd.probe(docs.filter(u >= 0.8)).count()
+    return docs.filter(u < 0.8), docs.filter(u >= 0.8)
+
+
+def _dedup_inc_build(spark, docs):
+    """80% of the corpus -> persisted banded-signature store
+    (streaming/dedup.py; store cleared per repeat via reset)."""
+    old, _ = _dd_split(docs)
+    _dedup_store(spark).append(old, 0)
+
+
+def _dedup_inc_probe(spark, docs):
+    """Steady-state incremental probe: the 20% 'new batch' against the
+    persisted store + itself — the per-batch cost an ingestion
+    pipeline pays, O(batch + matched buckets), store NOT rebuilt."""
+    _, new = _dd_split(docs)
+    return _dedup_store(spark).probe(new).count()
 
 
 def timed(fn):
@@ -137,10 +152,10 @@ def main() -> None:
         # block-banded Hamming pairing (pigeonhole-complete candidates)
         "dedup_simhash_pairs": lambda: dedup.simhash_near_duplicates(
             docs, max_hamming=6, id_col="path", text_col="content").count(),
-        # incremental ingestion dedup: build the 80%-corpus signature
-        # store, then probe the 20% batch against store + itself
-        # (store rebuilt per repeat via reset)
-        "dedup_incremental": lambda: _dedup_incremental_step(spark, docs),
+        # incremental ingestion dedup: store build (reset per repeat)
+        # measured separately from the steady-state per-batch probe
+        "dedup_inc_build": lambda: _dedup_inc_build(spark, docs),
+        "dedup_inc_probe": lambda: _dedup_inc_probe(spark, docs),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
         "sample_split": lambda: sampling.train_val_split(
@@ -148,7 +163,7 @@ def main() -> None:
             key_col="path").groupBy("split").count().collect(),
     }
     resets: dict = {}
-    resets["dedup_incremental"] = lambda: shutil.rmtree(
+    resets["dedup_inc_build"] = lambda: shutil.rmtree(
         _DD_STORE, ignore_errors=True)
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
