@@ -194,16 +194,16 @@ class IncrementalDeduper:
         the store state at call time: run it BEFORE append()ing the
         same batch, or use probe_and_append."""
         p = self.params
-        # checkpoint the SIGNATURES first, derive the banded relation
-        # from the checkpointed table: the minhash aggregation runs once
-        # total, and every downstream consumer (banded a/b sides, key
-        # collect, est-Jaccard joins) reads the materialized rows. The
-        # batch side is the small one, so both relations broadcast.
+        # checkpoint the SIGNATURES once, derive the banded relation
+        # from the checkpointed table per consumer: the minhash
+        # aggregation runs once total, and re-deriving the bands is a
+        # cheap explode over the materialized batch rows (a second
+        # checkpoint job costs more than the recomputes). The batch
+        # side is the small one, so both relations broadcast.
         new_sig = _batch_sigs if _batch_sigs is not None \
             else self._signatures(batch_df).localCheckpoint(eager=True)
         new_banded = F.broadcast(
-            _banded(new_sig, p["num_hashes"], p["band_size"])
-            .localCheckpoint(eager=True))
+            _banded(new_sig, p["num_hashes"], p["band_size"]))
         new_sig = F.broadcast(new_sig)
 
         # batch-vs-batch candidates (self-join on the broadcast side)
