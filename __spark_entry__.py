@@ -36,6 +36,33 @@ _EX = "ex AS (SELECT doc_id, unnest(t) AS term FROM toks)"
 _POS = "pos AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM toks)"
 
 
+def _bm25_ctes() -> str:
+    """tf/dl/st/dfreq/scores CTEs: exact BM25 (k1=1.2, b=0.75) for the
+    fixed gate query ('spark join window'), shared by the bm25_topk and
+    bm25_snippets oracles."""
+    return """
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            WHERE term IN ('spark', 'join', 'window')
+            GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN st
+            GROUP BY tf.doc_id
+        )"""
+
+
 def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
     """CTEs sh/hv/mins/banded/cand reproducing dedup.minhash_lsh_pairs
     over n-gram shingle features with the universal-hash minhash family:
@@ -293,6 +320,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (top.join(dm, "docID")
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_topk"] = bm25_topk
+
+    def bm25_snippets(spark, sf):
+        # top-k page + minimal covering snippet window from the
+        # positional index (two-pointer Arrow sweep vs the oracle's
+        # O(occ^2) relational window — algorithm-diverse equality)
+        e = _engine(spark, sf)
+        top = e.bm25_snippets("spark join window", k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score"),
+                        "win_start", "win_end", "n_terms"))
+    q["bm25_snippets"] = bm25_snippets
 
     # ---- dedup suite ----
     def dedup_exact(spark, sf):
@@ -648,28 +688,46 @@ def oracle_sql() -> dict[str, str]:
 
     o["bm25_topk"] = f"""
         WITH {_TOKS},
-        tf AS (
-            SELECT doc_id, term, count(*)::DOUBLE AS tf
-            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-            WHERE term IN ('spark', 'join', 'window')
-            GROUP BY doc_id, term
-        ),
-        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
-        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
-        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-        scores AS (
-            SELECT tf.doc_id,
-                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                       * tf.tf * (1.2 + 1.0)
-                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
-            FROM tf
-            JOIN dfreq USING (term)
-            JOIN dl USING (doc_id)
-            CROSS JOIN st
-            GROUP BY tf.doc_id
-        )
+        {_bm25_ctes()}
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # snippet windows over the top-10 page: the oracle recomputes the
+    # minimal covering window with an O(occ^2) relational formulation
+    # (for every candidate END position, the best START is the min over
+    # terms of that term's latest occurrence <= end; valid iff every
+    # term has one), while the Spark side runs a two-pointer sweep in
+    # an Arrow kernel — algorithm-diverse equality on (len, start)
+    # lexicographic minimality
+    o["bm25_snippets"] = f"""
+        WITH {_TOKS}, {_POS},
+        {_bm25_ctes()},
+        top AS (SELECT doc_id, round(s, 6) AS score
+                FROM scores ORDER BY s DESC, doc_id LIMIT 10),
+        occ AS (SELECT p.doc_id, p.term, p.p
+                FROM pos p JOIN top USING (doc_id)
+                WHERE p.term IN ('spark', 'join', 'window')),
+        need AS (SELECT doc_id, count(DISTINCT term) AS need
+                 FROM occ GROUP BY doc_id),
+        ends AS (SELECT DISTINCT doc_id, p AS pe FROM occ),
+        latest AS (SELECT e.doc_id, e.pe, o.term, max(o.p) AS lp
+                   FROM ends e
+                   JOIN occ o ON o.doc_id = e.doc_id AND o.p <= e.pe
+                   GROUP BY 1, 2, 3),
+        cover AS (SELECT doc_id, pe, count(*) AS nt, min(lp) AS ws
+                  FROM latest GROUP BY doc_id, pe),
+        valid AS (SELECT c.doc_id, c.ws, c.pe
+                  FROM cover c JOIN need n
+                    ON n.doc_id = c.doc_id AND c.nt = n.need),
+        best AS (SELECT doc_id, ws, pe, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY pe - ws, ws) AS rn
+                 FROM valid)
+        SELECT t.doc_id, t.score, b.ws::INT AS win_start,
+               b.pe::INT AS win_end, n.need::INT AS n_terms
+        FROM top t
+        JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+        JOIN need n ON n.doc_id = t.doc_id
     """
 
     o["dedup_exact"] = """

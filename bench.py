@@ -128,6 +128,8 @@ def main() -> None:
     steps = {
         "bm25_wand": lambda: qe.bm25("spark join window", k=10, wand=True).collect(),
         "bm25_full": lambda: qe.bm25("spark join window", k=10, wand=False).collect(),
+        "bm25_snippets": lambda: qe.bm25_snippets(
+            "spark join window", k=10).collect(),
         "boolean": lambda: qe.boolean_docs(
             "table AND NOT merge OR spark AND window").count(),
         "positional": lambda: qe.positional_docs("spark /3 join").count(),

@@ -108,6 +108,38 @@ def _decode_iter(batches, with_positions: bool):
         yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
+def _min_window_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel (one group == one doc): minimal covering
+    window over the doc's query-term occurrences via the classic
+    two-pointer sweep — O(occ log occ). Every (l, r) candidate the
+    shrink loop visits is recorded, so the global (length, start)
+    lexicographic minimum is exact and deterministic."""
+    lens = [len(x) for x in pdf["positions"]]
+    pos = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["positions"]])
+    tid = np.repeat(pd.factorize(pdf["term"])[0], lens)
+    order = np.argsort(pos, kind="stable")
+    p, t = pos[order], tid[order]
+    need = int(t.max()) + 1
+    cnt = np.zeros(need, dtype=np.int64)
+    covered, lo, best = 0, 0, None
+    for r in range(len(p)):
+        if cnt[t[r]] == 0:
+            covered += 1
+        cnt[t[r]] += 1
+        while covered == need:
+            cand = (int(p[r] - p[lo]), int(p[lo]), int(p[r]))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+            cnt[t[lo]] -= 1
+            if cnt[t[lo]] == 0:
+                covered -= 1
+            lo += 1
+    return pd.DataFrame({"docID": [int(pdf["docID"].iloc[0])],
+                         "win_start": [best[1]], "win_end": [best[2]],
+                         "n_terms": [need]})
+
+
 def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
                       docs_per_bucket: int, k: int):
     """mapInArrow kernel: compressed posting blocks (repartitioned by
@@ -590,6 +622,57 @@ class QueryEngine:
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "docID long, score double, name string")
+
+    _SNIPPET_SCHEMA = ("docID long, score double, name string, "
+                       "win_start int, win_end int, n_terms int")
+
+    def bm25_snippets(self, query: str, k: int = 10,
+                      wand: bool = True) -> DataFrame:
+        """Top-k BM25 + the snippet window: for each result doc, the
+        MINIMAL token-position window [win_start, win_end] containing
+        >=1 occurrence of every query term the doc contains (ties ->
+        smallest start) — the classic highlight primitive, computed
+        from the positional index. Engine addition: the reference
+        stores the same positional data (PositionalIndex semantics,
+        CoordFileProcessor.java) but has no snippet extraction.
+
+        Scale shape: top-k is a k-row driver page (the result set a
+        user is looking at), so snippet work is bounded by k, never by
+        the corpus — only the query terms' posting blocks whose docID
+        bucket occurs in the page are decoded (`term IN` + `bucket IN`
+        pushdown, same pruning as the boolean NOT path), and the
+        minimal-window sweep is O(occurrences) per doc inside one
+        Arrow batch per doc (applyInPandas over k groups). The exact
+        same window is recomputed by the driver gate's DuckDB oracle
+        with an O(occ^2) relational formulation — algorithm-diverse
+        equality, like the banded/all-pairs dedup gates."""
+        top_rows = self.bm25(query, k=k, wand=wand).collect()
+        terms = sorted({t for t in (normalize(tok)
+                                    for tok in re.split(r"\s+", query.strip()))
+                        if t is not None})
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not top_rows or not terms:
+            return self.spark.createDataFrame([], self._SNIPPET_SCHEMA)
+        ids = [int(r["docID"]) for r in top_rows]
+        dpb = int(self.stats["docs_per_bucket"])
+        buckets = sorted({d // dpb for d in ids})
+        occ = (self.blocks_for(terms)
+               .filter(F.col("bucket").isin(buckets))
+               .mapInArrow(lambda it: _decode_iter(it, True),
+                           schema=_DECODED_POS_SCHEMA)
+               .filter(F.col("docID").isin(ids))
+               .select("docID", "term", "positions"))
+        win = occ.groupBy("docID").applyInPandas(
+            _min_window_kernel,
+            schema="docID long, win_start int, win_end int, n_terms int")
+        page = self.spark.createDataFrame(
+            [(int(r["docID"]), float(r["score"]), r["name"])
+             for r in top_rows], "docID long, score double, name string")
+        return (page.join(win, "docID")
+                .select("docID", "score", "name",
+                        "win_start", "win_end", "n_terms")
+                .orderBy(F.desc("score"), "docID"))
 
     # bucket_max slices up to this many rows are collected and folded in
     # driver numpy (saves one distributed agg job per query); beyond it —

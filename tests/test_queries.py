@@ -116,3 +116,59 @@ def test_positional_oracle_sweep(synth_engine, synth_oracle, q):
 @pytest.mark.parametrize("q", ["sym1*", "*le", "sym*0", "need*"])
 def test_joker_oracle_sweep(synth_engine, synth_oracle, q):
     assert sorted(names(synth_engine.joker(q))) == synth_oracle.joker(q)
+
+
+# --- bm25 snippet windows (minimal covering window) ---------------------
+
+def _py_min_window(text, terms):
+    """Brute-force oracle: smallest (len, start) window over the token
+    positions covering every query term present in the doc."""
+    from information_retrieval_spark.normalize import tokenize
+    toks = tokenize(text)
+    occ = [(i, w) for i, w in enumerate(toks) if w in terms]
+    present = {w for _, w in occ}
+    if not present:
+        return None
+    best = None
+    for si, (s, _) in enumerate(occ):
+        seen = set()
+        for e, w in occ[si:]:
+            seen.add(w)
+            if seen == present:
+                cand = (e - s, s, e)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+                break
+    return best[1], best[2], len(present)
+
+
+@pytest.mark.parametrize("q", ["fell already trigger", "engine",
+                               "for searching", "pen apple pineapple"])
+def test_bm25_snippets_match_bruteforce(fixture_engine, q):
+    got = {r["name"]: (r["win_start"], r["win_end"], r["n_terms"])
+           for r in fixture_engine.bm25_snippets(q, k=10).collect()}
+    from information_retrieval_spark.normalize import normalize
+    terms = {normalize(w) for w in q.split()}
+    want = {}
+    for name, text in FIXTURE_DOCS.items():
+        w = _py_min_window(text, terms)
+        if w is not None:
+            want[name] = w
+    # every scored doc carries the brute-force window; snippet rows are
+    # exactly the bm25 page (every page doc contains >=1 term)
+    assert got
+    for name, win in got.items():
+        assert win == want[name], (name, win, want[name])
+    page = {r["name"] for r in fixture_engine.bm25(q, k=10).collect()}
+    assert set(got) == page
+
+
+def test_bm25_snippets_single_occurrence(fixture_engine):
+    rows = fixture_engine.bm25_snippets("keyword", k=3).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "test5.txt"
+    assert (rows[0]["win_start"], rows[0]["win_end"],
+            rows[0]["n_terms"]) == (1, 1, 1)
+
+
+def test_bm25_snippets_absent_terms_empty(fixture_engine):
+    assert fixture_engine.bm25_snippets("zzzznotthere", k=5).collect() == []
