@@ -172,3 +172,50 @@ def test_bm25_snippets_single_occurrence(fixture_engine):
 
 def test_bm25_snippets_absent_terms_empty(fixture_engine):
     assert fixture_engine.bm25_snippets("zzzznotthere", k=5).collect() == []
+
+
+# --- seeded randomized sweep: engine vs the pure-Python oracle ----------
+
+def _random_queries(seed=7, n_bool=12, n_pos=6, n_joker=6):
+    """Deterministic random queries over the synth vocabulary; the
+    generator never sees either implementation, so coverage is not
+    shaped around known-good paths."""
+    import random
+    rng = random.Random(seed)
+    vocab = ([f"sym{rng.randrange(30)}" for _ in range(20)]
+             + ["needle", "haystack", "the", "for", "v5", "absentzz"])
+    bools, poss, jokers = [], [], []
+    for _ in range(n_bool):
+        n_cl = rng.randint(1, 3)
+        clauses = []
+        for _ in range(n_cl):
+            terms = [rng.choice(vocab) for _ in range(rng.randint(1, 3))]
+            cl = " AND ".join(terms)
+            if rng.random() < 0.4:
+                cl += f" AND NOT {rng.choice(vocab)}"
+            clauses.append(cl)
+        bools.append(" OR ".join(clauses))
+    for _ in range(n_pos):
+        n_t = rng.randint(2, 3)
+        parts = [rng.choice(vocab)]
+        for _ in range(n_t - 1):
+            parts.append(f"/{rng.randint(1, 6)}")
+            parts.append(rng.choice(vocab))
+        poss.append(" ".join(parts))
+    for _ in range(n_joker):
+        t = rng.choice(["sym", "need", "hay", "v"])
+        jokers.append(rng.choice([f"{t}*", f"*{t[-2:]}", f"{t[0]}*{t[-1]}"]))
+    return bools, poss, jokers
+
+
+def test_randomized_query_sweep_vs_oracle(synth_engine, synth_oracle):
+    bools, poss, jokers = _random_queries()
+    for q in bools:
+        assert sorted(names(synth_engine.boolean(q))) == \
+            synth_oracle.boolean(q), f"boolean {q!r}"
+    for q in poss:
+        assert sorted(names(synth_engine.positional(q))) == \
+            synth_oracle.positional(q), f"positional {q!r}"
+    for q in jokers:
+        assert sorted(names(synth_engine.joker(q))) == \
+            synth_oracle.joker(q), f"joker {q!r}"
