@@ -435,6 +435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.doc_fingerprints(_documents(spark, sf), n=5)
     q["text_fingerprints"] = text_fingerprints
 
+    def text_unigram_logprob(spark, sf):
+        # corpus-relative importance signal: mean ln p(term) under the
+        # corpus's own MLE unigram LM (doc-distinct term counts join
+        # the cf relation derived from the same counts — no UDF)
+        return textstats.unigram_logprob_scores(_documents(spark, sf))
+    q["text_unigram_logprob"] = text_unigram_logprob
+
     # ---- multimodal plumbing ----
     def multimodal_features(spark, sf):
         # binary payload columns synthesized deterministically from the
@@ -895,6 +902,22 @@ def oracle_sql() -> dict[str, str]:
                list_min(list_transform(range(greatest(len(t) - 5, 0) + 1),
                         i -> sha256(array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS fingerprint
         FROM toks
+    """
+
+    o["text_unigram_logprob"] = f"""
+        WITH {_TOKS},
+        tfd AS (
+            SELECT doc_id AS id, term, count(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY 1, 2
+        ),
+        cf AS (SELECT term, sum(c)::BIGINT AS cf FROM tfd GROUP BY term),
+        tot AS (SELECT sum(cf)::DOUBLE AS T FROM cf)
+        SELECT id,
+               round(sum(c * ln(cf / T)) / sum(c), 6) AS mean_logprob,
+               sum(c)::BIGINT AS n_terms
+        FROM tfd JOIN cf USING (term) CROSS JOIN tot
+        GROUP BY id
     """
 
     o["ann_cosine_topk"] = """

@@ -81,6 +81,39 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     return toks.select(F.col(id_col).alias("id"), F.round(q, 6).alias("quality"))
 
 
+def unigram_logprob_scores(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(id, mean_logprob, n_terms): corpus-relative quality signal —
+    the mean natural-log unigram probability of the doc's kept terms
+    under the corpus's OWN MLE unigram model (p(t) = cf_t / total
+    kept-term count). The standard cheap "how typical is this
+    document" importance signal a curation pipeline thresholds on
+    (very low = rare-token noise, very high = generic boilerplate);
+    complements the surface-feature `quality_scores`. Docs with zero
+    kept terms are absent (doc_len semantics). mean_logprob is rounded
+    to 6 dp (the cross-engine-stable grain for double aggregation,
+    same as the BM25 gate).
+
+    Scale shape (100 TB): one explode -> per-(doc, term) counts (the
+    combiner collapses token instances to doc-distinct terms before
+    the shuffle) -> the (term, cf) relation derives from the SAME
+    counts and joins back on term (sort-merge at 10^12-doc vocab) ->
+    one per-doc aggregation. The 1-row total broadcasts. No UDF, no
+    driver state.
+    """
+    toks = _toks(df, text_col)
+    tfd = (toks.select(F.col(id_col).alias("id"),
+                       F.explode("__toks").alias("term"))
+           .groupBy("id", "term").agg(F.count(F.lit(1)).alias("c")))
+    cf = tfd.groupBy("term").agg(F.sum("c").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("T"))
+    return (tfd.join(cf, "term").crossJoin(F.broadcast(tot))
+            .groupBy("id")
+            .agg(F.round(F.sum(F.col("c") * F.log(F.col("cf") / F.col("T")))
+                         / F.sum("c"), 6).alias("mean_logprob"),
+                 F.sum("c").cast("long").alias("n_terms")))
+
+
 def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 5) -> DataFrame:
     """(id, fingerprint): winnowing-style fingerprint = min sha256 over

@@ -869,3 +869,26 @@ def test_near_duplicates_auto_materializes_shingles(docs_df):
                                   materialize_above_bytes=0).collect()} == base
     assert len(glob.glob(f"{path}/*")) == n_files
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_unigram_logprob_scores(docs_df):
+    got = {r["id"]: (r["mean_logprob"], r["n_terms"]) for r in
+           textstats.unigram_logprob_scores(docs_df).collect()}
+    # pure-Python oracle: MLE unigram LM over the corpus's kept terms
+    from collections import Counter
+    per_doc = {i: Counter(tokenize(t)) for i, t in DOCS}
+    cf = Counter()
+    for c in per_doc.values():
+        cf.update(c)
+    total = sum(cf.values())
+    want = {}
+    for i, c in per_doc.items():
+        n = sum(c.values())
+        if n == 0:
+            continue  # zero-kept-term docs are absent (doc_len semantics)
+        lp = sum(k * math.log(cf[t] / total) for t, k in c.items()) / n
+        want[i] = (round(lp, 6), n)
+    assert got == want
+    # identical docs score identically; every mean_logprob is negative
+    assert got[0] == got[1]
+    assert all(lp < 0 for lp, _ in got.values())
