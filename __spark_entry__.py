@@ -389,6 +389,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              max_hamming=6)
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
 
+    def dedup_contamination(spark, sf):
+        # benchmark decontamination: a ~4% hash split plays the eval
+        # set; its shingles BROADCAST into one map-side join against
+        # the corpus shingle scan (no corpus shuffle until the overlap
+        # counts) — containment catches eval items embedded in larger
+        # docs where symmetric Jaccard stays tiny
+        docs = _documents(spark, sf)
+        u = F.expr(sampling.uniform_expr("doc_id", "contam"))
+        return dedup.contamination(docs.filter(u < 0.96),
+                                   docs.filter(u >= 0.96),
+                                   n=3, min_overlap=2)
+    q["dedup_contamination"] = dedup_contamination
+
     def dedup_incremental(spark, sf):
         # incremental ingestion dedup (streaming/dedup.py): the
         # corpus-so-far — a deterministic 80% hash split — lives in a
@@ -770,6 +783,34 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKS},
         {_minhash_lsh_ctes(num_hashes=16, band_size=4, n=3)}
         SELECT id_a, id_b FROM cand
+    """
+
+    # benchmark decontamination: exact shared-shingle counts between the
+    # corpus split and the 4% "eval set" split, containment = shared /
+    # benchmark-doc shingles
+    _u_contam = sampling.uniform_expr("doc_id", "contam", dialect="duckdb")
+    o["dedup_contamination"] = f"""
+        WITH {_TOKS},
+        sh AS (
+            SELECT doc_id AS id, unnest(
+                list_distinct(list_transform(range(greatest(len(t) - 3, -1) + 1),
+                              i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+            ) AS shingle
+            FROM toks
+        ),
+        bench AS (SELECT doc_id FROM documents WHERE {_u_contam} >= 0.96),
+        bsh AS (SELECT s.id AS bench_id, s.shingle
+                FROM sh s JOIN bench b ON b.doc_id = s.id),
+        csh AS (SELECT * FROM sh
+                WHERE id NOT IN (SELECT doc_id FROM bench)),
+        bsz AS (SELECT bench_id, count(*)::BIGINT AS n_bench
+                FROM bsh GROUP BY bench_id),
+        hits AS (SELECT c.id, b.bench_id, count(*)::BIGINT AS n_shared
+                 FROM csh c JOIN bsh b USING (shingle)
+                 GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT id, bench_id, n_shared,
+               round(n_shared / n_bench, 6) AS containment
+        FROM hits JOIN bsz USING (bench_id)
     """
 
     # incremental-ingestion dedup: same LSH family over the FULL corpus,

@@ -410,6 +410,43 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                     F.least(F.col("mv"), F.col("u")).alias("cluster_id")))
 
 
+def contamination(df: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  n: int = 3, min_overlap: int = 2) -> DataFrame:
+    """Benchmark decontamination: (id, bench_id, n_shared, containment)
+    for every corpus document sharing >= min_overlap distinct n-gram
+    shingles with a benchmark/eval document. containment = shared
+    shingles / benchmark doc's shingles — the asymmetric measure that
+    catches a benchmark item EMBEDDED in a larger document (where
+    symmetric Jaccard stays tiny). A training pipeline drops or flags
+    the matches before training so eval numbers stay meaningful.
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark side is
+    by definition small (an eval set), so its shingle relation
+    BROADCASTS into one map-side join against the corpus shingle scan —
+    no corpus shuffle at all until the (id, bench_id) overlap counts,
+    whose cardinality is bounded by actual contamination, not corpus
+    size. Benchmark docs with < n tokens have no shingles and cannot
+    match (same contract as shingle_sets).
+    """
+    corpus_sh = shingle_sets(df, id_col, text_col, n)
+    bench_sh = shingle_sets(benchmark, bench_id_col, bench_text_col, n)
+    bench_sh = F.broadcast(
+        bench_sh.select(F.col("id").alias("bench_id"), "shingle"))
+    bsizes = F.broadcast(
+        bench_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench")))
+    hits = (corpus_sh.join(bench_sh, "shingle")
+            .groupBy("id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_overlap))
+    return (hits.join(bsizes, "bench_id")
+            .select("id", "bench_id", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_bench"), 6)
+                    .alias("containment")))
+
+
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.8, num_hashes: int = 64,

@@ -892,3 +892,48 @@ def test_unigram_logprob_scores(docs_df):
     # identical docs score identically; every mean_logprob is negative
     assert got[0] == got[1]
     assert all(lp < 0 for lp, _ in got.values())
+
+
+def test_contamination_matches_python_oracle(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         # bench doc 100 EMBEDDED in a larger doc: containment = 1.0
+         # even though symmetric jaccard is small
+         (1, "preamble words here alpha beta gamma delta trailing "
+             "content continues onward for a while longer"),
+         (2, "completely unrelated text with nothing shared at all"),
+         (3, "alpha beta unrelated gamma delta")],  # 2 separate shingles? no
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"),
+         (101, "nothing matches this benchmark item text")],
+        "doc_id long, text string")
+    got = {(r["id"], r["bench_id"]): (r["n_shared"], r["containment"])
+           for r in dedup.contamination(corpus, bench, n=3,
+                                        min_overlap=2).collect()}
+    want = {}
+    bsh = {i: _shingles(t, 3) for i, t in
+           [(100, "alpha beta gamma delta"),
+            (101, "nothing matches this benchmark item text")]}
+    corpus_rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for cid, text in corpus_rows.items():
+        csh = _shingles(text, 3)
+        for bid, bs in bsh.items():
+            shared = len(csh & bs)
+            if shared >= 2:
+                want[(cid, bid)] = (shared, round(shared / len(bs), 6))
+    assert got == want
+    assert got[(0, 100)] == (2, 1.0)   # bench 100 has 2 shingles, both hit
+    assert got[(1, 100)] == (2, 1.0)   # embedded copy: containment 1.0
+    assert not any(b == 101 for _, b in got)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(20)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(99, "alpha beta gamma doc")],
+                                  "doc_id long, text string")
+    plan = (dedup.contamination(corpus, bench)
+            ._jdf.queryExecution().sparkPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
