@@ -219,3 +219,15 @@ def test_randomized_query_sweep_vs_oracle(synth_engine, synth_oracle):
     for q in jokers:
         assert sorted(names(synth_engine.joker(q))) == \
             synth_oracle.joker(q), f"joker {q!r}"
+
+
+def test_bm25_snippets_synth_sweep(synth_engine, synth_docs):
+    # multi-block/multi-bucket index: windows still match brute force
+    q = "sym0 sym1 needle"
+    texts = {r["path"].split("/")[-1]: r["content"]
+             for r in synth_docs.collect()}
+    rows = synth_engine.bm25_snippets(q, k=10).collect()
+    assert rows
+    for r in rows:
+        want = _py_min_window(texts[r["name"]], {"sym0", "sym1", "needle"})
+        assert (r["win_start"], r["win_end"], r["n_terms"]) == want, r["name"]
