@@ -61,6 +61,10 @@ def cmd_query(args) -> int:
         out = [r["name"] for r in qe.positional(args.q).collect()]
     elif args.mode == "joker":
         out = [r["name"] for r in qe.joker(args.q).collect()]
+    elif args.mode == "snippets":
+        out = [(r["docID"], round(r["score"], 6), r["name"],
+                r["win_start"], r["win_end"])
+               for r in qe.bm25_snippets(args.q, k=args.k).collect()]
     else:
         out = [(r["docID"], round(r["score"], 6), r["name"])
                for r in qe.bm25(args.q, k=args.k, wand=not args.no_wand).collect()]
@@ -97,7 +101,8 @@ def main(argv=None) -> int:
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
-                   choices=["bm25", "boolean", "positional", "joker"])
+                   choices=["bm25", "boolean", "positional", "joker",
+                            "snippets"])
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-wand", action="store_true")
