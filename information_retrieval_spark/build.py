@@ -12,27 +12,35 @@ table so the build is resumable (north_rule):
                        (Replaces the reference's walk-order BiMap,
                        IndexService.java:173-177, which cannot distribute.)
   stage 2  partials  — docs ⋈ doc_map (AQE picks broadcast when small)
-                       -> tokenize (pandas UDF or pure-SQL expr)
-                       -> posexplode (positions over kept terms only)
-                       -> groupBy(term, docID) partial+final hash agg
-                       (tf, sorted positions, dl). This is SPIMI: the
-                       map-side partial aggregation is the in-memory
-                       inversion (IndexService.java:215-233), Spark's
-                       sort/shuffle spill replaces hand-rolled particle
-                       files (IndexService.java:258-288).
-  stage 3  doc_len   — dl per doc (rows only for docs with >=1 kept
-           + stats     term; an ABSENT row means dl = 0) + global
-                       N / total_len / avgdl (needed by BM25 + block-max).
-  stage 4  postings  — groupBy(term, bucket) -> numpy block encoder:
-                       fixed docs-per-block varbyte blocks with gap-coded
-                       docIDs/positions, per-block max tf and max BM25
-                       tf-norm (the block-max WAND skip structure). The
-                       `bucket = docID // docs_per_bucket` key bounds any
-                       single group: a Zipf head term is split across
-                       buckets (skew-proof, replaces the reference's
-                       single-writer k-way merge, IndexService.java:290-419),
-                       and bucket-major block ids keep docIDs globally
-                       ascending per term.
+                       -> ONE map-side Arrow kernel: tokenize + per-doc
+                       inversion + PACK into per-(term, bucket) fragment
+                       rows (varbyte docIDs/tfs/dls/positions,
+                       FRAGMENTS_SCHEMA) + a per-partition doc_len
+                       marker row. This is SPIMI: the partition-local
+                       inversion is the reference's in-memory inversion
+                       (IndexService.java:215-233), the fragment files
+                       its particle files (IndexService.java:258-288) —
+                       no shuffle, memory bounded by the input split.
+                       (pandas/sql tokenizer paths emit unpacked
+                       per-posting rows instead, for parity testing.)
+  stage 3  doc_len   — decoded from the packed markers: shuffle-free,
+           + stats     row-group-pruned scan (rows only for docs with
+                       >=1 kept term; an ABSENT row means dl = 0) +
+                       global N / total_len / avgdl.
+  stage 4  postings  — the build's ONE wide exchange: shuffle FRAGMENT
+                       rows on (term, bucket) (~10-30x fewer rows than
+                       per-posting, ~3-5 bytes/posting), sort fragments
+                       within partitions, then a fused Arrow kernel
+                       decodes + docID-merges + re-cuts each group into
+                       fixed docs-per-block varbyte blocks with per-block
+                       max tf and max BM25 tf-norm (the block-max WAND
+                       skip structure). The `bucket = docID //
+                       docs_per_bucket` key bounds any single group: a
+                       Zipf head term is split across buckets
+                       (skew-proof, replaces the reference's
+                       single-writer k-way merge, IndexService.java:
+                       290-419), and bucket-major block ids keep docIDs
+                       globally ascending per term.
   stage 4.5 bucket_max — per-(term, docID-bucket) WAND bound rollup, so
                        queries never re-aggregate block metadata.
   stage 5  dictionary— term stats rollup (df summed from per-block doc
@@ -63,98 +71,291 @@ from .corpus import with_sha256
 from .functions.tokenize import spark_tokenize_col, tokenize_pandas_udf
 from .io import TableStore
 
-def _spimi_invert_arrow(batches):
-    """Arrow-native SPIMI kernel (mapInArrow): tokenize + per-doc
-    inversion with ZERO per-token Python objects.
+def _invert_arrow_batch(rb):
+    """Tokenize + invert ONE Arrow record batch of (docID, content) rows.
 
     Token splitting / flattening / dictionary-encoding run in Arrow C++
-    (pc.utf8_split_whitespace, pc.dictionary_encode); Python sees only
+    (pc.ascii_split_whitespace, pc.dictionary_encode); Python sees only
     the per-batch DISTINCT raw tokens (a few hundred strings) for the
-    regex normalization, and all grouping is integer numpy. Output
-    posting rows are assembled straight into Arrow buffers
-    (ListArray.from_arrays), so the 10^8-row partials stream never
-    materializes Python objects. Semantics identical to the pandas and
-    SQL tokenizer paths (tests/test_build.py::test_tokenizer_paths_agree).
+    regex normalization, and all grouping is integer numpy.
+
+    Returns None when the batch yields no postings, else the per-
+    (doc, term) group arrays, sorted by (doc, term):
+      (term_uniq  object[] distinct normalized terms of the batch,
+       term_code  int64[n] index into term_uniq per group,
+       docID      int64[n],
+       tf         int32[n],
+       dl         int32[n],
+       pos_data   uint8[]  flat varbyte position-gap stream,
+       pos_off    int64[n+1] per-group byte offsets into pos_data,
+       is_first   bool[n]  marks each doc's first group)
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     from .functions.tokenize import _normalize_unique
 
+    if rb.num_rows == 0:
+        return None
+    content = pc.fill_null(rb.column(rb.schema.get_field_index("content")), "")
+    doc_ids = rb.column(rb.schema.get_field_index("docID")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # ascii_split_whitespace == Java's \s class [ \t\n\x0b\f\r] exactly
+    # (utf8_split_whitespace would also split U+00A0/U+2028 — the
+    # reference does not; tests/test_normalize.py pins the parity)
+    lists = pc.ascii_split_whitespace(content)
+    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return None
+    enc = pc.dictionary_encode(flat)
+    raw_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_uniq = enc.dictionary.to_pandas()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+
+    norm_uniq = _normalize_unique(raw_uniq).to_numpy(dtype=object)
+    kept_uniq = norm_uniq != None  # noqa: E711
+    term_of_raw = np.full(len(norm_uniq), -1, dtype=np.int64)
+    term_codes, term_uniq = pd.factorize(pd.Series(norm_uniq[kept_uniq]))
+    term_of_raw[kept_uniq] = term_codes
+
+    tok_term = term_of_raw[raw_codes]
+    kept = tok_term >= 0
+    k_term = tok_term[kept]
+    k_doc = doc_idx[kept]
+    dl_per_doc = np.bincount(k_doc, minlength=len(lengths)).astype(np.int64)
+    kept_starts = np.zeros(len(lengths), dtype=np.int64)
+    kept_starts[1:] = np.cumsum(dl_per_doc[:-1])
+    # position within doc over KEPT terms only (IndexService.java:221-225)
+    pos = np.arange(len(k_term), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
+    if len(k_term) == 0:
+        return None
+    order = np.lexsort((k_term, k_doc))  # stable -> positions stay ascending
+    g_doc, g_term, g_pos = k_doc[order], k_term[order], pos[order]
+    new_group = np.ones(len(g_doc), dtype=bool)
+    new_group[1:] = (g_doc[1:] != g_doc[:-1]) | (g_term[1:] != g_term[:-1])
+    starts = np.flatnonzero(new_group)
+    tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
+
+    # positions as per-row varbyte gap blobs (first value absolute per
+    # row): encoded ONCE here on the map side, so the term shuffle and
+    # the partials parquet carry ~1 byte/position instead of 4, and the
+    # block encoder later just CONCATENATES row blobs (varbyte is
+    # value-independent) — no decode/re-encode after the shuffle.
+    pos_gaps = np.diff(g_pos, prepend=0)
+    pos_gaps[starts] = g_pos[starts]
+    pos_data, nb = vb_encode_with_lengths(pos_gaps)
+    val_ends = np.cumsum(nb)
+    row_ends = val_ends[np.append(starts[1:], len(g_pos)) - 1]
+    offsets = np.empty(len(starts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    offsets[1:] = row_ends
+    # is_first marks each doc's FIRST (doc, term) group — rows are
+    # sorted by (doc, term), so doc_len can later be a filtered scan
+    # (one row per doc) instead of a corpus-wide groupBy shuffle
+    first = np.ones(len(starts), dtype=bool)
+    first[1:] = g_doc[starts][1:] != g_doc[starts][:-1]
+    return (np.asarray(term_uniq, dtype=object), g_term[starts],
+            doc_ids[g_doc[starts]], tf,
+            dl_per_doc[g_doc[starts]].astype(np.int32),
+            np.frombuffer(pos_data, dtype=np.uint8), offsets, first)
+
+
+def _spimi_invert_arrow(batches):
+    """Arrow-native SPIMI kernel (mapInArrow): per-posting output rows
+    with ZERO per-token Python objects (see _invert_arrow_batch). Output
+    rows are assembled straight into Arrow buffers, so the 10^8-row
+    partials stream never materializes Python objects. Semantics
+    identical to the pandas and SQL tokenizer paths
+    (tests/test_build.py::test_tokenizer_paths_agree). Used by the
+    streaming ingest path (micro-batches); the batch build packs the
+    same per-batch groups into fragments instead (_make_spimi_packed).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for rb in batches:
+        r = _invert_arrow_batch(rb)
+        if r is None:
+            continue
+        term_uniq, term_code, doc, tf, dl, pos_data, pos_off, first = r
+        term_arr = pc.take(pa.array(term_uniq, type=pa.string()),
+                           pa.array(term_code))
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), len(term_code),
+            [None, pa.py_buffer(pos_off.astype(np.int32).tobytes()),
+             pa.py_buffer(pos_data.tobytes())])
+        yield pa.RecordBatch.from_arrays(
+            [term_arr,
+             pa.array(doc, type=pa.int64()),
+             pa.array(tf, type=pa.int32()),
+             pos_arr,
+             pa.array(dl, type=pa.int32()),
+             pa.array(first)],
+            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
+
+
+# Packed map-side fragments: one row per (term, docID-bucket) per input
+# partition instead of one row per posting. Column names and payload
+# layout deliberately match POSTINGS_SCHEMA's data columns, so the same
+# buffer-level decode serves both (fragments ARE un-blocked postings).
+# Rows with kind == "m" (and bucket == -1) are per-partition doc_len
+# markers: doc_gaps carries the partition's sorted docIDs (gap-coded),
+# dls their kept-term counts. The table is written partitionBy(kind), so
+# stage 3's marker scan file-prunes to the tiny kind=m files and never
+# touches fragment payload bytes (at 10^12 docs the fragment table is
+# TB-scale, the markers GB-scale).
+FRAGMENTS_SCHEMA = ("term string, bucket long, n_docs int, "
+                    "doc_gaps binary, tfs binary, dls binary, "
+                    "pos_gaps binary, kind string")
+
+
+def _make_spimi_packed(docs_per_bucket: int):
+    """SPIMI kernel factory for the batch build: tokenize + invert each
+    batch (_invert_arrow_batch), then PACK the whole partition's postings
+    into per-(term, bucket) fragment rows (FRAGMENTS_SCHEMA).
+
+    The pack is what keeps the build's one wide exchange byte-light at
+    10^12 docs: the term shuffle moves one row per (term, bucket) per map
+    partition — ~10-30x fewer rows than per-posting (bounded below by the
+    partition's distinct-term count, Zipf tails keep it from the full
+    docs-per-fragment factor) — with docIDs/tfs/dls varbyte-packed at
+    ~3-5 bytes/posting instead of ~50 bytes of unpacked row overhead.
+    Memory is bounded by the input split size (32 MB of content =>
+    a few hundred MB of transient numpy), independent of corpus size.
+    """
+
+    def kernel(batches):
+        parts = []
+        for rb in batches:
+            r = _invert_arrow_batch(rb)
+            if r is not None:
+                parts.append(r)
+        if parts:
+            yield from _pack_fragments(parts, docs_per_bucket)
+
+    return kernel
+
+
+def _pack_fragments(parts, docs_per_bucket: int):
+    """Pack per-batch (doc, term) group arrays into fragment rows + one
+    doc_len marker row. All whole-array numpy: one factorize over the
+    per-batch term dictionaries, one lexsort to term-major order, one
+    byte-gather for the position blobs, one varbyte pass per column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # per-batch term codes -> one partition-global dictionary
+    uniq_sizes = [len(p[0]) for p in parts]
+    ubase = np.concatenate(([0], np.cumsum(uniq_sizes)))
+    gcodes, guniq = pd.factorize(pd.Series(np.concatenate([p[0] for p in parts])))
+    term_code = np.concatenate(
+        [gcodes[ubase[i]: ubase[i + 1]][p[1]] for i, p in enumerate(parts)])
+    doc = np.concatenate([p[2] for p in parts])
+    tf = np.concatenate([p[3] for p in parts]).astype(np.int64)
+    dl = np.concatenate([p[4] for p in parts]).astype(np.int64)
+    pos_flat = np.concatenate([p[5] for p in parts])
+    pbase = np.concatenate(([0], np.cumsum([len(p[5]) for p in parts])))
+    row_start = np.concatenate([p[6][:-1] + pbase[i] for i, p in enumerate(parts)])
+    row_len = np.concatenate([np.diff(p[6]) for p in parts])
+
+    # term-major order; doc ascending within term => bucket ascending too
+    order = np.lexsort((doc, term_code))
+    td, d = term_code[order], doc[order]
+    t, l = tf[order], dl[order]
+    bk = d // docs_per_bucket
+
+    # gather position blobs into the new row order (pure byte moves)
+    ns, nl = row_start[order], row_len[order]
+    total = int(nl.sum())
+    if total:
+        shift = np.cumsum(nl) - nl
+        pos_sorted = pos_flat[np.repeat(ns - shift, nl) + np.arange(total)]
+    else:
+        pos_sorted = pos_flat[:0]
+    row_byte_end = np.cumsum(nl)
+
+    n = len(d)
+    change = np.ones(n, dtype=bool)
+    change[1:] = (td[1:] != td[:-1]) | (bk[1:] != bk[:-1])
+    gs = np.flatnonzero(change)
+    ge = np.append(gs[1:], n)
+
+    def vb_col(vals):
+        data, nb = vb_encode_with_lengths(vals)
+        ends = np.cumsum(nb)
+        off = np.zeros(len(gs) + 1, dtype=np.int32)
+        off[1:] = ends[ge - 1]
+        return _binary_array(off, data)
+
+    gaps = np.diff(d, prepend=0)
+    gaps[gs] = d[gs]
+    pos_off = np.zeros(len(gs) + 1, dtype=np.int32)
+    if total:
+        pos_off[1:] = row_byte_end[ge - 1]
+    names = ["term", "bucket", "n_docs", "doc_gaps", "tfs", "dls",
+             "pos_gaps", "kind"]
+    yield pa.RecordBatch.from_arrays(
+        [pc.take(pa.array(np.asarray(guniq, dtype=object), type=pa.string()),
+                 pa.array(td[gs])),
+         pa.array(bk[gs], type=pa.int64()),
+         pa.array((ge - gs).astype(np.int32), type=pa.int32()),
+         vb_col(gaps), vb_col(t), vb_col(l),
+         _binary_array(pos_off, pos_sorted.tobytes()),
+         pa.array(np.full(len(gs), "f", dtype=object), type=pa.string())],
+        names=names)
+
+    # doc_len marker row: every doc appears in exactly one batch, and
+    # is_first flags its first (doc, term) group there
+    mdoc = np.concatenate([p[2][p[7]] for p in parts])
+    mdl = np.concatenate([p[4][p[7]] for p in parts]).astype(np.int64)
+    ms = np.argsort(mdoc)
+    md, ml = mdoc[ms], mdl[ms]
+    mgaps = np.diff(md, prepend=0)
+    if len(md):
+        mgaps[0] = md[0]
+    yield pa.RecordBatch.from_arrays(
+        [pa.array([""], type=pa.string()),
+         pa.array([-1], type=pa.int64()),
+         pa.array([len(md)], type=pa.int32()),
+         pa.array([vb_encode(mgaps)], type=pa.binary()),
+         pa.array([b""], type=pa.binary()),
+         pa.array([vb_encode(ml)], type=pa.binary()),
+         pa.array([b""], type=pa.binary()),
+         pa.array(["m"], type=pa.string())],
+        names=names)
+
+
+def _binary_array(off32, data):
+    """pa.binary() array from raw int32 offsets + a contiguous byte blob
+    (no per-row Python bytes objects)."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(), len(off32) - 1,
+        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(data)])
+
+
+def _decode_doclen_markers(batches):
+    """mapInArrow: fragment marker rows (bucket == -1) -> (docID, dl)
+    rows. One flat varbyte decode per column per batch."""
+    import pyarrow as pa
+
+    from .codec import flat_decode, segmented_cumsum
+
     for rb in batches:
         if rb.num_rows == 0:
             continue
-        content = pc.fill_null(rb.column(rb.schema.get_field_index("content")), "")
-        doc_ids = rb.column(rb.schema.get_field_index("docID")).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        # ascii_split_whitespace == Java's \s class [ \t\n\x0b\f\r] exactly
-        # (utf8_split_whitespace would also split U+00A0/U+2028 — the
-        # reference does not; tests/test_normalize.py pins the parity)
-        lists = pc.ascii_split_whitespace(content)
-        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(lists)
-        if len(flat) == 0:
+        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+        nd = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = flat_decode(col["doc_gaps"], rb.num_rows).astype(np.int64)
+        if len(g) == 0:
             continue
-        enc = pc.dictionary_encode(flat)
-        raw_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        raw_uniq = enc.dictionary.to_pandas()
-        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
-
-        norm_uniq = _normalize_unique(raw_uniq).to_numpy(dtype=object)
-        kept_uniq = norm_uniq != None  # noqa: E711
-        term_of_raw = np.full(len(norm_uniq), -1, dtype=np.int64)
-        term_codes, term_uniq = pd.factorize(pd.Series(norm_uniq[kept_uniq]))
-        term_of_raw[kept_uniq] = term_codes
-
-        tok_term = term_of_raw[raw_codes]
-        kept = tok_term >= 0
-        k_term = tok_term[kept]
-        k_doc = doc_idx[kept]
-        dl_per_doc = np.bincount(k_doc, minlength=len(lengths)).astype(np.int64)
-        kept_starts = np.zeros(len(lengths), dtype=np.int64)
-        kept_starts[1:] = np.cumsum(dl_per_doc[:-1])
-        # position within doc over KEPT terms only (IndexService.java:221-225)
-        pos = np.arange(len(k_term), dtype=np.int64) - np.repeat(kept_starts, dl_per_doc)
-        if len(k_term) == 0:
-            continue
-        order = np.lexsort((k_term, k_doc))  # stable -> positions stay ascending
-        g_doc, g_term, g_pos = k_doc[order], k_term[order], pos[order]
-        new_group = np.ones(len(g_doc), dtype=bool)
-        new_group[1:] = (g_doc[1:] != g_doc[:-1]) | (g_term[1:] != g_term[:-1])
-        starts = np.flatnonzero(new_group)
-        tf = np.diff(np.append(starts, len(g_doc))).astype(np.int32)
-
-        term_arr = pc.take(pa.array(np.asarray(term_uniq, dtype=object), type=pa.string()),
-                           pa.array(g_term[starts]))
-        # positions as per-row varbyte gap blobs (first value absolute per
-        # row): encoded ONCE here on the map side, so the term shuffle and
-        # the partials parquet carry ~1 byte/position instead of 4, and the
-        # block encoder later just CONCATENATES row blobs (varbyte is
-        # value-independent) — no decode/re-encode after the shuffle.
-        pos_gaps = np.diff(g_pos, prepend=0)
-        pos_gaps[starts] = g_pos[starts]
-        pos_data, nb = vb_encode_with_lengths(pos_gaps)
-        val_ends = np.cumsum(nb)
-        row_ends = val_ends[np.append(starts[1:], len(g_pos)) - 1]
-        offsets = np.empty(len(starts) + 1, dtype=np.int32)
-        offsets[0] = 0
-        offsets[1:] = row_ends
-        pos_arr = pa.Array.from_buffers(
-            pa.binary(), len(starts),
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(pos_data)])
-        # is_first marks each doc's FIRST (doc, term) group — rows are
-        # sorted by (doc, term), so doc_len can later be a filtered scan
-        # (one row per doc) instead of a corpus-wide groupBy shuffle
-        first = np.ones(len(starts), dtype=bool)
-        first[1:] = g_doc[starts][1:] != g_doc[starts][:-1]
+        docs = segmented_cumsum(g, nd)
+        dls = flat_decode(col["dls"], rb.num_rows).astype(np.int32)
         yield pa.RecordBatch.from_arrays(
-            [term_arr,
-             pa.array(doc_ids[g_doc[starts]], type=pa.int64()),
-             pa.array(tf, type=pa.int32()),
-             pos_arr,
-             pa.array(dl_per_doc[g_doc[starts]].astype(np.int32), type=pa.int32()),
-             pa.array(first)],
-            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
+            [pa.array(docs, type=pa.int64()),
+             pa.array(dls, type=pa.int32())],
+            names=["docID", "dl"])
 
 
 def _spimi_invert(batches):
@@ -232,25 +433,29 @@ def _spimi_invert(batches):
         })
 
 
-def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
-    """Arrow kernel factory: sorted (term, bucket, docID) record batches
-    -> varbyte posting-block rows. Stateful across batches: the last
-    (term, bucket) group of each batch is held back until the stream
-    moves past it (groups never span partitions)."""
+def _postings_out():
+    """(names, types) of the POSTINGS_SCHEMA record batch."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
+    names = ["term", "bucket", "block_id", "n_docs", "doc_gaps", "tfs", "dls",
+             "pos_gaps", "block_max_tf", "block_max_wand",
+             "block_first_doc", "block_last_doc", "cf"]
+    types = [pa.string(), pa.int64(), pa.int64(), pa.int32(), pa.binary(),
+             pa.binary(), pa.binary(), pa.binary(), pa.int32(), pa.float64(),
+             pa.int64(), pa.int64(), pa.int64()]
+    return names, types
+
+
+def _make_group_encoder(cfg: "IndexConfig", avgdl: float):
+    """encode_group(rows_out, term, bucket, d, t, l, blob, row_ends):
+    cut ONE (term, bucket) posting group — docIDs ascending, positions as
+    per-posting varbyte blobs with byte-end offsets — into fixed-size
+    varbyte blocks with per-block WAND metadata. Shared by the row-input
+    block encoder and the fragment merge-encoder."""
     k1, b, B = cfg.k1, cfg.b, cfg.docs_per_block
     blocks_per_bucket = cfg.blocks_per_bucket
     store_positions = cfg.store_positions
     avgdl = avgdl or 1.0
-
-    out_names = ["term", "bucket", "block_id", "n_docs", "doc_gaps", "tfs", "dls",
-                 "pos_gaps", "block_max_tf", "block_max_wand",
-                 "block_first_doc", "block_last_doc", "cf"]
-    out_types = [pa.string(), pa.int64(), pa.int64(), pa.int32(), pa.binary(),
-                 pa.binary(), pa.binary(), pa.binary(), pa.int32(), pa.float64(),
-                 pa.int64(), pa.int64(), pa.int64()]
 
     def encode_group(rows_out, term, bucket, d, t, l, blob, row_ends):
         # Per-posting position gaps arrive ALREADY varbyte-encoded from the
@@ -273,6 +478,24 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
                 vb_encode(gaps), vb_encode(tb), vb_encode(l[i:j]), pg,
                 int(tb.max()), float(tfnorm[i:j].max()),
                 int(d[i]), int(d[j - 1]), int(tb.sum())))
+
+    return encode_group
+
+
+def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
+    """Arrow kernel factory: sorted (term, bucket, docID) record batches
+    of PER-POSTING rows -> varbyte posting-block rows. Stateful across
+    batches: the last (term, bucket) group of each batch is held back
+    until the stream moves past it (groups never span partitions). Used
+    by the streaming ingest path and the unpacked (pandas/sql tokenizer)
+    batch pipeline; the packed batch pipeline uses the fragment
+    merge-encoder instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    store_positions = cfg.store_positions
+    encode_group = _make_group_encoder(cfg, avgdl)
+    out_names, out_types = _postings_out()
 
     def kernel(batches):
         pending = None  # (term:str, bucket:int, d, t, l, blob:uint8[], row_ends)
@@ -343,6 +566,187 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
             rows_out = []
             flush(rows_out, pending)
             yield to_batch(rows_out)
+
+    return kernel
+
+
+def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
+    """Arrow kernel factory: fragment rows (FRAGMENTS_SCHEMA — or
+    POSTINGS_SCHEMA block rows, a superset) sorted by (term, bucket)
+    within the partition -> full varbyte posting-block rows.
+
+    The fused decode+merge+encode half of the packed build shuffle: the
+    exchange and the partition sort handle only fragment rows (one per
+    (term, bucket) per upstream partition), and this kernel merges each
+    group's fragments back into one docID-ascending posting run and cuts
+    blocks — with NO per-group (or per-block) Python loop:
+
+      * flat buffer-level varbyte decode per column (codec.flat_decode);
+      * position payloads are never decoded at all — per-posting byte
+        boundaries come from the varbyte TERMINATOR bits in one
+        vectorized pass (np.flatnonzero(bytes & 0x80); the profiled
+        decode+re-encode alternative was ~45%% of kernel time), and
+        block position blobs are pure byte slices;
+      * one batch-global lexsort((docID, group)) merges every group's
+        interleaved fragment runs at once (map partitions hold arbitrary
+        docID subsets, so runs interleave after the shuffle);
+      * per-block metadata (max tf, max BM25 tf-norm, cf, first/last
+        doc) via np.maximum/np.add.reduceat at block starts;
+      * ONE varbyte encode per output column per batch, sliced to
+        per-block blobs at cumulative-length boundaries
+        (vb_encode_with_lengths — same trick as the SPIMI pack).
+
+    Group state never spans partitions (hash partitioning on
+    (term, bucket)); the last group of each batch is held back and
+    merged into the next batch when it continues there. Memory per group
+    is bounded by docs_per_bucket postings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import flat_decode, segmented_cumsum
+
+    k1, b_, B = cfg.k1, cfg.b, cfg.docs_per_block
+    blocks_per_bucket = cfg.blocks_per_bucket
+    store_positions = cfg.store_positions
+    avgdl_ = avgdl or 1.0
+    out_names = _postings_out()[0]
+    empty8 = np.empty(0, dtype=np.uint8)
+
+    def encode_groups(terms, buckets, sizes, d, t, l, blob, row_len):
+        """Encode complete (term, bucket) groups into one block-row
+        record batch. terms/buckets/sizes are per-GROUP (object / int64 /
+        int64); d/t/l/row_len are per-POSTING in group-contiguous order
+        (docIDs NOT yet merged within a group), blob the matching flat
+        position-byte stream."""
+        n = len(d)
+        gid = np.repeat(np.arange(len(sizes)), sizes)
+        order = np.lexsort((d, gid))
+        if not np.array_equal(order, np.arange(n)):
+            d, t, l = d[order], t[order], l[order]
+            if len(blob):
+                starts = np.cumsum(row_len) - row_len
+                ns, nl = starts[order], row_len[order]
+                shift = np.cumsum(nl) - nl
+                blob = blob[np.repeat(ns - shift, nl) + np.arange(int(nl.sum()))]
+                row_len = nl
+        gstart = np.cumsum(sizes) - sizes
+        within = np.arange(n) - np.repeat(gstart, sizes)
+        bs = np.flatnonzero(within % B == 0)
+        be = np.append(bs[1:], n)
+        nblocks = ((sizes + B - 1) // B).astype(np.int64)
+        bgid = np.repeat(np.arange(len(sizes)), nblocks)
+
+        tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b_ + b_ * l / avgdl_))
+        block_id = buckets[bgid] * blocks_per_bucket + within[bs] // B
+
+        gaps = np.diff(d, prepend=0)
+        gaps[bs] = d[bs]  # first docID absolute per block (independent decode)
+
+        def vbc(vals):
+            data, nb = vb_encode_with_lengths(vals)
+            ends = np.cumsum(nb)
+            off = np.zeros(len(bs) + 1, dtype=np.int32)
+            off[1:] = ends[be - 1]
+            return _binary_array(off, data)
+
+        poff = np.zeros(len(bs) + 1, dtype=np.int32)
+        if store_positions and len(blob):
+            poff[1:] = np.cumsum(row_len)[be - 1]
+            pos_col = _binary_array(poff, blob.tobytes())
+        else:
+            pos_col = _binary_array(poff, b"")
+        cols = [pa.array(terms[bgid], type=pa.string()),
+                pa.array(buckets[bgid], type=pa.int64()),
+                pa.array(block_id, type=pa.int64()),
+                pa.array((be - bs).astype(np.int32), type=pa.int32()),
+                vbc(gaps), vbc(t), vbc(l), pos_col,
+                pa.array(np.maximum.reduceat(t, bs).astype(np.int32),
+                         type=pa.int32()),
+                pa.array(np.maximum.reduceat(tfn, bs), type=pa.float64()),
+                pa.array(d[bs], type=pa.int64()),
+                pa.array(d[be - 1], type=pa.int64()),
+                pa.array(np.add.reduceat(t, bs), type=pa.int64())]
+        return pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    def kernel(batches):
+        pend = None  # (term:str, bucket:int, d, t, l, blob, row_len)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            n_rows = rb.num_rows
+            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            nd = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            g = flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
+            if len(g) == 0:
+                continue
+            d = segmented_cumsum(g, nd)
+            t = flat_decode(col["tfs"], n_rows).astype(np.int64)
+            l = flat_decode(col["dls"], n_rows).astype(np.int64)
+            if store_positions:
+                # per-posting byte lengths WITHOUT decoding: varbyte
+                # marks each value's final byte with the high bit
+                parr = col["pos_gaps"]
+                voff = np.frombuffer(parr.buffers()[1], dtype=np.int32)[
+                    parr.offset: parr.offset + n_rows + 1].astype(np.int64)
+                pdata = np.frombuffer(parr.buffers()[2], dtype=np.uint8)
+                blob = pdata[voff[0]: voff[-1]]
+                if len(blob):
+                    val_ends = np.flatnonzero(blob & 0x80) + 1
+                    rbe = val_ends[np.cumsum(t) - 1]
+                    row_len = np.diff(rbe, prepend=0)
+                else:
+                    row_len = np.zeros(len(t), dtype=np.int64)
+            else:
+                blob = empty8
+                row_len = np.zeros(len(t), dtype=np.int64)
+
+            term_enc = pc.dictionary_encode(col["term"])
+            t_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            t_uniq = np.asarray(term_enc.dictionary.to_pylist(), dtype=object)
+            bucket = col["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+            change = np.ones(n_rows, dtype=bool)
+            change[1:] = (t_codes[1:] != t_codes[:-1]) | (bucket[1:] != bucket[:-1])
+            fs = np.flatnonzero(change)
+            fe = np.append(fs[1:], n_rows)
+            pb = np.zeros(n_rows + 1, dtype=np.int64)
+            pb[1:] = np.cumsum(nd)
+
+            terms = t_uniq[t_codes[fs]]
+            buckets = bucket[fs]
+            sizes = pb[fe] - pb[fs]
+            if pend is not None:
+                if pend[0] == terms[0] and pend[1] == buckets[0]:
+                    # pending group continues here: prepend its postings
+                    sizes = sizes.copy()
+                    sizes[0] += len(pend[2])
+                    d = np.concatenate([pend[2], d])
+                    t = np.concatenate([pend[3], t])
+                    l = np.concatenate([pend[4], l])
+                    blob = np.concatenate([pend[5], blob])
+                    row_len = np.concatenate([pend[6], row_len])
+                else:
+                    yield encode_groups(
+                        np.array([pend[0]], dtype=object),
+                        np.array([pend[1]], dtype=np.int64),
+                        np.array([len(pend[2])], dtype=np.int64),
+                        pend[2], pend[3], pend[4], pend[5], pend[6])
+                pend = None
+            # hold back the last group — it may continue in the next batch
+            cut = len(d) - sizes[-1]
+            bcut = int(np.sum(row_len[:cut])) if len(blob) else 0
+            pend = (terms[-1], int(buckets[-1]), d[cut:], t[cut:], l[cut:],
+                    blob[bcut:], row_len[cut:])
+            if len(sizes) > 1:
+                yield encode_groups(terms[:-1], buckets[:-1], sizes[:-1],
+                                    d[:cut], t[:cut], l[:cut],
+                                    blob[:bcut], row_len[:cut])
+        if pend is not None:
+            yield encode_groups(
+                np.array([pend[0]], dtype=object),
+                np.array([pend[1]], dtype=np.int64),
+                np.array([len(pend[2])], dtype=np.int64),
+                pend[2], pend[3], pend[4], pend[5], pend[6])
 
     return kernel
 
@@ -482,68 +886,6 @@ def _positions_to_bytes(batches):
             names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
 
 
-def _postings_to_partials(batches):
-    """mapInArrow kernel: POSTINGS_SCHEMA block rows -> PARTIALS_SCHEMA
-    posting rows — the exact inverse of _make_block_encoder, used by
-    streaming major compaction (IncrementalIndexer.compact) to turn
-    accumulated per-batch block FRAGMENTS back into a posting stream
-    that the standard encode pipeline re-cuts into full, bucket-major
-    blocks. Buffer-level throughout: ONE vb_decode per binary column
-    per batch (codec.flat_decode), positions re-sliced per posting row
-    from a single re-encode pass (varbyte is value-independent, so the
-    re-encoded bytes are identical to the original per-row blobs).
-    is_first is emitted as False — compaction rebuilds doc_len from the
-    doc_len segments directly, never from these partials."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from .codec import flat_decode, segmented_cumsum
-
-    for rb in batches:
-        if rb.num_rows == 0:
-            continue
-        n_rows = rb.num_rows
-        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
-        n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
-        if len(g) == 0:
-            continue
-        t = flat_decode(col["tfs"], n_rows).astype(np.int64)
-        l = flat_decode(col["dls"], n_rows).astype(np.int64)
-        docs = segmented_cumsum(g, n_docs)
-        n_post = len(docs)
-        idx = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_docs))
-        # positions: the flat pos_gaps stream already has first-value-
-        # absolute per POSTING row; re-encode the decoded values and cut
-        # at per-row boundaries (cumsum of tf)
-        pg = flat_decode(col["pos_gaps"], n_rows)
-        if len(pg):
-            pos_data, nbytes = vb_encode_with_lengths(pg)
-            val_ends = np.cumsum(nbytes)
-            row_last = np.cumsum(t) - 1
-            offsets = np.empty(n_post + 1, dtype=np.int32)
-            offsets[0] = 0
-            offsets[1:] = val_ends[row_last]
-            pos_arr = pa.Array.from_buffers(
-                pa.binary(), n_post,
-                [None, pa.py_buffer(offsets.tobytes()),
-                 pa.py_buffer(pos_data)])
-        else:  # store_positions=False index: empty blobs
-            pos_arr = pa.Array.from_buffers(
-                pa.binary(), n_post,
-                [None, pa.py_buffer(np.zeros(n_post + 1,
-                                             dtype=np.int32).tobytes()),
-                 pa.py_buffer(b"")])
-        yield pa.RecordBatch.from_arrays(
-            [pc.take(col["term"], idx),
-             pa.array(docs, type=pa.int64()),
-             pa.array(t.astype(np.int32), type=pa.int32()),
-             pos_arr,
-             pa.array(l.astype(np.int32), type=pa.int32()),
-             pa.array(np.zeros(n_post, dtype=bool))],
-            names=["term", "docID", "tf", "pos_bytes", "dl", "is_first"])
-
-
 @dataclass
 class IndexConfig:
     docs_per_block: int = 128
@@ -677,7 +1019,7 @@ class IndexBuilder:
         return self.config.n_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def _postings_partitions(self) -> int:
+    def _postings_partitions(self, per_task_bytes: int = 4 << 20) -> int:
         """Partition count for the postings encode shuffle: WAVE-BALANCED,
         not core-count-sized. The encode kernel's per-(term,bucket) work
         is high-variance (Zipf head terms carry dense blocks), so at
@@ -685,15 +1027,18 @@ class IndexBuilder:
         heavy partition stalls half the machine for the whole last wave
         — measured 35.5s -> 28.7s (medians of >=4 pinned 8-core runs at
         1M docs) by cutting finer. Target >=8 tasks/core, capped by the
-        partials byte size (~4 MB of zstd partials per task) so small
-        corpora don't fragment into empty files."""
+        partials byte size (per_task_bytes of zstd partials per task, ~4 MB
+        for per-posting rows, smaller for packed fragments which are ~3x
+        denser) so small corpora don't fragment into empty files."""
         import glob as _glob
         n = self._n_partitions()
         par = self.spark.sparkContext.defaultParallelism
-        part_bytes = sum(
-            os.path.getsize(fp) for fp in
-            _glob.glob(os.path.join(self.store.path("partials"), "*.parquet")))
-        return max(n, min(8 * par, part_bytes // (4 << 20) + 1))
+        root = self.store.path("partials")
+        frag_dir = os.path.join(root, "kind=f")  # packed layout
+        pat = os.path.join(frag_dir if os.path.isdir(frag_dir) else root,
+                           "*.parquet")
+        part_bytes = sum(os.path.getsize(fp) for fp in _glob.glob(pat))
+        return max(n, min(8 * par, part_bytes // per_task_bytes + 1))
 
     def _record_lineage(self, stage: str, df_name: str, detail: str = "") -> None:
         """Per-partition row counts of a committed stage output, read from
@@ -704,7 +1049,9 @@ class IndexBuilder:
 
         import pyarrow.parquet as pq
 
-        files = sorted(glob.glob(os.path.join(self.store.path(df_name), "*.parquet")))
+        files = sorted(glob.glob(os.path.join(self.store.path(df_name),
+                                              "**", "*.parquet"),
+                                 recursive=True))
         for i, fp in enumerate(files):
             n = pq.ParquetFile(fp).metadata.num_rows
             self._lineage_rows.append((stage, i, int(n), detail))
@@ -814,19 +1161,23 @@ class IndexBuilder:
 
     # -- stage 2: SPIMI partials ---------------------------------------
     def _build_partials(self, docs: DataFrame) -> None:
-        """Map-side SPIMI: tokenize + per-doc inversion fused into ONE
-        Arrow kernel with NO shuffle.
+        """Map-side SPIMI: tokenize + per-doc inversion + fragment
+        packing fused into ONE Arrow kernel with NO shuffle.
 
         A document lives entirely inside one partition, so the
         (term, docID) aggregation the reference does under a lock
         (IndexService.java:215-233) is partition-local here — the only
-        wide exchange in the whole build is the later term-range shuffle
-        before block encoding. The kernel is batch-vectorized numpy:
-        regex normalization runs once per DISTINCT raw token per batch,
-        and the (doc, term) grouping is one stable lexsort.
+        wide exchange in the whole build is the later (term, bucket)
+        fragment shuffle before block encoding, and the pack is what
+        keeps that exchange byte-light (see _make_spimi_packed). The
+        kernel is batch-vectorized numpy: regex normalization runs once
+        per DISTINCT raw token per batch, and the (doc, term) grouping
+        is one stable lexsort.
         """
         doc_ids = self.store.read("doc_map").select("docID", "repo", "path")
         base = docs.select("repo", "path", "content").join(doc_ids, ["repo", "path"])
+        options = None
+        partition_by = None
         if self.config.tokenizer == "sql":
             tokens_col = spark_tokenize_col("content")
             tok = base.select("docID", tokens_col.alias("tokens"))
@@ -843,10 +1194,17 @@ class IndexBuilder:
         elif self.config.tokenizer == "pandas":
             partials = base.select("docID", "content").mapInPandas(
                 _spimi_invert, schema=PARTIALS_SCHEMA)
-        else:  # "arrow" (default)
+        else:  # "arrow" (default): PACKED per-(term, bucket) fragments
             partials = base.select("docID", "content").mapInArrow(
-                _spimi_invert_arrow, schema=PARTIALS_SCHEMA)
-        self.store.write(partials, "partials")
+                _make_spimi_packed(self.config.docs_per_bucket),
+                schema=FRAGMENTS_SCHEMA)
+            # partitionBy(kind): doc_len markers land in their own tiny
+            # kind=m files, so stage 3 file-prunes past every fragment
+            # payload byte (no shuffle is introduced — partitionBy only
+            # splits each task's output file)
+            partition_by = ["kind"]
+        self.store.write(partials, "partials", partition_by=partition_by,
+                         options=options)
         self._record_lineage("partials", "partials", detail="postings_emitted")
 
     # -- stage 3: doc_len + stats --------------------------------------
@@ -864,7 +1222,15 @@ class IndexBuilder:
         from pyspark.sql import Observation
 
         partials = self.store.read("partials")
-        if ("is_first" in partials.columns
+        if "n_docs" in partials.columns:
+            # packed fragments: each map partition wrote ONE doc_len
+            # marker row (kind == "m") carrying its docs' (docID, dl)
+            # varbyte-packed — a shuffle-free scan that FILE-prunes to
+            # the tiny kind=m partition, never touching fragment payloads
+            dl = (partials.filter(F.col("kind") == "m")
+                  .select("n_docs", "doc_gaps", "dls")
+                  .mapInArrow(_decode_doclen_markers, "docID long, dl int"))
+        elif ("is_first" in partials.columns
                 and self.config.tokenizer != "sql"):
             # SHUFFLE-FREE: the SPIMI kernels emit rows sorted by
             # (doc, term) and mark each doc's first row, so one filtered
@@ -898,30 +1264,54 @@ class IndexBuilder:
     def _build_postings(self) -> None:
         """Shuffle partials once by (term, bucket-of-docID-range), sort
         within partitions, and stream the sorted run through an Arrow
-        encode kernel that cuts varbyte blocks at group boundaries.
+        kernel that cuts varbyte blocks at group boundaries. With packed
+        partials (the default) both the exchange and the sort handle
+        FRAGMENT rows and the kernel also decodes + docID-merges each
+        group (_make_fragment_encoder); the pandas/sql per-posting paths
+        keep the row-level sort + block encoder.
 
         This is the k-way merge of the reference (IndexService.java:
         290-419) re-expressed as Spark's sort-merge shuffle; the bucket
         key bounds any single group so Zipf head terms spread across
-        tasks (skew-proof). The kernel is stateful across record batches
-        (a group may span batches) but never across partitions (hash
-        partitioning on the group key guarantees that).
+        tasks (skew-proof). Either kernel is stateful across record
+        batches (a group may span batches) but never across partitions
+        (hash partitioning on the group key guarantees that).
         """
         cfg = self.config
         stats = self.store.read("stats").collect()[0]
         avgdl = float(stats["avgdl"]) or 1.0
-        encode = _make_block_encoder(cfg, avgdl)
         partials = self.store.read("partials")
-        n = self._postings_partitions()
-        cols = ["term", "docID", "tf", "dl"] + \
-            (["pos_bytes"] if cfg.store_positions else [])
-        enc = (
-            partials.select(*cols)
-            .withColumn("bucket", (F.col("docID") / F.lit(cfg.docs_per_bucket)).cast("long"))
-            .repartition(n, "term", "bucket")
-            .sortWithinPartitions("term", "bucket", "docID")
-            .mapInArrow(encode, schema=POSTINGS_SCHEMA)
-        )
+        if "n_docs" in partials.columns:
+            # packed fragments: the exchange and the partition sort move
+            # one row per (term, bucket) per map partition — ~10-30x
+            # fewer rows, ~3-5 bytes/posting on the wire instead of ~50
+            # — and the fused kernel merges + re-cuts groups in numpy
+            # (no Tungsten sort over per-posting rows, one less
+            # JVM->Python round trip). Fragments are ~3x denser on disk
+            # than per-posting rows, so the wave-balance byte target
+            # shrinks proportionally.
+            n = self._postings_partitions(per_task_bytes=3 << 19)
+            frags = (partials.filter(F.col("kind") == "f")
+                     .select("term", "bucket", "n_docs", "doc_gaps",
+                             "tfs", "dls", "pos_gaps"))
+            enc = (
+                frags.repartition(n, "term", "bucket")
+                .sortWithinPartitions("term", "bucket")
+                .mapInArrow(_make_fragment_encoder(cfg, avgdl),
+                            schema=POSTINGS_SCHEMA)
+            )
+        else:
+            encode = _make_block_encoder(cfg, avgdl)
+            n = self._postings_partitions()
+            cols = ["term", "docID", "tf", "dl"] + \
+                (["pos_bytes"] if cfg.store_positions else [])
+            enc = (
+                partials.select(*cols)
+                .withColumn("bucket", (F.col("docID") / F.lit(cfg.docs_per_bucket)).cast("long"))
+                .repartition(n, "term", "bucket")
+                .sortWithinPartitions("term", "bucket", "docID")
+                .mapInArrow(encode, schema=POSTINGS_SCHEMA)
+            )
         # output rides the sorted run: each parquet file is term-ordered, so
         # query-time term filters prune on row-group min/max stats without a
         # second (range) shuffle of the encoded blocks. Small row groups are

@@ -65,7 +65,7 @@ from ..build import (
     Index,
     IndexConfig,
     _make_block_encoder,
-    _postings_to_partials,
+    _make_fragment_encoder,
     _spimi_invert_arrow,
     with_global_ordinals,
 )
@@ -282,12 +282,12 @@ class IncrementalIndexer:
         manifest-pointer flip — TableStore.publish — so EVERY
         intermediate crash state is a consistent, query-safe index):
 
-        1. postings — accumulated batch fragments are decoded back to a
-           posting stream (_postings_to_partials, the inverse of the
-           block encoder) and re-cut by the standard encode pipeline
-           into full, bucket-major, term-sorted blocks at the CURRENT
-           avgdl, 8 MB row groups (same layout contract as the batch
-           build, build._build_postings).
+        1. postings — accumulated batch fragments are shuffled as BLOCK
+           rows and merged + re-cut by the fused fragment merge-encoder
+           (build._make_fragment_encoder) into full, bucket-major,
+           term-sorted blocks at the CURRENT avgdl, 8 MB row groups
+           (same layout contract as the batch build,
+           build._build_postings).
         2. bucket_max, dictionary, dictionary_r — recomputed FROM the
            compacted postings (once fragments merge, the segment-folded
            n_blocks / per-fragment WAND bounds are stale); term_ord is
@@ -315,16 +315,19 @@ class IncrementalIndexer:
         n = cfg.n_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
 
-        # -- 1. postings: fragments -> posting stream -> full blocks ----
-        partials = self.store.read("postings").mapInArrow(
-            _postings_to_partials, schema=PARTIALS_SCHEMA)
-        encode = _make_block_encoder(cfg, avgdl)
-        enc = (partials
-               .withColumn("bucket",
-                           (F.col("docID") / F.lit(dpb)).cast("long"))
+        # -- 1. postings: block fragments -> full blocks (fused merge) --
+        # The exchange moves BLOCK rows, not exploded posting rows: the
+        # fragment merge-encoder (build._make_fragment_encoder) decodes,
+        # docID-merges and re-cuts each (term, bucket) group AFTER the
+        # shuffle, so compaction shuffles ~1 row per block fragment
+        # instead of ~docs_per_block posting rows per block.
+        frags = self.store.read("postings").select(
+            "term", "bucket", "n_docs", "doc_gaps", "tfs", "dls", "pos_gaps")
+        enc = (frags
                .repartition(n, "term", "bucket")
-               .sortWithinPartitions("term", "bucket", "docID")
-               .mapInArrow(encode, schema=POSTINGS_SCHEMA))
+               .sortWithinPartitions("term", "bucket")
+               .mapInArrow(_make_fragment_encoder(cfg, avgdl),
+                           schema=POSTINGS_SCHEMA))
         self.store.write(enc, "tmp_postings_new",
                          options={"parquet.block.size": str(8 << 20)})
         self._swap("postings", "tmp_postings_new")
@@ -427,7 +430,6 @@ class IncrementalIndexer:
         self._require_all_committed()
         stats = self.store.read("stats").collect()[0].asDict()
         avgdl = float(stats["avgdl"]) or 1.0
-        dpb = int(stats["docs_per_bucket"])
         for table in ("postings", "doc_map", "doc_len"):
             live = self.store.path(table)
             seg_files = sorted(glob.glob(os.path.join(live,
@@ -439,15 +441,14 @@ class IncrementalIndexer:
             merged_tbl = f"tmp_{table}_minor"
             src_df = self.spark.read.parquet(*seg_files)
             if table == "postings":
-                encode = _make_block_encoder(self.config, avgdl)
                 merged = (src_df
-                          .mapInArrow(_postings_to_partials,
-                                      schema=PARTIALS_SCHEMA)
-                          .withColumn("bucket", (F.col("docID") / F.lit(dpb))
-                                      .cast("long"))
+                          .select("term", "bucket", "n_docs", "doc_gaps",
+                                  "tfs", "dls", "pos_gaps")
                           .repartition(4, "term", "bucket")
-                          .sortWithinPartitions("term", "bucket", "docID")
-                          .mapInArrow(encode, schema=POSTINGS_SCHEMA))
+                          .sortWithinPartitions("term", "bucket")
+                          .mapInArrow(_make_fragment_encoder(self.config,
+                                                             avgdl),
+                                      schema=POSTINGS_SCHEMA))
                 self.store.write(merged, merged_tbl,
                                  options={"parquet.block.size": str(8 << 20)})
             else:

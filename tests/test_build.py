@@ -105,6 +105,27 @@ def _index_signature(index):
     return sorted(post), sorted(dicts)
 
 
+def test_packed_build_equals_unpacked(spark, work_dir, synth_docs, synth_index):
+    # synth_index is built on the default "arrow" tokenizer => PACKED
+    # fragment partials + the fused fragment merge-encoder. The pandas
+    # tokenizer emits per-posting partials through the row-level sort +
+    # block encoder. The two pipelines must produce byte-identical
+    # postings/dictionary — an end-to-end proof of the pack -> shuffle
+    # -> merge roundtrip (incl. cross-partition docID-run interleaving).
+    cfg = IndexConfig(docs_per_block=16, blocks_per_bucket=4, n_partitions=3,
+                      tokenizer="pandas")
+    other = IndexBuilder(spark, f"{work_dir}/synth_idx_pd", cfg).build(
+        synth_docs, resume=False)
+    assert "docID" in other.store.read("partials").columns       # unpacked
+    assert "n_docs" in synth_index.store.read("partials").columns  # packed
+    assert _index_signature(other) == _index_signature(synth_index)
+    dl = sorted((r["docID"], r["dl"])
+                for r in synth_index.table("doc_len").collect())
+    dl_pd = sorted((r["docID"], r["dl"])
+                   for r in other.table("doc_len").collect())
+    assert dl == dl_pd
+
+
 def test_determinism_across_partitioning(spark, work_dir, synth_docs, synth_index):
     # same corpus, different partition count -> byte-identical blocks
     cfg = IndexConfig(docs_per_block=16, blocks_per_bucket=4, n_partitions=3)
@@ -136,16 +157,26 @@ def test_lineage_recorded(synth_index):
     assert any("merge_fan_in=" in d for d in fan_in)
 
 def test_doc_len_stage_is_shuffle_free(fixture_index):
-    # the doc_len relation over the SPIMI partials (is_first filtered
-    # scan) must plan with NO Exchange — the round-4 shape ran a
-    # corpus-wide groupBy of n_docs rows here (2->8 stage efficiency
-    # ~0.47, pure avoidable bytes on a saturated memory bus)
+    # the doc_len relation over the packed SPIMI partials (kind == "m"
+    # marker rows decoded in a narrow mapInArrow) must plan with NO
+    # Exchange — the round-4 shape ran a corpus-wide groupBy of n_docs
+    # rows here (2->8 stage efficiency ~0.47, pure avoidable bytes on a
+    # saturated memory bus) — and must FILE-prune to the kind=m
+    # partition so fragment payload bytes are never read
     from pyspark.sql import functions as F
+
+    from information_retrieval_spark.build import _decode_doclen_markers
     partials = fixture_index.store.read("partials")
-    assert "is_first" in partials.columns
-    dl = partials.filter(F.col("is_first")).select("docID", "dl")
+    assert "n_docs" in partials.columns  # packed fragments
+    dl = (partials.filter(F.col("kind") == "m")
+          .select("n_docs", "doc_gaps", "dls")
+          .mapInArrow(_decode_doclen_markers, "docID long, dl int"))
     plan = dl._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    # the kind filter must prune at the FILE level (PartitionFilters),
+    # not as a post-scan row filter over fragment payload bytes
+    assert "PartitionFilters: [isnotnull(kind" in plan, plan
+    assert "= m)" in plan, plan
     # and it yields exactly one row per doc with >=1 kept term
     ids = [r["docID"] for r in dl.collect()]
     assert len(ids) == len(set(ids))
