@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs_to_doc_id(e, e.positional_docs("spark /3 join"))
     q["positional_within"] = positional_within
 
+    def phrase_exact(spark, sf):
+        e = _engine(spark, sf)
+        return _docs_to_doc_id(e, e.phrase_docs("row column sort"))
+    q["phrase_exact"] = phrase_exact
+
     # ---- joker / wildcard (Q3, Q4, Q13) ----
     def joker_prefix_suffix(spark, sf):
         e = _engine(spark, sf)
@@ -687,6 +692,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_id
         FROM pos a JOIN pos b USING (doc_id)
         WHERE a.term = 'spark' AND b.term = 'join' AND abs(a.p - b.p) <= 3
+        ORDER BY doc_id
+    """
+
+    o["phrase_exact"] = f"""
+        WITH {_TOKS}, {_POS}
+        SELECT DISTINCT a.doc_id AS doc_id
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+        WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort'
         ORDER BY doc_id
     """
 

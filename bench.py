@@ -133,6 +133,7 @@ def main() -> None:
         "boolean": lambda: qe.boolean_docs(
             "table AND NOT merge OR spark AND window").count(),
         "positional": lambda: qe.positional_docs("spark /3 join").count(),
+        "phrase": lambda: qe.phrase_docs("row column sort").count(),
         "joker": lambda: qe.joker_docs("st* *ow").count(),
         # candidate-driven (the gated scale shape): LSH proposes, exact
         # Jaccard verifies over one shared persisted shingle relation —

@@ -61,6 +61,8 @@ def cmd_query(args) -> int:
         out = [r["name"] for r in qe.positional(args.q).collect()]
     elif args.mode == "joker":
         out = [r["name"] for r in qe.joker(args.q).collect()]
+    elif args.mode == "phrase":
+        out = [r["name"] for r in qe.phrase(args.q).collect()]
     elif args.mode == "snippets":
         out = [(r["docID"], round(r["score"], 6), r["name"],
                 r["win_start"], r["win_end"])
@@ -102,7 +104,7 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "positional", "joker",
-                            "snippets"])
+                            "phrase", "snippets"])
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-wand", action="store_true")

@@ -83,6 +83,28 @@ class OracleIndex:
                     relevant.add(d)
         return sorted(self.name(d) for d in relevant)
 
+    # -- phrase (engine addition: exact ordered adjacency) -------------
+    def phrase(self, q: str):
+        s = q.strip()
+        if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            s = s[1:-1].strip()
+        if re.fullmatch(r"\w+(\s+\w+)*", s) is None:
+            raise ValueError("Wrong input format")
+        terms = [normalize(t) for t in re.split(r"\s+", s)]
+        if any(t is None or t not in self.postings for t in terms):
+            return []
+        relevant = []
+        docs = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            docs &= set(self.postings[t])
+        for d in docs:
+            starts = set(self.postings[terms[0]][d])
+            for i, t in enumerate(terms[1:], start=1):
+                starts &= {p - i for p in self.postings[t][d]}
+            if starts:
+                relevant.append(d)
+        return sorted(self.name(d) for d in relevant)
+
     # -- joker (QueryProcessor.java:183-250, star-free bug fixed) ------
     def joker(self, q: str):
         word = re.compile(r"(\*?\w+(\*\w+)?)|(\w+\*?\w*(\w\*\w*)?)")

@@ -51,6 +51,7 @@ from .normalize import normalize
 
 _BOOL_OK = re.compile(r"\s*\w[\w\s]*")
 _POS_OK = re.compile(r"\w+(\s+/\d+\s+\w+)*")
+_PHRASE_OK = re.compile(r"\w+(\s+\w+)*")
 _JOKER_WORD = re.compile(r"(\*?\w+(\*\w+)?)|(\w+\*?\w*(\w\*\w*)?)")
 
 _DECODED_SCHEMA = "term string, docID long, tf int, dl int"
@@ -482,6 +483,100 @@ class QueryEngine:
             pair_results.append(pair)
         # docs from every adjacent pair are UNIONED (QueryProcessor.java:126-129)
         return reduce(DataFrame.union, pair_results).distinct()
+
+    # ------------------------------------------------------------------
+    # phrase (exact ordered adjacency — north-star addition; the
+    # reference's positional /k window is UNORDERED and cannot express
+    # "these terms, in this order, consecutively". Semantics: terms are
+    # adjacent in the KEPT-token stream — the same position numbering
+    # the positional index stores (build.py B6: dropped tokens do not
+    # occupy positions), so "a b" matches "a <droppedtoken> b" exactly
+    # like every positional engine built over filtered tokens does.)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def parse_phrase(q: str):
+        """-> normalized terms of a `"t1 t2 ..."` phrase (quotes
+        optional). A term the tokenizer DROPS (normalize -> None) makes
+        the phrase unrepresentable in the positional index -> empty
+        result, mirroring positional's absent-term early-exit."""
+        s = q.strip()
+        if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+            s = s[1:-1].strip()
+        if _PHRASE_OK.fullmatch(s) is None:
+            raise ValueError("Wrong input format")
+        return [normalize(t) for t in re.split(r"\s+", s)]
+
+    def phrase(self, q: str) -> DataFrame:
+        return self._names(self.phrase_docs(q))
+
+    def phrase_docs(self, q: str) -> DataFrame:
+        """Docs containing the exact phrase. Plan shape: one positional
+        decode of the (deduped) term set feeds a left-deep chain of
+        docID equi-joins; each step keeps only the phrase START
+        positions still alive (start x survives term i iff x+i is in
+        term i's position list), so the carried array can only shrink.
+        The membership probe is one flattened searchsorted over the
+        whole Arrow batch — no per-row Python loop (same kernel shape
+        as positional's window_match)."""
+        terms = self.parse_phrase(q)
+        present = self.term_stats([t for t in terms if t is not None])
+        if any(t is None or t not in present for t in terms):
+            return self._doc_map.select("docID").filter(F.lit(False))
+        decoded = self._cache(
+            self.postings_for(set(terms), with_positions=True)
+            .select("term", "docID", "positions"))
+        if len(terms) == 1:
+            return decoded.filter(F.col("term") == terms[0]) \
+                .select("docID").distinct()
+
+        @F.pandas_udf("array<int>")
+        def shift_member(starts: pd.Series, nxt: pd.Series,
+                         off: pd.Series) -> pd.Series:
+            # keep start x iff x+off occurs in nxt, vectorized across
+            # the batch: both sides flattened with a per-row offset M
+            # large enough that rows cannot collide, then ONE
+            # searchsorted answers every row's membership probes.
+            n = len(starts)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            a_list = [np.asarray(x, dtype=np.int64) for x in starts]
+            b_list = [np.asarray(x, dtype=np.int64) for x in nxt]
+            la = np.fromiter((len(x) for x in a_list), np.int64, n)
+            lb = np.fromiter((len(x) for x in b_list), np.int64, n)
+            k = off.to_numpy(dtype=np.int64)
+            a_flat = (np.concatenate(a_list) if la.sum()
+                      else np.empty(0, np.int64))
+            b_flat = (np.concatenate(b_list) if lb.sum()
+                      else np.empty(0, np.int64))
+            if not len(a_flat) or not len(b_flat):
+                return pd.Series([[] for _ in range(n)], dtype=object)
+            arow = np.repeat(np.arange(n), la)
+            brow = np.repeat(np.arange(n), lb)
+            v = a_flat + k[arow]  # the position term i must occupy
+            m = int(max(v.max(), b_flat.max())) + 2
+            a_glob = v + arow * m  # rows disjoint -> globally sorted
+            b_glob = b_flat + brow * m
+            idx = np.searchsorted(b_glob, a_glob, side="left")
+            ok = idx < len(b_glob)
+            hit = np.zeros(len(a_glob), dtype=bool)
+            hit[ok] = b_glob[idx[ok]] == a_glob[ok]
+            kept_row = arow[hit]
+            splits = np.searchsorted(kept_row, np.arange(1, n))
+            return pd.Series(
+                [x.tolist() for x in np.split(a_flat[hit], splits)],
+                dtype=object)
+
+        acc = decoded.filter(F.col("term") == terms[0]) \
+            .select("docID", F.col("positions").alias("starts"))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = decoded.filter(F.col("term") == t) \
+                .select("docID", F.col("positions").alias("nxt"))
+            acc = (acc.join(nxt, "docID")
+                   .select("docID",
+                           shift_member(F.col("starts"), F.col("nxt"),
+                                        F.lit(i)).alias("starts"))
+                   .filter(F.size("starts") > 0))
+        return acc.select("docID")
 
     # ------------------------------------------------------------------
     # joker (wildcard)

@@ -118,6 +118,59 @@ def test_joker_oracle_sweep(synth_engine, synth_oracle, q):
     assert sorted(names(synth_engine.joker(q))) == synth_oracle.joker(q)
 
 
+# --- phrase (exact ordered adjacency) ------------------------------------
+
+@pytest.mark.parametrize("q", [
+    "needle haystack",        # planted adjacent pair, in order
+    "haystack needle",        # reversed order — must NOT match the plant
+    '"needle haystack"',      # quoted form
+    "needle",                 # single term degenerates to membership
+    "sym0 sym1",
+    "the for sym0",
+    "needle haystack needle",
+])
+def test_phrase_oracle_sweep(synth_engine, synth_oracle, q):
+    assert sorted(names(synth_engine.phrase(q))) == synth_oracle.phrase(q)
+
+
+def test_phrase_from_real_token_streams(synth_engine, synth_oracle, synth_docs):
+    """Sample adjacent kept-token k-grams straight out of documents (so
+    every query is guaranteed >=1 hit) and verify against the oracle —
+    the engine's positional numbering must agree with the tokenizer's
+    kept-token stream exactly."""
+    import random
+
+    from information_retrieval_spark.normalize import normalize, tokenize
+    rng = random.Random(11)
+    contents = [r["content"] for r in synth_docs.collect()]
+    qs = []
+    for _ in range(12):
+        toks = tokenize(rng.choice(contents))
+        if len(toks) < 4:
+            continue
+        k = rng.randint(2, 4)
+        i = rng.randrange(len(toks) - k)
+        gram = toks[i:i + k]
+        # only normalize-fixed-point tokens: the query goes through
+        # normalize() again, so a non-idempotent stem would change it
+        if all(normalize(t) == t for t in gram):
+            qs.append(" ".join(gram))
+    assert qs
+    for q in qs:
+        got = sorted(names(synth_engine.phrase(q)))
+        want = synth_oracle.phrase(q)
+        assert got == want and len(want) >= 1, f"phrase {q!r}"
+
+
+def test_phrase_absent_term(synth_engine):
+    assert names(synth_engine.phrase("needle zzzmissing")) == []
+
+
+def test_phrase_invalid(synth_engine):
+    with pytest.raises(ValueError):
+        synth_engine.phrase("needle / haystack")
+
+
 # --- bm25 snippet windows (minimal covering window) ---------------------
 
 def _py_min_window(text, terms):
