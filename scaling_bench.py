@@ -32,7 +32,9 @@ AVG_TOKENS = int(os.environ.get("IRS_SCALE_TOKENS", "400"))
 # strategy can code around), so the 32-core level is measured as
 # context, not as a scaling pair.
 LEVELS = (1, 2, 4, 8)
-PAIRS = ((1, 4), (2, 8))
+PAIRS = tuple(
+    tuple(int(c) for c in p.split("-"))
+    for p in os.environ.get("IRS_SCALE_PAIRS", "1-4,2-8").split(","))
 CONTEXT_LEVELS = (32,)
 CORPUS = f"/tmp/irs_scale_corpus_{N_DOCS}"
 
