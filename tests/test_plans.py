@@ -151,3 +151,15 @@ def test_not_term_decode_is_bucket_pruned(synth_engine):
     # two decode kernels: one for include terms, one (pruned) for NOT
     assert plan.count("MapInArrow") >= 2, plan
     assert re.search(r"Join Inner, \(bucket#", plan), plan
+
+
+def test_phrase_scan_pushdown_and_single_decode(synth_engine):
+    # the phrase chain must (a) push its deduped term set into the
+    # postings scan as an In/term filter, and (b) run ONE positional
+    # decode kernel feeding every join step — not one decode per term
+    df = synth_engine.phrase_docs("needle haystack needle")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "In(term" in plan or ("PushedFilters" in plan and "term" in plan), plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the decoded relation is cached: steps re-read the InMemoryRelation
+    assert "InMemoryRelation" in opt or opt.count("MapInArrow") == 1, opt
