@@ -58,6 +58,40 @@ _DECODED_SCHEMA = "term string, docID long, tf int, dl int"
 _DECODED_POS_SCHEMA = "term string, docID long, tf int, dl int, positions array<int>"
 
 
+def _shift_member_batch(a_list, b_list, k):
+    """Per row i: keep x in a_list[i] iff x + k[i] occurs in b_list[i].
+
+    The phrase chain's membership kernel, vectorized across the whole
+    Arrow batch: both ragged sides are flattened with a per-row offset
+    M large enough that rows cannot collide (each b row is ascending —
+    positions are stored sorted — so the flattened b is globally
+    ascending), then ONE searchsorted answers every row's probes; no
+    per-row Python loop. Returns a list of per-row kept-value lists.
+    """
+    n = len(a_list)
+    if n == 0:
+        return []
+    la = np.fromiter((len(x) for x in a_list), np.int64, n)
+    lb = np.fromiter((len(x) for x in b_list), np.int64, n)
+    a_flat = np.concatenate(a_list) if la.sum() else np.empty(0, np.int64)
+    b_flat = np.concatenate(b_list) if lb.sum() else np.empty(0, np.int64)
+    if not len(a_flat) or not len(b_flat):
+        return [[] for _ in range(n)]
+    arow = np.repeat(np.arange(n), la)
+    brow = np.repeat(np.arange(n), lb)
+    v = a_flat + k[arow]  # the position the next term must occupy
+    m = int(max(v.max(), b_flat.max())) + 2
+    a_glob = v + arow * m
+    b_glob = b_flat + brow * m
+    idx = np.searchsorted(b_glob, a_glob, side="left")
+    ok = idx < len(b_glob)
+    hit = np.zeros(len(a_glob), dtype=bool)
+    hit[ok] = b_glob[idx[ok]] == a_glob[ok]
+    kept_row = arow[hit]
+    splits = np.searchsorted(kept_row, np.arange(1, n))
+    return [x.tolist() for x in np.split(a_flat[hit], splits)]
+
+
 # shared with build's compaction kernel (codec owns the buffer-level
 # varbyte helpers; query/build both import them)
 from .codec import flat_decode as _flat_decode  # noqa: E402
@@ -532,39 +566,11 @@ class QueryEngine:
         @F.pandas_udf("array<int>")
         def shift_member(starts: pd.Series, nxt: pd.Series,
                          off: pd.Series) -> pd.Series:
-            # keep start x iff x+off occurs in nxt, vectorized across
-            # the batch: both sides flattened with a per-row offset M
-            # large enough that rows cannot collide, then ONE
-            # searchsorted answers every row's membership probes.
-            n = len(starts)
-            if n == 0:
-                return pd.Series([], dtype=object)
             a_list = [np.asarray(x, dtype=np.int64) for x in starts]
             b_list = [np.asarray(x, dtype=np.int64) for x in nxt]
-            la = np.fromiter((len(x) for x in a_list), np.int64, n)
-            lb = np.fromiter((len(x) for x in b_list), np.int64, n)
             k = off.to_numpy(dtype=np.int64)
-            a_flat = (np.concatenate(a_list) if la.sum()
-                      else np.empty(0, np.int64))
-            b_flat = (np.concatenate(b_list) if lb.sum()
-                      else np.empty(0, np.int64))
-            if not len(a_flat) or not len(b_flat):
-                return pd.Series([[] for _ in range(n)], dtype=object)
-            arow = np.repeat(np.arange(n), la)
-            brow = np.repeat(np.arange(n), lb)
-            v = a_flat + k[arow]  # the position term i must occupy
-            m = int(max(v.max(), b_flat.max())) + 2
-            a_glob = v + arow * m  # rows disjoint -> globally sorted
-            b_glob = b_flat + brow * m
-            idx = np.searchsorted(b_glob, a_glob, side="left")
-            ok = idx < len(b_glob)
-            hit = np.zeros(len(a_glob), dtype=bool)
-            hit[ok] = b_glob[idx[ok]] == a_glob[ok]
-            kept_row = arow[hit]
-            splits = np.searchsorted(kept_row, np.arange(1, n))
-            return pd.Series(
-                [x.tolist() for x in np.split(a_flat[hit], splits)],
-                dtype=object)
+            return pd.Series(_shift_member_batch(a_list, b_list, k),
+                             dtype=object)
 
         acc = decoded.filter(F.col("term") == terms[0]) \
             .select("docID", F.col("positions").alias("starts"))

@@ -61,3 +61,23 @@ def test_gap_first_absolute():
     # first value stored absolute (gap from 0), IndexService.java:337
     assert gap_encode([7, 9, 15]).tolist() == [7, 2, 6]
     assert gap_decode([7, 2, 6]).tolist() == [7, 9, 15]
+
+
+# --- phrase membership kernel (query._shift_member_batch) ---------------
+
+@given(st.lists(st.tuples(
+           st.lists(st.integers(0, 500), max_size=30).map(sorted),
+           st.lists(st.integers(0, 500), max_size=30).map(sorted),
+           st.integers(0, 8)),
+       max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_shift_member_batch_matches_set_oracle(rows):
+    import numpy as np
+
+    from information_retrieval_spark.query import _shift_member_batch
+    a_list = [np.asarray(a, dtype=np.int64) for a, _b, _k in rows]
+    b_list = [np.asarray(b, dtype=np.int64) for _a, b, _k in rows]
+    k = np.asarray([kk for _a, _b, kk in rows], dtype=np.int64)
+    got = _shift_member_batch(a_list, b_list, k)
+    want = [[x for x in a if x + kk in set(b)] for a, b, kk in rows]
+    assert got == want
