@@ -63,6 +63,47 @@ def _bm25_ctes() -> str:
         )"""
 
 
+_BM25_BATCH = {
+    # batched-BM25 gate queries; term lists below must be the normalized
+    # forms (all are stem-chain no-ops: none end in the s/g/d guard chars)
+    "q_spark": "spark join window",
+    "q_merge": "table merge",
+    "q_sort": "sort spark window",
+}
+_BM25_BATCH_TERMS = {
+    "q_spark": ("spark", "join", "window"),
+    "q_merge": ("table", "merge"),
+    "q_sort": ("sort", "spark", "window"),
+}
+
+
+def _bm25_scores_cte(terms, tag: str) -> str:
+    """Parameterized exact-BM25 CTE chain (tf{tag}/dfreq{tag}/
+    scores{tag}) over shared toks/dl/st — the per-query oracle the
+    batched bm25_batch gate unions."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        tf{tag} AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            WHERE term IN ({in_list})
+            GROUP BY doc_id, term
+        ),
+        dfreq{tag} AS (SELECT term, count(*)::DOUBLE AS df
+                       FROM tf{tag} GROUP BY term),
+        scores{tag} AS (
+            SELECT tf{tag}.doc_id,
+                   sum(ln(1 + (st.n - dfreq{tag}.df + 0.5) / (dfreq{tag}.df + 0.5))
+                       * tf{tag}.tf * (1.2 + 1.0)
+                       / (tf{tag}.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf{tag}
+            JOIN dfreq{tag} USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN st
+            GROUP BY tf{tag}.doc_id
+        )"""
+
+
 def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
     """CTEs sh/hv/mins/banded/cand reproducing dedup.minhash_lsh_pairs
     over n-gram shingle features with the universal-hash minhash family:
@@ -338,6 +379,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score"),
                         "win_start", "win_end", "n_terms"))
     q["bm25_snippets"] = bm25_snippets
+
+    def bm25_batch(spark, sf):
+        # batched multi-query BM25: three queries, ONE union-term block
+        # scan + ONE kernel pass (QueryEngine.bm25_many); the oracle
+        # recomputes each query's exact BM25 top-k independently
+        e = _engine(spark, sf)
+        top = e.bm25_many(_BM25_BATCH, k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("qid", "doc_id", F.round("score", 6).alias("score")))
+    q["bm25_batch"] = bm25_batch
 
     # ---- dedup suite ----
     def dedup_exact(spark, sf):
@@ -726,6 +779,24 @@ def oracle_sql() -> dict[str, str]:
         {_bm25_ctes()}
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # batched BM25: each query's exact top-10 recomputed independently
+    # (shared toks/dl/st CTEs), unioned under its qid — checks that the
+    # ONE-job batched kernel returns exactly the per-query results
+    _batch_ctes = ",".join(_bm25_scores_cte(_BM25_BATCH_TERMS[qid], f"_{i}")
+                           for i, qid in enumerate(sorted(_BM25_BATCH)))
+    _batch_sel = " UNION ALL ".join(
+        f"SELECT * FROM (SELECT '{qid}' AS qid, doc_id, round(s, 6) AS score "
+        f"FROM scores_{i} ORDER BY s DESC, doc_id LIMIT 10)"
+        for i, qid in enumerate(sorted(_BM25_BATCH)))
+    o["bm25_batch"] = f"""
+        WITH {_TOKS},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        {_batch_ctes}
+        {_batch_sel}
+        ORDER BY qid, score DESC, doc_id
     """
 
     # snippet windows over the top-10 page: the oracle recomputes the

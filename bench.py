@@ -130,6 +130,13 @@ def main() -> None:
         "bm25_full": lambda: qe.bm25("spark join window", k=10, wand=False).collect(),
         "bm25_snippets": lambda: qe.bm25_snippets(
             "spark join window", k=10).collect(),
+        # 8 queries in ONE job (union-term scan + one kernel pass) —
+        # compare against ~8x the bm25_full line for the amortization
+        "bm25_batch8": lambda: qe.bm25_many(
+            {f"q{i}": q for i, q in enumerate([
+                "spark join window", "table merge", "sort spark window",
+                "merge window", "table spark", "join sort",
+                "window table join", "spark merge sort"])}, k=10).collect(),
         "boolean": lambda: qe.boolean_docs(
             "table AND NOT merge OR spark AND window").count(),
         "positional": lambda: qe.positional_docs("spark /3 join").count(),

@@ -200,16 +200,18 @@ def _spimi_invert_arrow(batches):
 # buffer-level decode serves both (fragments ARE un-blocked postings).
 # Rows with kind == "m" (and bucket == -1) are per-partition doc_len
 # markers: doc_gaps carries the partition's sorted docIDs (gap-coded),
-# dls their kept-term counts. The table is written partitionBy(kind), so
-# stage 3's marker scan file-prunes to the tiny kind=m files and never
-# touches fragment payload bytes (at 10^12 docs the fragment table is
-# TB-scale, the markers GB-scale).
+# dls their kept-term counts. Rows with kind == "s" are the matching
+# sha256 markers (pos_gaps = fixed-width 64-char hex digests in docID
+# order — see _sha_marker_batch). The table is written partitionBy(kind),
+# so stage 3's marker scans file-prune to the tiny kind=m / kind=s files
+# and never touch fragment payload bytes (at 10^12 docs the fragment
+# table is TB-scale, the markers GB-scale).
 FRAGMENTS_SCHEMA = ("term string, bucket long, n_docs int, "
                     "doc_gaps binary, tfs binary, dls binary, "
                     "pos_gaps binary, kind string")
 
 
-def _make_spimi_packed(docs_per_bucket: int):
+def _make_spimi_packed(docs_per_bucket: int, with_sha: bool = True):
     """SPIMI kernel factory for the batch build: tokenize + invert each
     batch (_invert_arrow_batch), then PACK the whole partition's postings
     into per-(term, bucket) fragment rows (FRAGMENTS_SCHEMA).
@@ -222,18 +224,101 @@ def _make_spimi_packed(docs_per_bucket: int):
     ~3-5 bytes/posting instead of ~50 bytes of unpacked row overhead.
     Memory is bounded by the input split size (32 MB of content =>
     a few hundred MB of transient numpy), independent of corpus size.
+
+    `with_sha` additionally emits ONE kind="s" marker row per partition
+    carrying every doc's content sha256 (64-char hex, fixed-width-packed
+    in docID order) — the input_hint per-row invariant fingerprint,
+    computed HERE because the kernel already holds the content bytes:
+    this is what makes the whole build read the corpus exactly ONCE
+    (stage 1 used to run a second full content scan just for sha2; at
+    100 TB that second scan is 100 TB of avoidable reads). hashlib is a
+    C routine over bytes already resident from tokenization — measured
+    noise-level against the tokenize+invert cost — and it hex-matches
+    the JVM's sha2() exactly (pinned by test_sha256_invariant). A NULL
+    content row gets NO sha row, mirroring sha2(NULL) -> NULL.
     """
 
     def kernel(batches):
+        import hashlib
         parts = []
+        sha_docs: list = []
+        sha_hex: list = []
         for rb in batches:
+            if with_sha and rb.num_rows:
+                ids = rb.column(rb.schema.get_field_index("docID")) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                texts = rb.column(
+                    rb.schema.get_field_index("content")).to_pylist()
+                keep = [j for j, s in enumerate(texts) if s is not None]
+                if keep:
+                    sha_docs.append(ids[keep])
+                    sha_hex.append(np.array(
+                        [hashlib.sha256(texts[j].encode("utf-8")).hexdigest()
+                         for j in keep], dtype="S64"))
             r = _invert_arrow_batch(rb)
             if r is not None:
                 parts.append(r)
         if parts:
             yield from _pack_fragments(parts, docs_per_bucket)
+        if sha_docs:
+            yield _sha_marker_batch(sha_docs, sha_hex)
 
     return kernel
+
+
+def _sha_marker_batch(sha_docs: list, sha_hex: list):
+    """One kind="s" FRAGMENTS_SCHEMA marker row: doc_gaps carries the
+    partition's sorted docIDs (gap-coded, same layout as the kind="m"
+    doc_len markers), pos_gaps the matching 64-char hex sha256 digests
+    as one fixed-width byte blob (64 bytes/doc, no offsets needed)."""
+    import pyarrow as pa
+
+    ids = np.concatenate(sha_docs)
+    hexes = np.concatenate(sha_hex)
+    o = np.argsort(ids)
+    ids, hexes = ids[o], hexes[o]
+    gaps = np.diff(ids, prepend=0)
+    if len(ids):
+        gaps[0] = ids[0]
+    return pa.RecordBatch.from_arrays(
+        [pa.array([""], type=pa.string()),
+         pa.array([-1], type=pa.int64()),
+         pa.array([len(ids)], type=pa.int32()),
+         pa.array([vb_encode(gaps)], type=pa.binary()),
+         pa.array([b""], type=pa.binary()),
+         pa.array([b""], type=pa.binary()),
+         pa.array([hexes.tobytes()], type=pa.binary()),
+         pa.array(["s"], type=pa.string())],
+        names=["term", "bucket", "n_docs", "doc_gaps", "tfs", "dls",
+               "pos_gaps", "kind"])
+
+
+def _decode_sha_markers(batches):
+    """mapInArrow: kind="s" marker rows -> (docID, sha256) rows. One
+    flat varbyte decode for the docIDs; the hex digests are a single
+    fixed-width frombuffer view per marker row (rows per batch = map
+    partitions, a handful)."""
+    import pyarrow as pa
+
+    from .codec import flat_decode, segmented_cumsum
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+        nd = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = flat_decode(col["doc_gaps"], rb.num_rows).astype(np.int64)
+        if len(g) == 0:
+            continue
+        docs = segmented_cumsum(g, nd)
+        hex_parts = [np.frombuffer(col["pos_gaps"][i].as_py(), dtype="S64")
+                     for i in range(rb.num_rows)]
+        hexes = np.concatenate(hex_parts)
+        assert len(hexes) == len(docs), "sha marker blob/docID count mismatch"
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(docs, type=pa.int64()),
+             pa.array(hexes.astype("U64"))],
+            names=["docID", "sha256"])
 
 
 def _pack_fragments(parts, docs_per_bucket: int):
@@ -754,7 +839,7 @@ def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
 # bump when the on-disk table layout OR the tokenizer semantics change
 # (consumers key cache dirs on it; r4 added the irregular-stem lexicon,
 # which changes the indexed vocabulary)
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6
 
 
 def _number_partitions(batches):
@@ -1003,6 +1088,7 @@ class IndexBuilder:
         run("partials", self.store.exists("partials"), self._build_partials, docs)
         run("doc_len", self.store.exists("doc_len") and self.store.exists("stats"),
             self._build_doc_len_stats)
+        run("doc_sha", self.store.exists("doc_sha"), self._build_doc_sha, docs)
         run("postings", self.store.exists("postings"), self._build_postings)
         run("bucket_max", self.store.exists("bucket_max"), self._build_bucket_max)
         run("dictionary", self.store.exists("dictionary"), self._build_dictionary)
@@ -1066,15 +1152,18 @@ class IndexBuilder:
         range boundaries fall (rank within a range partition + offset of
         everything before it IS the global rank).
 
-        ONE wide exchange for the whole stage: the narrow meta columns
-        (commit, lang, sha256 — ~200 bytes/row, content projected away
-        after the map-side sha256) RIDE the range shuffle with the keys,
-        so the round-3 shape's second corpus-sized exchange + shuffle-hash
-        join (ids x meta on (repo, path) — the 2->8 scaling bottleneck
-        stage, per-stage efficiency 0.49) no longer exists. The meta
-        projection is checkpointed BEFORE range partitioning so the range
-        sampler's extra pass reads pinned narrow blocks instead of
-        re-scanning content and re-hashing the corpus.
+        ONE wide exchange for the whole stage, and NO content bytes: the
+        narrow meta columns (commit, lang — ~100 bytes/row) RIDE the
+        range shuffle with the keys, so the round-3 shape's second
+        corpus-sized exchange + shuffle-hash join no longer exists — and
+        since round 5 the sha256 fingerprint is computed inside the SPIMI
+        kernel (stage 2 already holds the content) and stored in the
+        separate doc_sha table, so THIS stage's scan is column-pruned to
+        the four metadata strings and never reads content at all. The
+        whole build reads the corpus exactly once (at 100 TB the old
+        shape's second content scan was 100 TB of avoidable reads). The
+        meta projection is checkpointed BEFORE range partitioning so the
+        range sampler's extra pass reads pinned narrow blocks.
         """
         n = self._n_partitions()
         # Materialized exactly once, BEFORE any range exchange: range
@@ -1086,8 +1175,8 @@ class IndexBuilder:
         # counts AND final ids both derive from that single materialization.
         # (A multi-node deployment would use a reliable checkpoint dir to
         # also survive executor loss.)
-        meta = (with_sha256(docs)
-                .select("repo", "path", "commit", "lang", "sha256")
+        meta = (docs
+                .select("repo", "path", "commit", "lang")
                 .localCheckpoint(eager=True))
         keys = (meta.repartitionByRange(n, "repo", "path")
                 .sortWithinPartitions("repo", "path"))
@@ -1108,7 +1197,7 @@ class IndexBuilder:
         numbered = keys.mapInArrow(
             number_local,
             schema=("repo string, path string, commit string, lang string, "
-                    "sha256 string, pid int, local_idx long")
+                    "pid int, local_idx long")
         ).localCheckpoint(eager=True)
         meta.unpersist()
         counts = {r["pid"]: r["cnt"] for r in
@@ -1122,7 +1211,7 @@ class IndexBuilder:
         doc_map = (
             numbered.join(F.broadcast(offsets_df), "pid")
             .select((F.col("offset") + F.col("local_idx")).alias("docID"),
-                    "repo", "path", "commit", "lang", "sha256")
+                    "repo", "path", "commit", "lang")
         )
         # permutation invariant rides the write as an Observation — no
         # separate validation job (round 1 ran a second doc_map scan)
@@ -1259,6 +1348,30 @@ class IndexBuilder:
             "docs_per_block int, docs_per_bucket long")
         self.store.write(stats, "stats")
         self._record_lineage("doc_len", "doc_len")
+
+    # -- stage 3b: per-doc content fingerprints --------------------------
+    def _build_doc_sha(self, docs: DataFrame) -> None:
+        """doc_sha(docID, sha256): the input_hint per-row invariant
+        fingerprint. On the packed arrow path this is a SHUFFLE-FREE,
+        file-pruned scan of the kind="s" marker rows the SPIMI kernel
+        emitted during the single corpus pass — no second content read.
+        The pandas/sql tokenizer parity paths (whose kernels don't emit
+        markers) fall back to one extra content scan + a narrow join,
+        the shape this table existed to remove from the default path."""
+        partials = self.store.read("partials")
+        if "kind" in partials.columns:
+            sha = (partials.filter(F.col("kind") == "s")
+                   .select("n_docs", "doc_gaps", "pos_gaps")
+                   .mapInArrow(_decode_sha_markers,
+                               "docID long, sha256 string"))
+        else:
+            ids = self.store.read("doc_map").select("docID", "repo", "path")
+            sha = (with_sha256(docs)
+                   .select("repo", "path", "sha256")
+                   .join(ids, ["repo", "path"])
+                   .select("docID", "sha256"))
+        self.store.write(sha, "doc_sha")
+        self._record_lineage("doc_sha", "doc_sha")
 
     # -- stage 4: block encode -----------------------------------------
     def _build_postings(self) -> None:

@@ -4,8 +4,9 @@ The engine's persistent state is a set of relational tables (SURVEY.md
 §1.1: the index IS the persisted tables — no separate cache layer like
 the reference's Java-serialized index.bin, CacheManager.java:33-47):
 
-    doc_map(docID, repo, path, commit, lang, sha256)
+    doc_map(docID, repo, path, commit, lang)
     doc_len(docID, dl)
+    doc_sha(docID, sha256)   -- per-row content fingerprint (input_hint)
     stats(n_docs, total_len, avgdl)
     dictionary(term, rterm, df, cf, n_blocks, max_block_score)
     postings(term, bucket, block_id, n_docs, doc_gaps, tfs, dls,

@@ -175,6 +175,124 @@ def _min_window_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                          "n_terms": [need]})
 
 
+def _decode_scored_batch(rb, k1: float, b: float, avgdl: float) -> dict:
+    """Decode ONE compressed posting-block record batch for scoring:
+    buffer-level varbyte decode (one call per column per batch), absolute
+    docIDs via a per-block-reset gap cumsum, and the per-posting BM25
+    tf-norm. Shared by the single-query kernel (_make_bm25_kernel) and
+    the batched multi-query kernel (_make_bm25_many_kernel)."""
+    import pyarrow.compute as pc
+
+    col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+    n_rows = rb.num_rows
+    bucket = col["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # term identity per block via dictionary codes (no per-row strings)
+    term_enc = pc.dictionary_encode(col["term"])
+    t_codes = term_enc.indices.to_numpy(zero_copy_only=False)
+    terms = term_enc.dictionary.to_pylist()
+
+    g = _flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
+    t = _flat_decode(col["tfs"], n_rows).astype(np.float64)
+    l = _flat_decode(col["dls"], n_rows).astype(np.float64)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    starts[1:] = np.cumsum(n_docs[:-1])
+    # docIDs: gap cumsum with a reset at each block start (first value
+    # of each block is absolute)
+    csum = np.cumsum(g)
+    corr = np.zeros(n_rows, dtype=np.int64)
+    corr[1:] = csum[starts[1:] - 1]
+    d_abs = csum - np.repeat(corr, n_docs)
+    tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
+    return {"bucket": bucket, "n_docs": n_docs, "starts": starts,
+            "t_codes": t_codes, "terms": terms, "d_abs": d_abs, "tfn": tfn}
+
+
+def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
+                           b: float, avgdl: float, docs_per_bucket: int,
+                           k: int):
+    """mapInArrow kernel for BATCHED BM25: compressed posting blocks
+    (repartitioned + sorted by docID bucket) -> per-(query, bucket) exact
+    top-k rows (qcode, docID, score) — Q queries scored in ONE pass over
+    the UNION of their terms' blocks.
+
+    term_qinfo: term -> (int32[] query codes containing it, float64 idf).
+    A block is decoded ONCE; its idf·tfnorm contribution vector is
+    buffered per subscribing query, and at each bucket boundary every
+    touched query folds its buffered slices through one bincount into a
+    dense bucket-local accumulator + top-k cut (identical arithmetic and
+    tie handling to the single-query kernel, per query). Shared terms
+    across the query batch are therefore decoded and scored once, and
+    the whole batch costs ONE Spark job instead of Q — the throughput
+    shape a query frontend needs (per-job scheduling overhead amortizes
+    across the batch; measured ~N times fewer jobs at equal results).
+    """
+    import pyarrow as pa
+
+    def kernel(batches):
+        cur_bucket = None
+        bufs: dict = {}  # qcode -> list[(local_idx slice, score slice)]
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
+
+        def flush():
+            nonlocal cur_bucket, bufs
+            if cur_bucket is None:
+                return
+            for qc, parts in bufs.items():
+                ld = np.concatenate([p[0] for p in parts])
+                sc = np.concatenate([p[1] for p in parts])
+                acc = np.bincount(ld, weights=sc, minlength=docs_per_bucket)
+                idxs = np.flatnonzero(acc)
+                if not len(idxs):
+                    continue
+                s = acc[idxs]
+                if len(idxs) > k:
+                    thresh = np.partition(s, len(s) - k)[len(s) - k]
+                    keep = s >= thresh  # keep ALL kth-score ties
+                    idxs, s = idxs[keep], s[keep]
+                out_q.append(np.full(len(idxs), qc, dtype=np.int32))
+                out_d.append(idxs.astype(np.int64)
+                             + cur_bucket * docs_per_bucket)
+                out_s.append(s.copy())
+            cur_bucket = None
+            bufs = {}
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            dec = _decode_scored_batch(rb, k1, b, avgdl)
+            bucket, n_docs, starts = dec["bucket"], dec["n_docs"], dec["starts"]
+            qinfo_of_code = [term_qinfo.get(t) for t in dec["terms"]]
+            local = dec["d_abs"] - np.repeat(bucket, n_docs) * docs_per_bucket
+            tfn = dec["tfn"]
+            ends = starts + n_docs
+            for i in range(rb.num_rows):
+                info = qinfo_of_code[dec["t_codes"][i]]
+                if info is None:
+                    continue  # safety: a block of a term no query uses
+                qcs, idf = info
+                bkt = int(bucket[i])
+                if bkt != cur_bucket:
+                    flush()
+                    cur_bucket = bkt
+                s, e = starts[i], ends[i]
+                contrib = idf * tfn[s:e]
+                ld = local[s:e]
+                for qc in qcs:
+                    bufs.setdefault(int(qc), []).append((ld, contrib))
+        flush()
+        if out_d:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), type=pa.int32()),
+                 pa.array(np.concatenate(out_d), type=pa.int64()),
+                 pa.array(np.concatenate(out_s), type=pa.float64())],
+                names=["qcode", "docID", "score"])
+
+    return kernel
+
+
 def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
                       docs_per_bucket: int, k: int):
     """mapInArrow kernel: compressed posting blocks (repartitioned by
@@ -216,39 +334,19 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            dec = _decode_scored_batch(rb, k1, b, avgdl)
+            bucket, n_docs, starts = dec["bucket"], dec["n_docs"], dec["starts"]
             n_rows = rb.num_rows
-            bucket = col["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-            n_docs = col["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
-            # idf per block via dictionary codes (no per-row strings)
-            import pyarrow.compute as pc
-            term_enc = pc.dictionary_encode(col["term"])
-            t_codes = term_enc.indices.to_numpy(zero_copy_only=False)
-            idf_of_code = np.array([idf_map[t] for t in term_enc.dictionary.to_pylist()])
-
-            # ONE decode call per column for the whole batch
-            g = _flat_decode(col["doc_gaps"], n_rows).astype(np.int64)
-            t = _flat_decode(col["tfs"], n_rows).astype(np.float64)
-            l = _flat_decode(col["dls"], n_rows).astype(np.float64)
-            starts = np.zeros(n_rows, dtype=np.int64)
-            starts[1:] = np.cumsum(n_docs[:-1])
-            # docIDs: gap cumsum with a reset at each block start (first
-            # value of each block is absolute)
-            csum = np.cumsum(g)
-            corr = np.zeros(n_rows, dtype=np.int64)
-            corr[1:] = csum[starts[1:] - 1]
-            d_abs = csum - np.repeat(corr, n_docs)
-
-            tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
-            score = np.repeat(idf_of_code[t_codes], n_docs) * tfn
-            local = d_abs - np.repeat(bucket, n_docs) * docs_per_bucket
+            idf_of_code = np.array([idf_map[t] for t in dec["terms"]])
+            score = np.repeat(idf_of_code[dec["t_codes"]], n_docs) * dec["tfn"]
+            local = dec["d_abs"] - np.repeat(bucket, n_docs) * docs_per_bucket
 
             # bucket segments at the POSTING level (rows sorted by bucket)
             b_change = np.ones(n_rows, dtype=bool)
             b_change[1:] = bucket[1:] != bucket[:-1]
             seg_rows = np.flatnonzero(b_change)
             seg_starts = starts[seg_rows]
-            seg_ends = np.append(seg_starts[1:], len(d_abs))
+            seg_ends = np.append(seg_starts[1:], len(local))
             for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
                 bkt = int(bucket[seg_rows[si]])
                 if bkt != cur_bucket:
@@ -720,6 +818,80 @@ class QueryEngine:
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)
                 .orderBy(F.desc("score"), F.asc("docID")))
+
+    def bm25_many(self, queries, k: int = 10) -> DataFrame:
+        """Batched BM25: score MANY free-text queries in ONE Spark job.
+
+        `queries`: {qid: query_string} (or (qid, query) pairs). Returns
+        (qid, docID, score, name) — the exact per-query top-k, identical
+        rows to calling bm25(q, k) per query — ordered (qid asc, score
+        desc, docID asc).
+
+        Scale shape: a query frontend's unit of work is a BATCH of
+        queries, and per-job overhead (scheduling, task launch, the
+        JVM->Python round trip) dominates single-query latency on an
+        interactive index. Here the batch costs ONE scan of the UNION of
+        all queries' posting blocks + ONE bucket shuffle + ONE kernel
+        pass: a block whose term appears in multiple queries is decoded
+        and tf-normalized once and its idf-weighted contribution fans
+        out to each subscribing query inside the kernel
+        (_make_bm25_many_kernel). Engine addition beyond the reference
+        (QueryProcessor handles one query per call); the driver gate
+        bm25_batch checks it against per-query DuckDB BM25 oracles.
+
+        WAND pruning is not applied across a batch (each query would
+        need its own threshold; the union scan already amortizes the
+        dominant cost) — a latency-critical single query should use
+        bm25(), which prunes."""
+        items = sorted(dict(queries).items())
+        per_q: dict = {}
+        all_terms: set = set()
+        for qid, qs in items:
+            terms = sorted({t for t in (normalize(tok)
+                                        for tok in re.split(r"\s+", qs.strip()))
+                            if t is not None})
+            per_q[qid] = terms
+            all_terms.update(terms)
+        stats = self.term_stats(sorted(all_terms))
+        term_qids: dict = {}
+        live: list = []  # qids with >=1 present term, in sorted order
+        for qid, terms in per_q.items():
+            present = [t for t in terms if t in stats]
+            if not present:
+                continue
+            qc = len(live)
+            live.append(qid)
+            for t in present:
+                term_qids.setdefault(t, []).append(qc)
+        if not live:
+            return self.spark.createDataFrame(
+                [], "qid string, docID long, score double, name string")
+        term_qinfo = {
+            t: (np.asarray(qcs, dtype=np.int32),
+                self._idf(int(stats[t]["df"])))
+            for t, qcs in term_qids.items()}
+        st = self.stats
+        kernel = _make_bm25_many_kernel(
+            term_qinfo, len(live), float(st["k1"]), float(st["b"]),
+            float(st["avgdl"]) or 1.0, int(st["docs_per_bucket"]), k)
+        blocks = self.blocks_for(sorted(term_qinfo))
+        n_buckets = max(1, -(-int(st["n_docs"]) // int(st["docs_per_bucket"])))
+        n = max(1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                       2 * n_buckets))
+        slim = blocks.select("term", "bucket", "n_docs", "doc_gaps", "tfs", "dls")
+        scored = (slim.repartition(n, "bucket").sortWithinPartitions("bucket")
+                  .mapInArrow(kernel,
+                              schema="qcode int, docID long, score double"))
+        from pyspark.sql import Window
+        qmap = F.broadcast(self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(live)], "qcode int, qid string"))
+        w = Window.partitionBy("qcode").orderBy(F.desc("score"), F.asc("docID"))
+        top = (scored.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= k).drop("rn"))
+        name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
+        return (top.join(qmap, "qcode").join(self._doc_map, "docID")
+                .select("qid", "docID", "score", name)
+                .orderBy("qid", F.desc("score"), F.asc("docID")))
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "docID long, score double, name string")

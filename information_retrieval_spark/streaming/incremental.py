@@ -146,7 +146,7 @@ class IncrementalIndexer:
         doc_map_delta = (
             ranked.join(batch, ["repo", "path"])
             .select((F.col("ord") + F.lit(n_before)).cast("long").alias("docID"),
-                    "repo", "path", "commit", "lang", "sha256"))
+                    "repo", "path", "commit", "lang"))
         # n_delta rides the staging write as an Observation — one fewer
         # driver-synchronous job per micro-batch (retries recompute the
         # write, so the observed value is always this attempt's)
@@ -158,6 +158,14 @@ class IncrementalIndexer:
         n_delta = int(obs_dm.get["n"])
         self.store.drop(order_tbl)
         doc_map_delta = self.spark.read.parquet(self._stage_dir(batch_id, "doc_map"))
+        # doc_sha delta (live doc_map no longer carries sha256 — the
+        # batch build computes it in the SPIMI kernel, see
+        # build._build_doc_sha): one narrow join of the small staged
+        # doc_map against the micro-batch's sha projection
+        (doc_map_delta.select("docID", "repo", "path")
+         .join(batch.select("repo", "path", "sha256"), ["repo", "path"])
+         .select("docID", "sha256")
+         .write.mode("overwrite").parquet(self._stage_dir(batch_id, "doc_sha")))
 
         docs_with_id = batch.join(doc_map_delta.select("docID", "repo", "path"),
                                   ["repo", "path"])
@@ -214,7 +222,7 @@ class IncrementalIndexer:
 
         # -- stage 2: link ALL deltas into the live tables (append-only,
         # deterministic names -> retries converge) ------------------------
-        for table in ("doc_map", "postings", "doc_len"):
+        for table in ("doc_map", "doc_sha", "postings", "doc_len"):
             self._append_files(self._stage_dir(batch_id, table), table, batch_id)
         crash_point("links")
         for table in ("dictionary", "dictionary_r", "bucket_max"):
@@ -242,8 +250,8 @@ class IncrementalIndexer:
         shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
 
     # -- compaction --------------------------------------------------------
-    SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "dictionary",
-                        "dictionary_r", "bucket_max")
+    SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "doc_sha",
+                        "dictionary", "dictionary_r", "bucket_max")
 
     def _uncommitted_batch_ids(self) -> set:
         """Batch ids with linked segment files but NO commit marker —
@@ -292,8 +300,9 @@ class IncrementalIndexer:
            compacted postings (once fragments merge, the segment-folded
            n_blocks / per-fragment WAND bounds are stale); term_ord is
            re-ranked dense, restoring the O(1) term_dict_pos path.
-        3. doc_map, doc_len — content is unchanged; their segment files
-           are rewritten into docID-sorted bases (row-group pruning).
+        3. doc_map, doc_len, doc_sha — content is unchanged; their
+           segment files are rewritten into docID-sorted bases
+           (row-group pruning).
         4. stats LAST: avgdl_enc_min resets to the current avgdl only
            after every live block is re-encoded under it. A crash
            before this point leaves the old, smaller enc_min, so the
@@ -364,8 +373,9 @@ class IncrementalIndexer:
         self.store.write(d_r, "tmp_dictionary_r_new")
         self._swap("dictionary_r", "tmp_dictionary_r_new")
 
-        # -- 3. doc_map / doc_len: segment files -> sorted bases --------
-        for tbl, key in (("doc_map", "docID"), ("doc_len", "docID")):
+        # -- 3. doc_map / doc_len / doc_sha: segments -> sorted bases ---
+        for tbl, key in (("doc_map", "docID"), ("doc_len", "docID"),
+                         ("doc_sha", "docID")):
             base = (self.store.read(tbl)
                     .repartitionByRange(n, key).sortWithinPartitions(key))
             self.store.write(base, f"tmp_{tbl}_new")
@@ -430,7 +440,7 @@ class IncrementalIndexer:
         self._require_all_committed()
         stats = self.store.read("stats").collect()[0].asDict()
         avgdl = float(stats["avgdl"]) or 1.0
-        for table in ("postings", "doc_map", "doc_len"):
+        for table in ("postings", "doc_map", "doc_len", "doc_sha"):
             live = self.store.path(table)
             seg_files = sorted(glob.glob(os.path.join(live,
                                                       "batch*_*.parquet")))

@@ -84,3 +84,25 @@ def test_bm25_wand_no_bucket_max_table_equals_baseline(synth_engine, monkeypatch
     wand = synth_engine.bm25(q, k=10, wand=True, wand_gate_blocks=0).collect()
     assert [(r["docID"], round(r["score"], 10)) for r in base] == \
            [(r["docID"], round(r["score"], 10)) for r in wand]
+
+
+def test_bm25_many_equals_per_query(synth_engine):
+    # batched scoring (one union-term scan, one kernel pass) must return
+    # the EXACT per-query top-k rows bm25() returns, per query — incl. a
+    # query with absent terms (dropped from the batch output entirely)
+    batch = {f"q{i}": q for i, q in enumerate(SYNTH_QUERIES)}
+    batch["q_absent"] = "zzz_not_a_term qqq_also_absent"
+    got = synth_engine.bm25_many(batch, k=7).collect()
+    by_qid: dict = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["docID"], round(r["score"], 10), r["name"]))
+    assert "q_absent" not in by_qid
+    assert set(by_qid) == {f"q{i}" for i in range(len(SYNTH_QUERIES))}
+    for i, q in enumerate(SYNTH_QUERIES):
+        want = [(r["docID"], round(r["score"], 10), r["name"])
+                for r in synth_engine.bm25(q, k=7, wand=False).collect()]
+        assert by_qid[f"q{i}"] == want, q
+    # global output order: qid asc, score desc, docID asc
+    keys = [(r["qid"], -r["score"], r["docID"]) for r in got]
+    assert keys == sorted(keys)

@@ -20,9 +20,13 @@ def test_doc_ids_are_dense_rank_of_repo_path(synth_index, synth_docs):
 
 
 def test_sha256_invariant(synth_index, synth_docs):
-    # per-row content sha256 equality vs the source table (input_hint)
+    # per-row content sha256 equality vs the source table (input_hint).
+    # doc_sha is computed by the SPIMI kernel (hashlib, single corpus
+    # scan); the oracle side is the JVM's sha2() — so this also pins the
+    # hashlib/JVM hex parity the single-scan design depends on.
     src = with_sha256(synth_docs).select("repo", "path", F.col("sha256").alias("src_sha"))
-    joined = synth_index.table("doc_map").join(src, ["repo", "path"])
+    dm = synth_index.table("doc_map").select("docID", "repo", "path")
+    joined = synth_index.table("doc_sha").join(dm, "docID").join(src, ["repo", "path"])
     bad = joined.filter(F.col("sha256") != F.col("src_sha")).count()
     assert bad == 0
     assert joined.count() == synth_docs.count()
@@ -124,6 +128,13 @@ def test_packed_build_equals_unpacked(spark, work_dir, synth_docs, synth_index):
     dl_pd = sorted((r["docID"], r["dl"])
                    for r in other.table("doc_len").collect())
     assert dl == dl_pd
+    # doc_sha: kernel-emitted markers (arrow) vs the relational
+    # fallback's JVM sha2 (pandas) must agree byte-for-byte
+    sh = sorted((r["docID"], r["sha256"])
+                for r in synth_index.table("doc_sha").collect())
+    sh_pd = sorted((r["docID"], r["sha256"])
+                   for r in other.table("doc_sha").collect())
+    assert sh == sh_pd and len(sh) == synth_docs.count()
 
 
 def test_determinism_across_partitioning(spark, work_dir, synth_docs, synth_index):
@@ -183,3 +194,56 @@ def test_doc_len_stage_is_shuffle_free(fixture_index):
     want = {r["docID"]: r["dl"] for r in
             fixture_index.table("doc_len").collect()}
     assert {r["docID"]: r["dl"] for r in dl.collect()} == want
+
+
+def test_doc_sha_stage_is_shuffle_free_and_single_scan(fixture_index):
+    # the doc_sha relation over the packed SPIMI partials (kind == "s"
+    # sha markers decoded in a narrow mapInArrow) must plan with NO
+    # Exchange and must FILE-prune to the kind=s partition — the proof
+    # that the sha fingerprint costs zero shuffles and, because it is
+    # served from partials, that the build never ran a second corpus
+    # content scan for it
+    from information_retrieval_spark.build import _decode_sha_markers
+    partials = fixture_index.store.read("partials")
+    assert "n_docs" in partials.columns  # packed fragments
+    sha = (partials.filter(F.col("kind") == "s")
+           .select("n_docs", "doc_gaps", "pos_gaps")
+           .mapInArrow(_decode_sha_markers, "docID long, sha256 string"))
+    plan = sha._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "PartitionFilters: [isnotnull(kind" in plan, plan
+    assert "= s)" in plan, plan
+    rows = {r["docID"]: r["sha256"] for r in sha.collect()}
+    stored = {r["docID"]: r["sha256"] for r in
+              fixture_index.table("doc_sha").collect()}
+    assert rows == stored and len(rows) == 5
+
+
+def test_doc_map_stage_never_reads_content(spark, work_dir):
+    # the single-corpus-scan contract, pinned end-to-end: instrument the
+    # content column access with a Spark accumulator-backed UDF and
+    # prove stage 1 (doc_map) never evaluates it — only the SPIMI
+    # partials pass does, exactly once per doc
+    from pyspark.sql import functions as F2
+
+    from information_retrieval_spark.corpus import synthetic_corpus
+    docs = synthetic_corpus(spark, n_docs=40, seed=11)
+    acc = spark.sparkContext.accumulator(0)
+
+    @F2.udf("string")
+    def traced(c):
+        acc.add(1)
+        return c
+
+    docs_traced = docs.withColumn("content", traced("content"))
+    d = f"{work_dir}/singlescan_idx"
+    idx = IndexBuilder(spark, d, IndexConfig(docs_per_block=8)).build(
+        docs_traced, resume=False)
+    # stage 1 runs first; if it read content the count would be >= 2x
+    # n_docs by the end of the build (one eval there + one in partials).
+    # Allow Spark re-evaluation slack within the single partials scan
+    # (localCheckpoint retries) but reject a whole second corpus pass.
+    assert acc.value <= 40 * 2 - 1, (
+        f"content column evaluated {acc.value} times for 40 docs — "
+        "a build stage other than partials is scanning content")
+    assert idx.table("doc_sha").count() == 40

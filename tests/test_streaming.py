@@ -423,7 +423,8 @@ def test_append_batch_driver_job_budget(spark, work_dir):
     and batch_len ride the stage-1 staging writes as Observations, and
     dl_delta is the shuffle-free is_first scan — the round-4 shape
     (standalone count + sum jobs, groupBy dl_delta) measured 32 jobs on
-    this same fixture; the current shape 26."""
+    this same fixture; the current shape 27 (26 + the doc_sha staging
+    write that replaced doc_map's embedded sha256 column)."""
     cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
     idx_dir = f"{work_dir}/jobbudget_idx"
     IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
@@ -436,7 +437,7 @@ def test_append_batch_driver_job_budget(spark, work_dir):
     finally:
         sc.setJobGroup("append_budget_done", "")
     jobs = sc.statusTracker().getJobIdsForGroup("append_budget")
-    assert len(jobs) <= 26, len(jobs)
+    assert len(jobs) <= 27, len(jobs)
 
 def test_compact_refuses_uncommitted_batches(spark, work_dir):
     """A batch that crashed between linking its files and writing its
