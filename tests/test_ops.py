@@ -819,6 +819,33 @@ def test_simhash_bucket_cap_bounds_candidates(spark):
     assert (7, 100) in got and got[(7, 100)] == 2
 
 
+def test_simhash_split_gate_is_adaptive(spark):
+    # the histogram gate: hot-bucket sum(bsz^2) below the threshold ->
+    # plain block join (no sub/sval key columns in the plan); above (or
+    # forced with 0) -> the re-banded join. Results identical either way
+    # (both covers are pigeonhole-complete).
+    rng = np.random.RandomState(3)
+    n, k = 300, 3
+    sig_strs = _rand_sigs(n, 64, rng, force_block=(0, 16, 0))
+    sigs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sig_strs)], "id long, simhash string")
+    plain = dedup._simhash_candidates(sigs, k, 64, 64,
+                                      split_above_candidates=10**12)
+    split = dedup._simhash_candidates(sigs, k, 64, 64,
+                                      split_above_candidates=0)
+    # hot bucket (block 0, n=300 members, 300^2=90k < 10^12) stays plain
+    assert plain.count() >= n * n
+    assert split.count() < plain.count() / 10
+    for gate in (10**12, 0):
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.simhash_near_duplicates(
+                   signatures=sigs, max_hamming=k, bucket_cap=64,
+                   split_above_candidates=gate).collect()}
+        want = {(a, b) for a, b in itertools.combinations(range(n), 2)
+                if sum(x != y for x, y in zip(sig_strs[a], sig_strs[b])) <= k}
+        assert got == want, gate
+
+
 def test_simhash_near_duplicates_cap_vs_uncapped_on_docs(docs_df):
     # same result with the cap engaged at a threshold low enough to
     # split every bucket on the tiny corpus
