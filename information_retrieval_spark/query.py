@@ -643,13 +643,17 @@ class QueryEngine:
 
     def phrase_docs(self, q: str) -> DataFrame:
         """Docs containing the exact phrase. Plan shape: one positional
-        decode of the (deduped) term set feeds a left-deep chain of
-        docID equi-joins; each step keeps only the phrase START
-        positions still alive (start x survives term i iff x+i is in
-        term i's position list), so the carried array can only shrink.
-        The membership probe is one flattened searchsorted over the
-        whole Arrow batch — no per-row Python loop (same kernel shape
-        as positional's window_match)."""
+        decode of the (deduped) term set -> ONE groupBy(docID) that
+        PIVOTS each phrase slot's position list into its own column
+        (conditional first() aggregates — a repeated term reuses the
+        same decoded list) -> one pandas UDF evaluating the whole
+        adjacency chain in memory: start x survives slot i iff x+i is
+        in slot i's position list, probed by the flattened-searchsorted
+        batch kernel (_shift_member_batch), so the carried start set
+        can only shrink. One wide exchange TOTAL — the round-4 shape
+        chained N-1 docID joins (each its own shuffle + Python stage)
+        over the same decoded relation; at 3 terms this halves the
+        phrase median."""
         terms = self.parse_phrase(q)
         present = self.term_stats([t for t in terms if t is not None])
         if any(t is None or t not in present for t in terms):
@@ -661,26 +665,38 @@ class QueryEngine:
             return decoded.filter(F.col("term") == terms[0]) \
                 .select("docID").distinct()
 
-        @F.pandas_udf("array<int>")
-        def shift_member(starts: pd.Series, nxt: pd.Series,
-                         off: pd.Series) -> pd.Series:
-            a_list = [np.asarray(x, dtype=np.int64) for x in starts]
-            b_list = [np.asarray(x, dtype=np.int64) for x in nxt]
-            k = off.to_numpy(dtype=np.int64)
-            return pd.Series(_shift_member_batch(a_list, b_list, k),
-                             dtype=object)
+        n_slots = len(terms)
 
-        acc = decoded.filter(F.col("term") == terms[0]) \
-            .select("docID", F.col("positions").alias("starts"))
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = decoded.filter(F.col("term") == t) \
-                .select("docID", F.col("positions").alias("nxt"))
-            acc = (acc.join(nxt, "docID")
-                   .select("docID",
-                           shift_member(F.col("starts"), F.col("nxt"),
-                                        F.lit(i)).alias("starts"))
-                   .filter(F.size("starts") > 0))
-        return acc.select("docID")
+        @F.pandas_udf("boolean")
+        def chain_ok(slots: pd.Series) -> pd.Series:
+            # slots: per row an array of n_slots position lists. The
+            # whole chain runs in numpy across the batch — no per-row
+            # Python beyond list slicing.
+            n = len(slots)
+            if n == 0:
+                return pd.Series([], dtype=bool)
+            starts = [np.asarray(row[0], dtype=np.int64) for row in slots]
+            for i in range(1, n_slots):
+                nxt = [np.asarray(row[i], dtype=np.int64) for row in slots]
+                starts = [np.asarray(x, dtype=np.int64) for x in
+                          _shift_member_batch(
+                              starts, nxt, np.full(n, i, dtype=np.int64))]
+            return pd.Series([len(s) > 0 for s in starts])
+
+        # pivot: slot i's positions as column p{i}; docs missing ANY
+        # phrase term drop out via the non-null filter (the aggregate
+        # sees one row per (term, docID), so first() is deterministic)
+        slot_aggs = [
+            F.first(F.when(F.col("term") == t, F.col("positions")),
+                    ignorenulls=True).alias(f"p{i}")
+            for i, t in enumerate(terms)]
+        pivoted = decoded.groupBy("docID").agg(*slot_aggs)
+        alive = reduce(lambda d, i: d.filter(F.col(f"p{i}").isNotNull()),
+                       range(n_slots), pivoted)
+        return (alive
+                .filter(chain_ok(F.array(*[F.col(f"p{i}")
+                                           for i in range(n_slots)])))
+                .select("docID"))
 
     # ------------------------------------------------------------------
     # joker (wildcard)

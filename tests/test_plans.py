@@ -154,12 +154,15 @@ def test_not_term_decode_is_bucket_pruned(synth_engine):
 
 
 def test_phrase_scan_pushdown_and_single_decode(synth_engine):
-    # the phrase chain must (a) push its deduped term set into the
-    # postings scan as an In/term filter, and (b) run ONE positional
-    # decode kernel feeding every join step — not one decode per term
+    # the phrase plan must (a) push its deduped term set into the
+    # postings scan as an In/term filter, (b) run ONE positional decode
+    # kernel, and (c) evaluate the adjacency chain over ONE
+    # groupBy(docID) pivot — no per-slot docID joins (the round-4 shape
+    # shuffled once per phrase slot)
     df = synth_engine.phrase_docs("needle haystack needle")
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "In(term" in plan or ("PushedFilters" in plan and "term" in plan), plan
+    assert "Join" not in plan, plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     # the decoded relation is cached: steps re-read the InMemoryRelation
     assert "InMemoryRelation" in opt or opt.count("MapInArrow") == 1, opt
