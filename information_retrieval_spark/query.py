@@ -58,6 +58,45 @@ _DECODED_SCHEMA = "term string, docID long, tf int, dl int"
 _DECODED_POS_SCHEMA = "term string, docID long, tf int, dl int, positions array<int>"
 
 
+def _window_match_batch(a_list, b_list, k) -> np.ndarray:
+    """Per row i: does any |a - b| <= k[i] pair exist between a_list[i]
+    and b_list[i]? Fully vectorized across the batch: both ragged sides
+    are flattened with a per-row offset M large enough that rows cannot
+    collide, then ONE searchsorted + segmented any (reduceat) answers
+    every row — no per-row Python loop (a head-term pair can put 10^7
+    candidate docs through this kernel; measured ~6x faster than the
+    per-row probe it replaced in round 3)."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    la = np.fromiter((len(x) for x in a_list), np.int64, n)
+    lb = np.fromiter((len(x) for x in b_list), np.int64, n)
+    a_flat = np.concatenate(a_list) if la.sum() else np.empty(0, np.int64)
+    b_flat = np.concatenate(b_list) if lb.sum() else np.empty(0, np.int64)
+    if not len(a_flat) or not len(b_flat):
+        return np.zeros(n, dtype=bool)
+    m = int(max(a_flat.max(), b_flat.max())) + int(k.max()) + 2
+    arow = np.repeat(np.arange(n), la)
+    brow = np.repeat(np.arange(n), lb)
+    a = a_flat + arow * m  # globally ascending (rows are disjoint)
+    b = b_flat + brow * m
+    krep = k[brow]
+    idx = np.searchsorted(a, b - krep, side="left")
+    ok = idx < len(a)
+    hit = np.zeros(len(b), dtype=bool)
+    # a[idx] of a LATER row exceeds b+k by construction of m, so no
+    # same-row mask is needed
+    hit[ok] = a[idx[ok]] <= (b + krep)[ok]
+    b_starts = np.zeros(n, dtype=np.int64)
+    b_starts[1:] = np.cumsum(lb[:-1])
+    # empty segments: reduceat would read the NEXT segment's first value
+    # (or fall off the end for trailing empties) — clamp the index and
+    # mask the result instead
+    out = np.logical_or.reduceat(hit, np.minimum(b_starts, len(hit) - 1))
+    out[lb == 0] = False
+    return out
+
+
 def _shift_member_batch(a_list, b_list, k):
     """Per row i: keep x in a_list[i] iff x + k[i] occurs in b_list[i].
 
@@ -557,6 +596,17 @@ class QueryEngine:
         return self._names(self.positional_docs(q))
 
     def positional_docs(self, q: str) -> DataFrame:
+        """Plan shape (same pivot as phrase_docs): one positional decode
+        of the term set -> ONE groupBy(docID) pivoting each query slot's
+        position list into a column -> one pandas UDF evaluating EVERY
+        adjacent pair's window probe (|a-b| <= k via the flattened
+        searchsorted kernel, _window_match_batch) and OR-ing the pair
+        verdicts — a doc qualifies if ANY adjacent pair matches, pairs
+        are not chained (QueryProcessor.java:126-129). One wide exchange
+        total; the round-4 shape ran one docID join + one Python stage
+        per pair and a union-distinct on top. A slot column is null when
+        the doc lacks that term — the kernel sees an empty list and the
+        pair contributes False, exactly the inner-join semantics."""
         terms, dists = self.parse_positional(q)
         present = self.term_stats([t for t in terms if t is not None])
         if any(t is None or t not in present for t in terms):
@@ -566,55 +616,32 @@ class QueryEngine:
             self.postings_for(set(terms), with_positions=True)
             .select("term", "docID", "positions"))
 
+        n_slots = len(terms)
+        ks = np.asarray(dists, dtype=np.int64)
+
         @F.pandas_udf("boolean")
-        def window_match(p1: pd.Series, p2: pd.Series, dist: pd.Series) -> pd.Series:
-            # exists |a_x - b_y| <= k per row, fully vectorized across the
-            # batch: both position lists are flattened with a per-row
-            # offset M large enough that rows cannot collide, then ONE
-            # searchsorted + segmented any (reduceat) answers every row —
-            # no per-row Python loop (a head-term pair can put 10^7
-            # candidate docs through this kernel; measured ~6x faster
-            # than the per-row probe it replaces).
-            n = len(p1)
+        def any_pair_match(slots: pd.Series) -> pd.Series:
+            n = len(slots)
             if n == 0:
                 return pd.Series([], dtype=bool)
-            a_list = [np.asarray(x, dtype=np.int64) for x in p1]
-            b_list = [np.asarray(x, dtype=np.int64) for x in p2]
-            la = np.fromiter((len(x) for x in a_list), np.int64, n)
-            lb = np.fromiter((len(x) for x in b_list), np.int64, n)
-            k = dist.to_numpy(dtype=np.int64)
-            a_flat = np.concatenate(a_list)
-            b_flat = np.concatenate(b_list)
-            if not len(a_flat) or not len(b_flat):
-                return pd.Series(np.zeros(n, dtype=bool))
-            m = int(max(a_flat.max(), b_flat.max())) + int(k.max()) + 2
-            arow = np.repeat(np.arange(n), la)
-            brow = np.repeat(np.arange(n), lb)
-            a = a_flat + arow * m  # globally ascending (rows are disjoint)
-            b = b_flat + brow * m
-            krep = k[brow]
-            idx = np.searchsorted(a, b - krep, side="left")
-            ok = idx < len(a)
-            hit = np.zeros(len(b), dtype=bool)
-            # a[idx] of a LATER row exceeds b+k by construction of m, so
-            # no same-row mask is needed
-            hit[ok] = a[idx[ok]] <= (b + krep)[ok]
-            b_starts = np.zeros(n, dtype=np.int64)
-            b_starts[1:] = np.cumsum(lb[:-1])
-            return pd.Series(np.logical_or.reduceat(hit, b_starts))
+            cols = [[np.asarray(row[i], dtype=np.int64)
+                     if row[i] is not None else np.empty(0, np.int64)
+                     for row in slots] for i in range(n_slots)]
+            out = np.zeros(n, dtype=bool)
+            for i, k in enumerate(ks):
+                out |= _window_match_batch(
+                    cols[i], cols[i + 1], np.full(n, k, dtype=np.int64))
+            return pd.Series(out)
 
-        pair_results = []
-        for (t1, t2), k in zip(zip(terms, terms[1:]), dists):
-            left = decoded.filter(F.col("term") == t1) \
-                .select("docID", F.col("positions").alias("p1"))
-            right = decoded.filter(F.col("term") == t2) \
-                .select("docID", F.col("positions").alias("p2"))
-            pair = left.join(right, "docID") \
-                .filter(window_match(F.col("p1"), F.col("p2"), F.lit(k))) \
-                .select("docID")
-            pair_results.append(pair)
-        # docs from every adjacent pair are UNIONED (QueryProcessor.java:126-129)
-        return reduce(DataFrame.union, pair_results).distinct()
+        slot_aggs = [
+            F.first(F.when(F.col("term") == t, F.col("positions")),
+                    ignorenulls=True).alias(f"p{i}")
+            for i, t in enumerate(terms)]
+        pivoted = decoded.groupBy("docID").agg(*slot_aggs)
+        return (pivoted
+                .filter(any_pair_match(F.array(*[F.col(f"p{i}")
+                                                 for i in range(n_slots)])))
+                .select("docID"))
 
     # ------------------------------------------------------------------
     # phrase (exact ordered adjacency — north-star addition; the

@@ -81,3 +81,25 @@ def test_shift_member_batch_matches_set_oracle(rows):
     got = _shift_member_batch(a_list, b_list, k)
     want = [[x for x in a if x + kk in set(b)] for a, b, kk in rows]
     assert got == want
+
+
+@given(st.lists(st.tuples(
+           st.lists(st.integers(0, 300), max_size=20).map(sorted),
+           st.lists(st.integers(0, 300), max_size=20).map(sorted),
+           st.integers(0, 10)),
+       max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_window_match_batch_matches_set_oracle(rows):
+    # incl. empty-on-either-side rows (the reduceat empty-segment guard:
+    # trailing empties must not read past the buffer or leak the next
+    # segment's verdict)
+    import numpy as np
+
+    from information_retrieval_spark.query import _window_match_batch
+    a_list = [np.asarray(a, dtype=np.int64) for a, _b, _k in rows]
+    b_list = [np.asarray(b, dtype=np.int64) for _a, b, _k in rows]
+    k = np.asarray([kk for _a, _b, kk in rows], dtype=np.int64)
+    got = _window_match_batch(a_list, b_list, k).tolist()
+    want = [any(abs(x - y) <= kk for x in a for y in b)
+            for a, b, kk in rows]
+    assert got == want
