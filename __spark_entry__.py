@@ -646,6 +646,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         band_size=8)
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_canonical(spark, sf):
+        # quality-aware representative selection after dedup: mark the
+        # HIGHEST-quality member of each duplicate cluster (ties ->
+        # smallest id) as the keeper; one window shuffle over cluster
+        # members only, never over the corpus
+        docs = _documents(spark, sf)
+        cl = dedup.duplicate_clusters(docs, n=3, threshold=0.8,
+                                      num_hashes=64, band_size=8)
+        return dedup.canonical_documents(cl, textstats.quality_scores(docs))
+    q["dedup_canonical"] = dedup_canonical
+
+    def bm25_filtered(spark, sf):
+        # metadata-filtered ranking: the lang='en' filter participates
+        # in the top-k (kernel-level sorted-docID mask below the
+        # pushdown cap; emit-all + join above it), so the page is the
+        # exact top-10 OF the filtered subcorpus — not a re-filter of
+        # the unfiltered page
+        e = _engine(spark, sf)
+        top = e.bm25_filtered("spark join window", F.col("lang") == "en",
+                              k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["bm25_filtered"] = bm25_filtered
+
+    def shard_tokens(spark, sf):
+        # token-budget sharding: contiguous ~4096-ws-token shards via a
+        # two-phase distributed prefix sum (no global sort, no
+        # single-reducer window); the oracle IS the window formulation
+        return sampling.shard_by_token_budget(
+            _documents(spark, sf), budget_tokens=4096)
+    q["shard_tokens"] = shard_tokens
+
     return q
 
 
@@ -1204,8 +1238,9 @@ def oracle_sql() -> dict[str, str]:
 
     # connected components over the dedup_near pair set: transitive
     # closure via recursive CTE (fine at oracle scale; the Spark side
-    # runs large-star/small-star, which needs no closure table)
-    o["dedup_clusters"] = f"""
+    # runs large-star/small-star, which needs no closure table).
+    # Shared by dedup_clusters and dedup_canonical.
+    _cluster_ctes = f"""
         WITH RECURSIVE {_TOKS},
         {_minhash_lsh_ctes(num_hashes=64, band_size=8, n=3)},
         sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id),
@@ -1234,10 +1269,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.src, e.eb FROM reach r JOIN edges e ON e.ea = r.node
         ),
         comp AS (SELECT src AS id, min(node) AS cluster_id
-                 FROM reach GROUP BY src),
+                 FROM reach GROUP BY src)"""
+
+    o["dedup_clusters"] = f"""
+        {_cluster_ctes},
         csize AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
                   FROM comp GROUP BY cluster_id)
         SELECT comp.id, comp.cluster_id, csize.cluster_size
         FROM comp JOIN csize USING (cluster_id)
+    """
+
+    # canonical selection: highest round-6 quality per cluster (the
+    # SAME quality expression as the text_quality_scores oracle — the
+    # rounding grain makes the cross-engine argmax deterministic),
+    # ties broken by smallest id
+    o["dedup_canonical"] = f"""
+        {_cluster_ctes},
+        qual AS (
+            SELECT d.doc_id AS id,
+                   round(0.4 * least(1.0, len(t) / 50.0)
+                         + 0.3 * (1.0 - length(regexp_replace(d.text, '[A-Za-z0-9_\\s]', '', 'g'))
+                                  / greatest(length(d.text), 1))
+                         + 0.3 * least(1.0, 5.0 * (len(list_filter(t, x -> x IN ('{stop}')))
+                                                   / greatest(len(t), 1))), 6) AS quality
+            FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+        )
+        SELECT comp.id, comp.cluster_id,
+               (row_number() OVER (PARTITION BY comp.cluster_id
+                                   ORDER BY qual.quality DESC, comp.id)
+                = 1) AS is_canonical
+        FROM comp JOIN qual ON qual.id = comp.id
+    """
+
+    # filtered BM25: exact top-10 OF the lang='en' subcorpus — the
+    # filter is applied BEFORE the LIMIT, same as the kernel mask
+    o["bm25_filtered"] = f"""
+        WITH {_TOKS},
+        {_bm25_ctes()}
+        SELECT scores.doc_id, round(s, 6) AS score
+        FROM scores JOIN documents d ON d.doc_id = scores.doc_id
+        WHERE d.lang = 'en'
+        ORDER BY s DESC, scores.doc_id LIMIT 10
+    """
+
+    # token-budget sharding: the window formulation the Spark side
+    # refuses to run (its two-phase prefix sum has no global sort);
+    # integer // matches Spark's DIV exactly at any magnitude
+    o["shard_tokens"] = """
+        WITH tc AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x != ''))::BIGINT AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0)::BIGINT AS bf
+            FROM tc
+        )
+        SELECT doc_id, n_tokens, (bf // 4096)::BIGINT AS shard FROM c
     """
     return o

@@ -171,6 +171,14 @@ def main() -> None:
         "sample_split": lambda: sampling.train_val_split(
             sampling.hash_sample(docs, 0.5, key_col="path"), 0.25,
             key_col="path").groupBy("split").count().collect(),
+        # filtered ranking: exact top-10 OF the lang subcorpus (kernel
+        # docID mask below the pushdown cap — zero extra exchanges)
+        "bm25_filtered": lambda: qe.bm25_filtered(
+            "spark join window", F.col("lang") == "en", k=10).collect(),
+        # token-budget sharding: two-phase distributed prefix sum
+        "shard_tokens": lambda: sampling.shard_by_token_budget(
+            docs, budget_tokens=65536, id_col="path", text_col="content"
+        ).groupBy("shard").count().count(),
     }
     resets: dict = {}
     resets["dedup_inc_build"] = lambda: shutil.rmtree(

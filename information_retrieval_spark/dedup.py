@@ -33,7 +33,7 @@ import os
 from functools import reduce
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .normalize import spark_tokens_expr
@@ -466,6 +466,42 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("id", "cluster_id", "cluster_size")
+
+
+def canonical_documents(clusters: DataFrame, scores: DataFrame,
+                        id_col: str = "id", cluster_col: str = "cluster_id",
+                        score_col: str = "quality") -> DataFrame:
+    """Quality-aware representative selection after dedup: for every
+    duplicate-cluster member, mark whether it is the cluster's KEEPER —
+    the member with the highest score, ties broken by smallest id (the
+    standard curation step after clustering: keep one, drop the rest,
+    but keep the BEST one rather than an arbitrary/min-id member).
+
+    `clusters`: (id, cluster_id) — e.g. duplicate_clusters() output.
+    `scores`:   (id, score_col)  — e.g. textstats.quality_scores();
+    score values must be deterministic at comparison grain (the
+    textstats scores are rounded to 6 dp, which also makes the argmax
+    engine-portable for the exact oracle).
+
+    Returns (id, cluster_id, is_canonical). Docs in no cluster are
+    canonical by definition and are NOT emitted (callers union them
+    back with is_canonical=true if they need the full relation).
+
+    Scale shape (100 TB): the clusters relation holds only duplicate
+    members — a small fraction of the corpus — so Spark's size
+    estimates broadcast it into the scores scan when it fits (no
+    unconditional hint: a pathological 90%-duplicate corpus degrades
+    to a sort-merge join, not a driver OOM), and the argmax is ONE
+    window shuffle over cluster members only. The corpus itself is
+    never shuffled.
+    """
+    members = (clusters.select(id_col, cluster_col)
+               .join(scores.select(id_col, score_col), id_col))
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    return (members.withColumn("is_canonical",
+                               F.row_number().over(w) == F.lit(1))
+            .select(id_col, cluster_col, "is_canonical"))
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -333,7 +333,7 @@ def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
 
 
 def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
-                      docs_per_bucket: int, k: int):
+                      docs_per_bucket: int, k, allowed=None):
     """mapInArrow kernel: compressed posting blocks (repartitioned by
     docID bucket, sorted by bucket) -> per-bucket exact BM25 top-k rows.
 
@@ -345,6 +345,13 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
     decoded posting stream (at 1M docs: 2*10^4 block rows vs 10^6+
     posting rows through a hash aggregate). Ties at the kth score are
     ALL emitted so the global (score desc, docID asc) order stays exact.
+
+    Filtered mode (bm25_filtered): `allowed` is a SORTED int64 array of
+    admissible docIDs — scored docs outside it are dropped BEFORE the
+    per-bucket cut, so the filtered top-k is exact, not a re-filter of
+    the unfiltered page. `k=None` disables the per-bucket cut entirely
+    (the emit-all path a downstream join-filter needs when the allowed
+    set is too large to ship to every task).
     """
     import pyarrow as pa
 
@@ -361,12 +368,22 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
             idxs = np.flatnonzero(acc)  # partial scores are strictly > 0
             if len(idxs):
                 sc = acc[idxs]
-                if len(idxs) > k:
+                glob = idxs.astype(np.int64) + cur_bucket * docs_per_bucket
+                if allowed is not None:
+                    if len(allowed) == 0:
+                        member = np.zeros(len(glob), dtype=bool)
+                    else:
+                        p = np.searchsorted(allowed, glob)
+                        p[p == len(allowed)] = 0
+                        member = allowed[p] == glob
+                    glob, sc = glob[member], sc[member]
+                if k is not None and len(glob) > k:
                     thresh = np.partition(sc, len(sc) - k)[len(sc) - k]
                     keep = sc >= thresh  # keep ALL kth-score ties
-                    idxs, sc = idxs[keep], sc[keep]
-                out_d.append(idxs.astype(np.int64) + cur_bucket * docs_per_bucket)
-                out_s.append(sc.copy())
+                    glob, sc = glob[keep], sc[keep]
+                if len(glob):
+                    out_d.append(glob)
+                    out_s.append(sc.copy())
             cur_bucket = None
             acc = None
 
@@ -806,7 +823,8 @@ class QueryEngine:
         n = self.stats["n_docs"]
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
-    def _score_blocks(self, blocks: DataFrame, idf_map: dict, k: int) -> DataFrame:
+    def _score_blocks(self, blocks: DataFrame, idf_map: dict, k,
+                      allowed=None) -> DataFrame:
         """Compressed blocks -> exact per-bucket BM25 top-k (docID, score).
 
         The shuffle key is the docID BUCKET and the payload is compressed
@@ -817,7 +835,8 @@ class QueryEngine:
         st = self.stats
         kernel = _make_bm25_kernel(idf_map, float(st["k1"]), float(st["b"]),
                                    float(st["avgdl"]) or 1.0,
-                                   int(st["docs_per_bucket"]), k)
+                                   int(st["docs_per_bucket"]), k,
+                                   allowed=allowed)
         # EXPLICIT partition count: the compressed-block exchange is tiny
         # in bytes but CPU-heavy per row, so AQE's size-based coalescing
         # would collapse it onto one core. One bucket = one docID range =
@@ -857,6 +876,55 @@ class QueryEngine:
             candidates = self.blocks_for(terms)
         scores = (self._score_blocks(candidates, idf_map, k)
                   .orderBy(F.desc("score"), F.asc("docID")).limit(k))
+        name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
+        return (scores.join(self._doc_map, "docID")
+                .select("docID", "score", name)
+                .orderBy(F.desc("score"), F.asc("docID")))
+
+    # filtered BM25: ship the allowed docID set into the kernel below
+    # this many ids; above it, emit all aggregated scores and let the
+    # join (AQE-planned) do the membership test
+    FILTER_PUSHDOWN_DOCS = 1 << 21
+
+    def bm25_filtered(self, query: str, doc_filter, k: int = 10) -> DataFrame:
+        """BM25 top-k restricted to documents matching `doc_filter` (a
+        Column predicate over doc_map metadata: repo, path, commit,
+        lang). The filter participates in RANKING, not just display:
+        disallowed docs are dropped BEFORE the top-k cut, so the page
+        is the exact top-k OF THE FILTERED corpus (re-filtering an
+        unfiltered page would under-fill or miss docs entirely).
+
+        Scale shape: the allowed set is resolved by ONE metadata-column
+        scan of doc_map (never content). A selective filter (<= 2M ids,
+        FILTER_PUSHDOWN_DOCS) ships as a sorted int64 array into the
+        scoring kernel — a per-doc binary search before the per-bucket
+        cut, zero extra exchanges. A broad filter (lang='en' over 10^12
+        docs) switches to emit-all scoring + a docID join that AQE
+        plans (sort-merge against the doc_map scan; the scored relation
+        holds only docs containing a query term). Block-max WAND stays
+        off: its threshold seed assumes unfiltered top-k (a filtered θ
+        is smaller, so pruning with it would still be SAFE but the seed
+        bucket must itself be scored filtered — a future refinement)."""
+        terms = sorted({t for t in (normalize(tok)
+                                    for tok in re.split(r"\s+", query.strip()))
+                        if t is not None})
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_scores()
+        idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
+        allowed_df = self._doc_map.filter(doc_filter).select("docID")
+        cap = self.FILTER_PUSHDOWN_DOCS
+        head = allowed_df.limit(cap + 1).collect()
+        blocks = self.blocks_for(terms)
+        if len(head) <= cap:
+            allowed = np.sort(np.fromiter((r[0] for r in head), dtype=np.int64,
+                                          count=len(head)))
+            scores = self._score_blocks(blocks, idf_map, k, allowed=allowed)
+        else:
+            scores = (self._score_blocks(blocks, idf_map, None)
+                      .join(allowed_df, "docID"))
+        scores = scores.orderBy(F.desc("score"), F.asc("docID")).limit(k)
         name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)

@@ -84,6 +84,92 @@ def stratified_sample(df: DataFrame, rates: dict, strata_col: str,
     return df.filter(F.expr(uniform_expr(key_col, seed)) < rate)
 
 
+def _cumsum_partitions(batches):
+    """mapInArrow: pass all columns through + (pid, before_local) — the
+    partition-local EXCLUSIVE running sum of n_tokens (the prefix-sum
+    analogue of build._number_partitions' row rank)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
+    pid = TaskContext.get().partitionId()
+    run = 0
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        nt_idx = rb.schema.get_field_index("n_tokens")
+        nt = rb.column(nt_idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.cumsum(nt)
+        before = np.empty_like(csum)
+        before[0] = 0
+        before[1:] = csum[:-1]
+        before += run
+        run += int(csum[-1])
+        cols = [rb.column(i) for i in range(rb.num_columns)]
+        yield pa.RecordBatch.from_arrays(
+            cols + [pa.array(np.full(rb.num_rows, pid, dtype=np.int32)),
+                    pa.array(before, type=pa.int64())],
+            names=rb.schema.names + ["pid", "before_local"])
+
+
+def shard_by_token_budget(df: DataFrame, budget_tokens: int,
+                          id_col: str = "doc_id", tokens_col: str | None = None,
+                          text_col: str = "text",
+                          n_partitions: int | None = None) -> DataFrame:
+    """Token-budget sharding: pack documents (ordered by id) into
+    contiguous shards of ~`budget_tokens` tokens each — the standard
+    step that turns a curated corpus into uniformly-sized training
+    files. shard = floor(cum_before / budget) where cum_before is the
+    sum of token counts over all ids < this id; a shard boundary never
+    splits a document. Returns (id, n_tokens, shard).
+
+    Token counts: `tokens_col` if given (a precomputed per-doc count),
+    else the whitespace token count of `text_col` (the same expression
+    as textstats.token_counts.n_ws_tokens — exactly reproducible in
+    the DuckDB oracle).
+
+    Scale shape (100 TB): a global ORDERED cumulative sum WITHOUT a
+    global sort and WITHOUT a single-reducer window — the same
+    two-phase trick as docID assignment (build.with_global_ordinals):
+    range-partition by id, ONE Arrow kernel emits each partition's
+    exclusive running sum, the P per-partition totals (P rows, not
+    corpus rows) prefix-sum on the driver and broadcast back as
+    offsets. The numbered relation is pinned by an eager
+    localCheckpoint so the range boundaries (sampled, not stable
+    across actions) are computed exactly once; the totals pass and the
+    final projection both read the pinned copy.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1: {budget_tokens}")
+    spark = df.sparkSession
+    if tokens_col is not None:
+        n_tokens = F.col(tokens_col).cast("long")
+    else:
+        n_tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                                   lambda t: t != "")).cast("long")
+    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = base.repartitionByRange(n, id_col).sortWithinPartitions(id_col)
+    id_type = [f.dataType.simpleString() for f in base.schema.fields
+               if f.name == id_col][0]
+    numbered = d.mapInArrow(
+        _cumsum_partitions,
+        schema=(f"{id_col} {id_type}, n_tokens long, "
+                f"pid int, before_local long")).localCheckpoint(eager=True)
+    totals = {r["pid"]: int(r["s"]) for r in
+              numbered.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    offsets_df = spark.createDataFrame(offsets, "pid int, offset long")
+    # integer division (Spark DIV / DuckDB //): exact at any magnitude,
+    # where floor(double/double) could misround near 2^53
+    shard = F.expr(f"CAST((offset + before_local) DIV {int(budget_tokens)} "
+                   f"AS LONG)")
+    return (numbered.join(F.broadcast(offsets_df), "pid")
+            .select(id_col, "n_tokens", shard.alias("shard")))
+
+
 def train_val_split(df: DataFrame, val_fraction: float,
                     key_col: str = "doc_id",
                     seed: str = "split") -> DataFrame:

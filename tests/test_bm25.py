@@ -106,3 +106,48 @@ def test_bm25_many_equals_per_query(synth_engine):
     # global output order: qid asc, score desc, docID asc
     keys = [(r["qid"], -r["score"], r["docID"]) for r in got]
     assert keys == sorted(keys)
+
+
+def _filtered_want(engine, oracle, query, allowed, k):
+    full = oracle.bm25(query, k=10 ** 9)
+    return [(d, s, n) for d, s, n in full if d in allowed][:k]
+
+
+def test_bm25_filtered_exact_topk_of_subcorpus(synth_engine, synth_oracle):
+    from pyspark.sql import functions as F
+
+    dm = synth_engine.index.table("doc_map").select("docID", "lang").collect()
+    for lang in ("py", "java"):
+        allowed = {r["docID"] for r in dm if r["lang"] == lang}
+        for q in SYNTH_QUERIES[:3]:
+            got = synth_engine.bm25_filtered(
+                q, F.col("lang") == lang, k=10).collect()
+            want = _filtered_want(synth_engine, synth_oracle, q, allowed, 10)
+            assert [r["docID"] for r in got] == [d for d, _, _ in want], (q, lang)
+            for r, (_, s, _) in zip(got, want):
+                assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+            # the page differs from re-filtering the unfiltered page:
+            # at least check every returned doc IS in the subcorpus
+            assert all(r["docID"] in allowed for r in got)
+
+
+def test_bm25_filtered_join_path_equals_kernel_mask(synth_engine, synth_oracle,
+                                                    monkeypatch):
+    from pyspark.sql import functions as F
+
+    q = SYNTH_QUERIES[0]
+    mask = synth_engine.bm25_filtered(q, F.col("lang") == "py", k=10).collect()
+    # cap 0 forces the emit-all + docID-join fallback (the broad-filter
+    # scale path); identical rows required
+    monkeypatch.setattr(type(synth_engine), "FILTER_PUSHDOWN_DOCS", 0)
+    join = synth_engine.bm25_filtered(q, F.col("lang") == "py", k=10).collect()
+    assert [(r["docID"], round(r["score"], 10)) for r in mask] == \
+           [(r["docID"], round(r["score"], 10)) for r in join]
+
+
+def test_bm25_filtered_empty_filter(synth_engine):
+    from pyspark.sql import functions as F
+
+    got = synth_engine.bm25_filtered(
+        "sym0 sym1", F.col("lang") == "zz_nolang", k=10).collect()
+    assert got == []

@@ -964,3 +964,98 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = (dedup.contamination(corpus, bench)
             ._jdf.queryExecution().sparkPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# canonical selection after dedup
+# ---------------------------------------------------------------------------
+
+def test_canonical_documents_argmax_and_ties(spark):
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (7, 7), (9, 7)], "id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(0, 0.5), (1, 0.9), (2, 0.9), (7, 0.1), (9, 0.1), (42, 1.0)],
+        "id long, quality double")
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           dedup.canonical_documents(clusters, scores).collect()}
+    # 42 is in no cluster -> not emitted; highest quality wins, quality
+    # ties break on the smaller id (1 beats 2, 7 beats 9)
+    assert got == {0: (0, False), 1: (0, True), 2: (0, False),
+                   7: (7, True), 9: (7, False)}
+
+
+def test_canonical_documents_full_pipeline_oracle(docs_df):
+    from information_retrieval_spark import sampling  # noqa: F401 (module import symmetry)
+
+    cl = dedup.duplicate_clusters(docs_df, n=2, threshold=0.5,
+                                  num_hashes=16, band_size=4)
+    qs = textstats.quality_scores(docs_df)
+    rows = dedup.canonical_documents(cl, qs).collect()
+    assert rows, "fixture corpus has duplicate clusters"
+    q = {r["id"]: r["quality"] for r in qs.collect()}
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        best = sorted((m["id"] for m in members),
+                      key=lambda i: (-q[i], i))[0]
+        for m in members:
+            assert m["is_canonical"] == (m["id"] == best)
+        assert sum(m["is_canonical"] for m in members) == 1
+
+
+# ---------------------------------------------------------------------------
+# token-budget sharding
+# ---------------------------------------------------------------------------
+
+def test_shard_by_token_budget_matches_window_oracle(spark):
+    from information_retrieval_spark import sampling
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), " ".join(["w"] * int(rng.randint(1, 40))))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in
+           sampling.shard_by_token_budget(df, 100, n_partitions=7).collect()}
+    assert len(got) == 500
+    nt = {i: len(t.split()) for i, t in rows}
+    before = 0
+    for i in sorted(nt):
+        assert got[i] == (nt[i], before // 100), i
+        before += nt[i]
+
+
+def test_shard_by_token_budget_partition_invariant(spark):
+    from information_retrieval_spark import sampling
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 23 + 1).alias("ntok"))
+    base = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in
+            sampling.shard_by_token_budget(df, 50, tokens_col="ntok",
+                                           n_partitions=1).collect()}
+    # same result whatever the input layout or kernel partition count
+    for n_parts, shuffled in [(13, True), (4, False)]:
+        d = df.repartition(11) if shuffled else df
+        other = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in
+                 sampling.shard_by_token_budget(
+                     d, 50, tokens_col="ntok",
+                     n_partitions=n_parts).collect()}
+        assert other == base
+    # python oracle + shard contiguity in id order
+    before, prev_shard = 0, 0
+    for i in range(300):
+        ntok = (i * 37) % 23 + 1
+        shard = before // 50
+        assert base[i] == (ntok, shard)
+        assert shard >= prev_shard
+        before, prev_shard = before + ntok, shard
+
+
+def test_shard_by_token_budget_validates_budget(spark):
+    from information_retrieval_spark import sampling
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.lit("a b"))
+    with pytest.raises(ValueError):
+        sampling.shard_by_token_budget(df, 0)

@@ -166,3 +166,32 @@ def test_phrase_scan_pushdown_and_single_decode(synth_engine):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     # the decoded relation is cached: steps re-read the InMemoryRelation
     assert "InMemoryRelation" in opt or opt.count("MapInArrow") == 1, opt
+
+
+def test_shard_plan_range_partition_no_global_sort_no_window(spark):
+    # the two-phase prefix sum must not degenerate into a global Sort or
+    # a single-reducer Window; offsets join by broadcast
+    from information_retrieval_spark import sampling
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("ntok"))
+    out = sampling.shard_by_token_budget(df, 25, tokens_col="ntok",
+                                         n_partitions=5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
+    # the numbered relation is pinned by a localCheckpoint, so the final
+    # plan reads an ExistingRDD (the range exchange lives upstream of
+    # the checkpoint); the ONLY exchange left is the offsets broadcast
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+def test_bm25_filtered_mask_path_adds_no_exchange(synth_engine):
+    # the kernel-mask path must keep bm25's single bucket exchange —
+    # filtering adds zero shuffles
+    base = synth_engine.bm25("sym0 sym1 sym2", k=10, wand=False)
+    filt = synth_engine.bm25_filtered("sym0 sym1 sym2",
+                                      F.col("lang") == "py", k=10)
+    n_ex = lambda df: _plan(df).count("Exchange")  # noqa: E731
+    assert n_ex(filt) == n_ex(base), (_plan(filt), _plan(base))
