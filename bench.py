@@ -82,11 +82,44 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def _host_calibration() -> dict:
+    """Fixed single-thread microprobes, measured BEFORE Spark starts.
+
+    This sandbox host shows session-scale external interference (up to
+    ~2x wall-clock on identical binaries — BENCH/BASELINE.md protocol
+    notes). These two numbers — a pure-CPU sha256 over 256 MB and a
+    memory-bandwidth array traversal — let a reader normalize bench
+    medians across rounds measured under different host conditions
+    instead of misreading interference as an engine regression."""
+    import hashlib
+
+    import numpy as np
+
+    blk = b"\x5a" * (8 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(32):  # 256 MB
+        h.update(blk)
+    cpu = time.perf_counter() - t0
+    a = np.arange(1 << 26, dtype=np.int64)  # 512 MB
+    s, reps = 0, []
+    for _ in range(5):  # median of 5: the interference is bursty
+        t0 = time.perf_counter()
+        s += int((a + 1).sum())  # ~1 GB read + 0.5 GB write per rep
+        reps.append(time.perf_counter() - t0)
+    mem = sorted(reps)[2]
+    assert s != 0 and h.digest() is not None  # keep the work observable
+    return {"sha256_256mb_sec": round(cpu, 3),
+            "membw_1gb_sec": round(mem, 3),
+            "membw_1gb_all": [round(r, 3) for r in sorted(reps)]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     _maybe_pin(int(cpus))
+    host_calib = _host_calibration()
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark(app_name="irs-bench", master=f"local[{cpus}]",
@@ -247,6 +280,7 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec_build": round(n_docs / results["index_build"], 1),
         "cpus": int(cpus),
+        "host_calib": host_calib,
     }
     print(json.dumps(out))
     spark.stop()
