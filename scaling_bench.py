@@ -91,7 +91,17 @@ REPEATS = int(os.environ.get("IRS_SCALE_REPEATS", "3"))
 
 
 def run_single(cores: int) -> dict | None:
-    """One taskset-pinned subprocess run of a level; None on failure."""
+    """One taskset-pinned subprocess run of a level; None on failure.
+
+    Each run is preceded by bench._host_calibration() (single-thread
+    CPU + memory-bandwidth microprobes): the host's interference is
+    bursty memory-bus stalls, so recording the bus state NEXT TO each
+    leg lets a reader see when the two legs of a paired repeat ran
+    under different conditions (the one failure mode the paired
+    protocol cannot cancel)."""
+    from bench import _host_calibration
+
+    calib = _host_calibration()
     cpu_list = f"0-{cores - 1}"
     env = dict(os.environ)
     env["IRS_SCALE_DOCS"] = str(N_DOCS)
@@ -102,7 +112,9 @@ def run_single(cores: int) -> dict | None:
     if out.returncode != 0:
         sys.stderr.write(f"level {cores} run failed:\n" + out.stderr[-3000:] + "\n")
         return None
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["calib"] = calib
+    return r
 
 
 def run_level(cores: int) -> dict:
@@ -158,7 +170,9 @@ def paired_main() -> None:
                 time.sleep(5)
                 continue
             reps.append({"lo_sec": lo["build_sec"], "hi_sec": hi["build_sec"],
-                         "ratio": round(lo["build_sec"] / hi["build_sec"], 3)})
+                         "ratio": round(lo["build_sec"] / hi["build_sec"], 3),
+                         "lo_calib": lo.get("calib"),
+                         "hi_calib": hi.get("calib")})
             time.sleep(3)
         ratios = sorted(r["ratio"] for r in reps)
         med = ratios[len(ratios) // 2]
