@@ -502,6 +502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.quality_scores(_documents(spark, sf))
     q["text_quality_scores"] = text_quality_scores
 
+    def text_repetition(spark, sf):
+        # Gopher-style within-doc repetition quality filters: duplicate
+        # non-blank-line fraction + duplicate kept-term 3-gram fraction
+        return textstats.repetition_scores(_documents(spark, sf))
+    q["text_repetition"] = text_repetition
+
     def text_fingerprints(spark, sf):
         return textstats.doc_fingerprints(_documents(spark, sf), n=5)
     q["text_fingerprints"] = text_fingerprints
@@ -1055,6 +1061,28 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * least(1.0, 5.0 * (len(list_filter(t, x -> x IN ('{stop}')))
                                                / greatest(len(t), 1))), 6) AS quality
         FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    """
+
+    o["text_repetition"] = f"""
+        WITH {_TOKS},
+        ln AS (
+            SELECT d.doc_id AS id,
+                   list_filter(string_split(d.text, chr(10)),
+                               x -> trim(x) != '') AS ls,
+                   t
+            FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+        )
+        SELECT id,
+               round(CASE WHEN len(ls) > 0
+                          THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                          ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN len(t) - 2 > 0
+                          THEN 1.0 - len(list_distinct(list_transform(
+                                   range(len(t) - 2),
+                                   i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))))::DOUBLE
+                               / (len(t) - 2)
+                          ELSE 0.0 END, 6) AS dup_ngram_frac
+        FROM ln
     """
 
     o["text_fingerprints"] = f"""

@@ -81,6 +81,42 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     return toks.select(F.col(id_col).alias("id"), F.round(q, 6).alias("quality"))
 
 
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, dup_line_frac, dup_ngram_frac): within-document repetition —
+    the Gopher-style quality filters (Rae et al. 2021 §A1.1) that catch
+    boilerplate/spam a stopword-ratio score misses:
+
+    - dup_line_frac:  1 - distinct/total over non-blank lines;
+    - dup_ngram_frac: 1 - distinct/total over kept-term `n`-grams
+      (docs with < n kept terms have no n-grams -> 0.0).
+
+    Both rounded to 6 dp (cross-engine grain). Pure SQL builtins over
+    one tokenize pass — at 100 TB this is a map-only scan, no shuffle.
+    """
+    toks = _toks(df, text_col)
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    dup_lines = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines).otherwise(0.0)
+    # greatest(...,0): keeps the sequence bounds non-negative for docs
+    # with < n terms (the guarding WHEN makes the value unused there,
+    # but a negative bound would make sequence() descend)
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(__toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))")
+    n_grams = F.size("__toks") - F.lit(n - 1)
+    dup_grams = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)) / n_grams).otherwise(0.0)
+    return toks.select(
+        F.col(id_col).alias("id"),
+        F.round(dup_lines, 6).alias("dup_line_frac"),
+        F.round(dup_grams, 6).alias("dup_ngram_frac"))
+
+
 def unigram_logprob_scores(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """(id, mean_logprob, n_terms): corpus-relative quality signal —

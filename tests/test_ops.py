@@ -1059,3 +1059,31 @@ def test_shard_by_token_budget_validates_budget(spark):
         .withColumn("text", F.lit("a b"))
     with pytest.raises(ValueError):
         sampling.shard_by_token_budget(df, 0)
+
+
+def test_repetition_scores_oracle(spark):
+    docs = [
+        (0, "a b c\na b c\nx y z"),               # 1 dup line of 3
+        (1, "alpha beta gamma delta"),            # no repetition
+        (2, "w w w w w w"),                       # all 3-grams identical
+        (3, "  \n\none two\n\t\n"),               # blank-ish lines dropped
+        (4, "one two"),                           # < 3 terms -> no 3-grams
+        (5, ""),                                  # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["dup_line_frac"], r["dup_ngram_frac"]) for r in
+           textstats.repetition_scores(df).collect()}
+
+    def oracle(text):
+        lines = [ln for ln in text.split("\n") if ln.strip(" ")]
+        dl = 0.0 if not lines else round(1 - len(set(lines)) / len(lines), 6)
+        toks = tokenize(text)
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        dg = 0.0 if not grams else round(1 - len(set(grams)) / len(grams), 6)
+        return dl, dg
+
+    for i, text in docs:
+        assert got[i] == oracle(text), (i, got[i], oracle(text))
+    assert got[0][0] == round(1 - 2 / 3, 6)
+    assert got[2][1] == round(1 - 1 / 4, 6)
+    assert got[4] == (0.0, 0.0) and got[5] == (0.0, 0.0)
