@@ -90,15 +90,66 @@ def run_level_inprocess(cores: int) -> dict:
 REPEATS = int(os.environ.get("IRS_SCALE_REPEATS", "3"))
 
 
+class _BusMonitor:
+    """Samples the shared memory bus DURING a leg: a parent-side thread
+    (unpinned, so it never competes for the leg's taskset cores) runs a
+    256-MB array traversal every ~10 s while the subprocess builds. A
+    pre-leg probe samples ~1 s of a 40-400 s leg and provably cannot
+    certify it (session L, BENCH/BASELINE.md); the during-leg series
+    records the actual conditions the leg saw: median/p90 traversal
+    time + the count of >=2x stalls. The numbers conflate the leg's OWN
+    bus load with external interference, so they compare leg-to-leg at
+    the SAME level, not to the unloaded pre-leg calibration. The probe
+    is sized so its duty cycle stays in the low percent (a ~0.4 GB
+    touch per 10 s, vs the build moving GB/s) — the monitor must not
+    become the interference it measures."""
+
+    def __init__(self, interval: float = 10.0):
+        import threading
+        self._stop = threading.Event()
+        self.samples: list = []
+        self._interval = interval
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        import numpy as np
+        a = np.arange(1 << 25, dtype=np.int64)  # 256 MB, > any L3
+        s = 0
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            s += int((a + 1).sum())  # ~256 MB read + 128 MB write
+            self.samples.append(round(time.perf_counter() - t0, 3))
+            self._stop.wait(self._interval)
+        assert s != 0 or not self.samples
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {"n": 0}
+        ss = sorted(self.samples)
+        med = ss[len(ss) // 2]
+        return {"n": len(ss), "med": med,
+                "p90": ss[min(len(ss) - 1, int(0.9 * len(ss)))],
+                "max": ss[-1],
+                "stalls": sum(1 for x in ss if x >= 2 * med)}
+
+
 def run_single(cores: int) -> dict | None:
     """One taskset-pinned subprocess run of a level; None on failure.
 
-    Each run is preceded by bench._host_calibration() (single-thread
-    CPU + memory-bandwidth microprobes): the host's interference is
-    bursty memory-bus stalls, so recording the bus state NEXT TO each
-    leg lets a reader see when the two legs of a paired repeat ran
-    under different conditions (the one failure mode the paired
-    protocol cannot cancel)."""
+    Each run records the host bus state twice: bench._host_calibration()
+    immediately BEFORE the leg (single-thread CPU + membw microprobes)
+    and a _BusMonitor series sampled DURING it. The host's interference
+    is bursty memory-bus stalls; the during-leg summary shows when the
+    two legs of a paired repeat ran under different conditions (the one
+    failure mode the paired ratio cannot cancel)."""
     from bench import _host_calibration
 
     calib = _host_calibration()
@@ -106,14 +157,17 @@ def run_single(cores: int) -> dict | None:
     env = dict(os.environ)
     env["IRS_SCALE_DOCS"] = str(N_DOCS)
     env["IRS_SCALE_TOKENS"] = str(AVG_TOKENS)
-    out = subprocess.run(
-        ["taskset", "-c", cpu_list, sys.executable, __file__, "--level", str(cores)],
-        capture_output=True, text=True, env=env)
+    with _BusMonitor() as mon:
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable, __file__,
+             "--level", str(cores)],
+            capture_output=True, text=True, env=env)
     if out.returncode != 0:
         sys.stderr.write(f"level {cores} run failed:\n" + out.stderr[-3000:] + "\n")
         return None
     r = json.loads(out.stdout.strip().splitlines()[-1])
     r["calib"] = calib
+    r["bus_during"] = mon.summary()
     return r
 
 
@@ -172,7 +226,9 @@ def paired_main() -> None:
             reps.append({"lo_sec": lo["build_sec"], "hi_sec": hi["build_sec"],
                          "ratio": round(lo["build_sec"] / hi["build_sec"], 3),
                          "lo_calib": lo.get("calib"),
-                         "hi_calib": hi.get("calib")})
+                         "hi_calib": hi.get("calib"),
+                         "lo_bus": lo.get("bus_during"),
+                         "hi_bus": hi.get("bus_during")})
             time.sleep(3)
         ratios = sorted(r["ratio"] for r in reps)
         med = ratios[len(ratios) // 2]
