@@ -678,6 +678,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_filtered"] = bm25_filtered
 
+    def delete_requery(spark, sf):
+        # streaming deletes (tombstones): docs deleted from a LIVE index
+        # leave every page immediately — BM25 excludes them inside the
+        # scoring kernel BEFORE the top-k cut (a post-hoc re-filter of
+        # the unfiltered page would under-fill), while N/avgdl/df stay
+        # as-built until compact() (Lucene-style visibility). The gate
+        # queries the PRE-compact state: the oracle scores with
+        # full-corpus statistics and drops deleted docs before LIMIT.
+        from information_retrieval_spark.streaming import IncrementalIndexer
+        tag = os.path.abspath(sf).strip("/").replace("/", "_")
+        del_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"irs_index_del_v{INDEX_FORMAT_VERSION}_{tag}")
+        docs = load_testdata_documents(spark, sf)
+        idx = IndexBuilder(spark, del_dir, IndexConfig()).build(docs,
+                                                               resume=True)
+        inc = IncrementalIndexer(spark, del_dir, IndexConfig())
+        doomed = (idx.table("doc_map")
+                  .filter(F.col("path").cast("long") % 7 == 3)
+                  .select("docID"))
+        inc.delete_batch(doc_ids=doomed, batch_id=1)  # replay: no-op
+        qe = QueryEngine(inc.index())
+        top = qe.bm25("spark join window", k=10, wand=True)
+        dm = qe.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["delete_requery"] = delete_requery
+
     def shard_tokens(spark, sf):
         # token-budget sharding: contiguous ~4096-ws-token shards via a
         # two-phase distributed prefix sum (no global sort, no
@@ -819,6 +848,18 @@ def oracle_sql() -> dict[str, str]:
         {_bm25_ctes()}
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # streaming deletes pre-compact: scores use AS-BUILT full-corpus
+    # statistics (st/dfreq over ALL docs — Lucene visibility), deleted
+    # docs (doc_id % 7 == 3, the gate's doomed set) drop BEFORE the
+    # top-k cut so they can never shadow a live doc out of the page
+    o["delete_requery"] = f"""
+        WITH {_TOKS},
+        {_bm25_ctes()}
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores WHERE doc_id % 7 != 3
+        ORDER BY s DESC, doc_id LIMIT 10
     """
 
     # batched BM25: each query's exact top-10 recomputed independently

@@ -655,10 +655,20 @@ def _make_block_encoder(cfg: "IndexConfig", avgdl: float):
     return kernel
 
 
-def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
+def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float,
+                           drop_ids=None):
     """Arrow kernel factory: fragment rows (FRAGMENTS_SCHEMA — or
     POSTINGS_SCHEMA block rows, a superset) sorted by (term, bucket)
     within the partition -> full varbyte posting-block rows.
+
+    `drop_ids` (optional SORTED np.int64 array): postings of these
+    docIDs are dropped during the merge — the physical-delete half of
+    tombstone compaction (streaming.IncrementalIndexer.compact). The
+    filter runs on the flat decoded posting stream before grouping, so
+    block cutting, gap re-encoding and per-block metadata all see only
+    surviving postings; position payloads are dropped by byte range
+    (per-posting bounds are already known from the varbyte terminator
+    bits, so positions still never decode).
 
     The fused decode+merge+encode half of the packed build shuffle: the
     exchange and the partition sort handle only fragment rows (one per
@@ -702,7 +712,15 @@ def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
         record batch. terms/buckets/sizes are per-GROUP (object / int64 /
         int64); d/t/l/row_len are per-POSTING in group-contiguous order
         (docIDs NOT yet merged within a group), blob the matching flat
-        position-byte stream."""
+        position-byte stream. Returns None when no group has postings
+        (possible only under drop_ids)."""
+        nz = sizes > 0
+        if not nz.all():
+            # a fully-dropped group emits no blocks (and must not feed
+            # zero-length segments into the block math below)
+            terms, buckets, sizes = terms[nz], buckets[nz], sizes[nz]
+            if len(sizes) == 0:
+                return None
         n = len(d)
         gid = np.repeat(np.arange(len(sizes)), sizes)
         order = np.lexsort((d, gid))
@@ -785,6 +803,22 @@ def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
                 blob = empty8
                 row_len = np.zeros(len(t), dtype=np.int64)
 
+            if drop_ids is not None and len(drop_ids) and len(d):
+                p = np.searchsorted(drop_ids, d)
+                p[p == len(drop_ids)] = 0
+                keep = drop_ids[p] != d
+                if not keep.all():
+                    if len(blob):
+                        blob = blob[np.repeat(keep, row_len)]
+                    row_len = row_len[keep]
+                    # per-fragment-row posting counts shrink to the kept
+                    # postings (rows may drop to 0 — their group still
+                    # segments correctly, it just contributes nothing)
+                    row_of = np.repeat(np.arange(n_rows), nd)
+                    nd = np.bincount(row_of[keep],
+                                     minlength=n_rows).astype(np.int64)
+                    d, t, l = d[keep], t[keep], l[keep]
+
             term_enc = pc.dictionary_encode(col["term"])
             t_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             t_uniq = np.asarray(term_enc.dictionary.to_pylist(), dtype=object)
@@ -811,11 +845,13 @@ def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
                     blob = np.concatenate([pend[5], blob])
                     row_len = np.concatenate([pend[6], row_len])
                 else:
-                    yield encode_groups(
+                    out = encode_groups(
                         np.array([pend[0]], dtype=object),
                         np.array([pend[1]], dtype=np.int64),
                         np.array([len(pend[2])], dtype=np.int64),
                         pend[2], pend[3], pend[4], pend[5], pend[6])
+                    if out is not None:
+                        yield out
                 pend = None
             # hold back the last group — it may continue in the next batch
             cut = len(d) - sizes[-1]
@@ -823,15 +859,19 @@ def _make_fragment_encoder(cfg: "IndexConfig", avgdl: float):
             pend = (terms[-1], int(buckets[-1]), d[cut:], t[cut:], l[cut:],
                     blob[bcut:], row_len[cut:])
             if len(sizes) > 1:
-                yield encode_groups(terms[:-1], buckets[:-1], sizes[:-1],
+                out = encode_groups(terms[:-1], buckets[:-1], sizes[:-1],
                                     d[:cut], t[:cut], l[:cut],
                                     blob[:bcut], row_len[:cut])
+                if out is not None:
+                    yield out
         if pend is not None:
-            yield encode_groups(
+            out = encode_groups(
                 np.array([pend[0]], dtype=object),
                 np.array([pend[1]], dtype=np.int64),
                 np.array([len(pend[2])], dtype=np.int64),
                 pend[2], pend[3], pend[4], pend[5], pend[6])
+            if out is not None:
+                yield out
 
     return kernel
 

@@ -89,10 +89,14 @@ def _window_match_batch(a_list, b_list, k) -> np.ndarray:
     hit[ok] = a[idx[ok]] <= (b + krep)[ok]
     b_starts = np.zeros(n, dtype=np.int64)
     b_starts[1:] = np.cumsum(lb[:-1])
-    # empty segments: reduceat would read the NEXT segment's first value
-    # (or fall off the end for trailing empties) — clamp the index and
-    # mask the result instead
-    out = np.logical_or.reduceat(hit, np.minimum(b_starts, len(hit) - 1))
+    # empty segments: reduceat reads the NEXT segment's first value, and
+    # a trailing-empty start equals len(hit) which reduceat rejects. A
+    # False sentinel keeps every start index valid WITHOUT moving any
+    # real segment boundary (clamping the index instead would truncate
+    # the preceding row's segment — a bug hypothesis caught), and the
+    # lb==0 mask erases the leaked verdicts of mid-batch empties.
+    out = np.logical_or.reduceat(
+        np.concatenate([hit, np.zeros(1, dtype=bool)]), b_starts)
     out[lb == 0] = False
     return out
 
@@ -249,7 +253,7 @@ def _decode_scored_batch(rb, k1: float, b: float, avgdl: float) -> dict:
 
 def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
                            b: float, avgdl: float, docs_per_bucket: int,
-                           k: int):
+                           k: int, excluded=None):
     """mapInArrow kernel for BATCHED BM25: compressed posting blocks
     (repartitioned + sorted by docID bucket) -> per-(query, bucket) exact
     top-k rows (qcode, docID, score) — Q queries scored in ONE pass over
@@ -287,13 +291,22 @@ def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
                 if not len(idxs):
                     continue
                 s = acc[idxs]
-                if len(idxs) > k:
+                glob = idxs.astype(np.int64) + cur_bucket * docs_per_bucket
+                if excluded is not None and len(excluded):
+                    # tombstoned docs drop BEFORE the per-query cut
+                    # (same contract as the single-query kernel)
+                    p = np.searchsorted(excluded, glob)
+                    p[p == len(excluded)] = 0
+                    live = excluded[p] != glob
+                    glob, s = glob[live], s[live]
+                    if not len(glob):
+                        continue
+                if len(glob) > k:
                     thresh = np.partition(s, len(s) - k)[len(s) - k]
                     keep = s >= thresh  # keep ALL kth-score ties
-                    idxs, s = idxs[keep], s[keep]
-                out_q.append(np.full(len(idxs), qc, dtype=np.int32))
-                out_d.append(idxs.astype(np.int64)
-                             + cur_bucket * docs_per_bucket)
+                    glob, s = glob[keep], s[keep]
+                out_q.append(np.full(len(glob), qc, dtype=np.int32))
+                out_d.append(glob)
                 out_s.append(s.copy())
             cur_bucket = None
             bufs = {}
@@ -333,7 +346,8 @@ def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
 
 
 def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
-                      docs_per_bucket: int, k, allowed=None):
+                      docs_per_bucket: int, k, allowed=None,
+                      excluded=None):
     """mapInArrow kernel: compressed posting blocks (repartitioned by
     docID bucket, sorted by bucket) -> per-bucket exact BM25 top-k rows.
 
@@ -352,6 +366,11 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
     the unfiltered page. `k=None` disables the per-bucket cut entirely
     (the emit-all path a downstream join-filter needs when the allowed
     set is too large to ship to every task).
+
+    `excluded` is the mirror image for TOMBSTONED docIDs (sorted int64;
+    streaming deletes pending compaction): members are dropped before
+    the cut, so a deleted doc can never shadow a live doc out of the
+    page — filtering the unfiltered top-k after the fact would.
     """
     import pyarrow as pa
 
@@ -377,6 +396,11 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
                         p[p == len(allowed)] = 0
                         member = allowed[p] == glob
                     glob, sc = glob[member], sc[member]
+                if excluded is not None and len(excluded) and len(glob):
+                    p = np.searchsorted(excluded, glob)
+                    p[p == len(excluded)] = 0
+                    live = excluded[p] != glob
+                    glob, sc = glob[live], sc[live]
                 if k is not None and len(glob) > k:
                     thresh = np.partition(sc, len(sc) - k)[len(sc) - k]
                     keep = sc >= thresh  # keep ALL kth-score ties
@@ -445,8 +469,45 @@ class QueryEngine:
             # cache on the executors. Lazy — first query materializes.
             self._dictionary = self._dictionary.cache()
             self._doc_map = self._doc_map.cache()
+        # tombstones: docIDs deleted by streaming delete batches, pending
+        # physical removal at the next compaction (Lucene-style: dictionary
+        # stats/N/avgdl stay as-built until then — documented semantics).
+        # Small sets (the steady state between compactions) ship into the
+        # scoring kernels as a sorted array, exact BEFORE the top-k cut;
+        # set-returning queries anti-join. An over-cap set keeps the
+        # relational anti-join path only (bm25 then scores emit-all).
+        self._tombstones = None
+        self._tomb_arr = None
+        if index.store.exists("tombstones"):
+            t = index.table("tombstones").select("docID").distinct()
+            head = t.limit(self.TOMBSTONE_PUSHDOWN_DOCS + 1).collect()
+            if len(head) == 0:
+                pass  # cleared by compaction: no live deletes
+            elif len(head) <= self.TOMBSTONE_PUSHDOWN_DOCS:
+                self._tombstones = t
+                self._tomb_arr = np.sort(np.fromiter(
+                    (r[0] for r in head), dtype=np.int64, count=len(head)))
+            else:
+                self._tombstones = t
         self._cached: list = []  # per-query caches, released on the next query
         self._term_cache: dict = {}  # term -> dictionary row (None = absent)
+
+    # tombstone sets at or below this ship to the kernels as a sorted
+    # int64 array (same cap as the bm25_filtered pushdown); larger sets
+    # stay relational
+    TOMBSTONE_PUSHDOWN_DOCS = 1 << 21
+
+    def _live(self, docs: DataFrame) -> DataFrame:
+        """Drop tombstoned docIDs from a docID-keyed relation — the
+        set-returning queries' delete filter (exact: they return full
+        result sets, so a post-hoc anti-join loses nothing). No-op on an
+        index with no pending deletes."""
+        if self._tombstones is None:
+            return docs
+        t = self._tombstones
+        if self._tomb_arr is not None:  # known-small: broadcast outright
+            t = F.broadcast(t)
+        return docs.join(t, "docID", "left_anti")
 
     def _cache(self, df: DataFrame) -> DataFrame:
         for old in self._cached:
@@ -593,7 +654,7 @@ class QueryEngine:
                 parts.append(clause)
             if not parts:
                 return decoded.select("docID").filter(F.lit(False))
-            return reduce(DataFrame.union, parts).distinct()
+            return self._live(reduce(DataFrame.union, parts).distinct())
         finally:
             pass  # cache released with the session; small per-query footprint
 
@@ -655,10 +716,11 @@ class QueryEngine:
                     ignorenulls=True).alias(f"p{i}")
             for i, t in enumerate(terms)]
         pivoted = decoded.groupBy("docID").agg(*slot_aggs)
-        return (pivoted
-                .filter(any_pair_match(F.array(*[F.col(f"p{i}")
-                                                 for i in range(n_slots)])))
-                .select("docID"))
+        return self._live(
+            pivoted
+            .filter(any_pair_match(F.array(*[F.col(f"p{i}")
+                                             for i in range(n_slots)])))
+            .select("docID"))
 
     # ------------------------------------------------------------------
     # phrase (exact ordered adjacency — north-star addition; the
@@ -737,10 +799,11 @@ class QueryEngine:
         pivoted = decoded.groupBy("docID").agg(*slot_aggs)
         alive = reduce(lambda d, i: d.filter(F.col(f"p{i}").isNotNull()),
                        range(n_slots), pivoted)
-        return (alive
-                .filter(chain_ok(F.array(*[F.col(f"p{i}")
-                                           for i in range(n_slots)])))
-                .select("docID"))
+        return self._live(
+            alive
+            .filter(chain_ok(F.array(*[F.col(f"p{i}")
+                                       for i in range(n_slots)])))
+            .select("docID"))
 
     # ------------------------------------------------------------------
     # joker (wildcard)
@@ -814,7 +877,8 @@ class QueryEngine:
             token_doc_sets.append(docs)
         if not token_doc_sets:
             return empty
-        return reduce(lambda a, b: a.join(b, "docID"), token_doc_sets)
+        return self._live(
+            reduce(lambda a, b: a.join(b, "docID"), token_doc_sets))
 
     # ------------------------------------------------------------------
     # BM25 top-k
@@ -833,10 +897,14 @@ class QueryEngine:
         repartition carries no explicit partition count so AQE coalesces
         the (tiny) block exchange."""
         st = self.stats
+        # pending streaming deletes ride every scoring pass (incl. the
+        # WAND θ0 seed — a threshold seeded from a deleted doc's score
+        # could over-prune live docs)
         kernel = _make_bm25_kernel(idf_map, float(st["k1"]), float(st["b"]),
                                    float(st["avgdl"]) or 1.0,
                                    int(st["docs_per_bucket"]), k,
-                                   allowed=allowed)
+                                   allowed=allowed,
+                                   excluded=self._tomb_arr)
         # EXPLICIT partition count: the compressed-block exchange is tiny
         # in bytes but CPU-heavy per row, so AQE's size-based coalescing
         # would collapse it onto one core. One bucket = one docID range =
@@ -869,13 +937,23 @@ class QueryEngine:
         total_blocks = sum(int(stats[t]["n_blocks"]) for t in terms)
         n_buckets = max(1, -(-int(self.stats["n_docs"])
                              // int(self.stats["docs_per_bucket"])))
-        if wand and total_blocks >= wand_gate_blocks \
-                and (n_buckets >= self.WAND_MIN_BUCKETS or wand_gate_blocks <= 0):
-            candidates = self._wand_candidate_blocks(terms, idf_map, k, stats)
+        if self._tombstones is not None and self._tomb_arr is None:
+            # over-cap delete set: the kernel can't ship it, so score
+            # emit-all, anti-join, THEN cut — exact, and WAND stays off
+            # (its θ0 seed would be scored without the exclusion)
+            scores = (self._live(
+                self._score_blocks(self.blocks_for(terms), idf_map, None))
+                .orderBy(F.desc("score"), F.asc("docID")).limit(k))
         else:
-            candidates = self.blocks_for(terms)
-        scores = (self._score_blocks(candidates, idf_map, k)
-                  .orderBy(F.desc("score"), F.asc("docID")).limit(k))
+            if wand and total_blocks >= wand_gate_blocks \
+                    and (n_buckets >= self.WAND_MIN_BUCKETS
+                         or wand_gate_blocks <= 0):
+                candidates = self._wand_candidate_blocks(terms, idf_map, k,
+                                                         stats)
+            else:
+                candidates = self.blocks_for(terms)
+            scores = (self._score_blocks(candidates, idf_map, k)
+                      .orderBy(F.desc("score"), F.asc("docID")).limit(k))
         name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)
@@ -913,7 +991,11 @@ class QueryEngine:
         if not terms:
             return self._empty_scores()
         idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
-        allowed_df = self._doc_map.filter(doc_filter).select("docID")
+        # pending deletes leave the allowed set before it is shipped or
+        # joined (covers both paths; the kernel's excluded array would
+        # cover only the pushdown one)
+        allowed_df = self._live(self._doc_map.filter(doc_filter)
+                                .select("docID"))
         cap = self.FILTER_PUSHDOWN_DOCS
         head = allowed_df.limit(cap + 1).collect()
         blocks = self.blocks_for(terms)
@@ -955,6 +1037,16 @@ class QueryEngine:
         dominant cost) — a latency-critical single query should use
         bm25(), which prunes."""
         items = sorted(dict(queries).items())
+        if self._tombstones is not None and self._tomb_arr is None:
+            # over-cap delete set: the batched kernel cuts per-bucket
+            # top-k and cannot ship the exclusion, so a deleted doc
+            # could hide a live one from the page — fall back to
+            # per-query bm25(), whose emit-all + anti-join path is exact
+            parts = [self.bm25(qs, k=k).withColumn("qid", F.lit(qid))
+                     for qid, qs in items]
+            return (reduce(DataFrame.union, parts)
+                    .select("qid", "docID", "score", "name")
+                    .orderBy("qid", F.desc("score"), F.asc("docID")))
         per_q: dict = {}
         all_terms: set = set()
         for qid, qs in items:
@@ -984,7 +1076,8 @@ class QueryEngine:
         st = self.stats
         kernel = _make_bm25_many_kernel(
             term_qinfo, len(live), float(st["k1"]), float(st["b"]),
-            float(st["avgdl"]) or 1.0, int(st["docs_per_bucket"]), k)
+            float(st["avgdl"]) or 1.0, int(st["docs_per_bucket"]), k,
+            excluded=self._tomb_arr)
         blocks = self.blocks_for(sorted(term_qinfo))
         n_buckets = max(1, -(-int(st["n_docs"]) // int(st["docs_per_bucket"])))
         n = max(1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")),

@@ -103,10 +103,18 @@ class IncrementalIndexer:
 
     # -- one micro-batch -------------------------------------------------
     def append_batch(self, batch_df: DataFrame, batch_id: int = 0,
+                     supersede: bool = False,
                      _fail_after: str | None = None) -> None:
         """Apply one micro-batch. `_fail_after` is a TEST-ONLY crash
         injection point ('links' | 'merges' | 'stats') used to prove
-        retry convergence after partial failures."""
+        retry convergence after partial failures.
+
+        `supersede=True` makes the batch an UPSERT on (repo, path): any
+        live doc whose key re-arrives (the same file at a new commit) is
+        tombstoned in the same batch commit, so queries see exactly one
+        version — the newest. The old version's postings are physically
+        removed at the next compact(). Batch ids are one shared
+        namespace across append_batch and delete_batch."""
         if os.path.exists(self._marker(batch_id)):
             return  # replayed batch (foreachBatch retry): NO-OP
 
@@ -167,6 +175,20 @@ class IncrementalIndexer:
          .select("docID", "sha256")
          .write.mode("overwrite").parquet(self._stage_dir(batch_id, "doc_sha")))
 
+        if supersede and self.store.exists("doc_map"):
+            # keys re-ingested by this batch tombstone their LIVE docID.
+            # The docID < n_before guard makes retries safe: a crashed
+            # attempt may already have linked this batch's own doc_map
+            # files, and its fresh docIDs (all >= n_before by the
+            # prefix-sum assignment) must not self-tombstone.
+            (self.store.read("doc_map")
+             .filter(F.col("docID") < F.lit(n_before))
+             .join(batch.select("repo", "path").distinct(), ["repo", "path"])
+             .select("docID")
+             .write.mode("overwrite")
+             .parquet(self._stage_dir(batch_id, "tombstones")))
+            self._ensure_live_dir("tombstones")
+
         docs_with_id = batch.join(doc_map_delta.select("docID", "repo", "path"),
                                   ["repo", "path"])
         partials = docs_with_id.select("docID", "content").mapInArrow(
@@ -222,7 +244,10 @@ class IncrementalIndexer:
 
         # -- stage 2: link ALL deltas into the live tables (append-only,
         # deterministic names -> retries converge) ------------------------
-        for table in ("doc_map", "doc_sha", "postings", "doc_len"):
+        data_tables = ["doc_map", "doc_sha", "postings", "doc_len"]
+        if os.path.isdir(self._stage_dir(batch_id, "tombstones")):
+            data_tables.append("tombstones")
+        for table in data_tables:
             self._append_files(self._stage_dir(batch_id, table), table, batch_id)
         crash_point("links")
         for table in ("dictionary", "dictionary_r", "bucket_max"):
@@ -249,9 +274,75 @@ class IncrementalIndexer:
         os.rename(tmp, self._marker(batch_id))
         shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
 
+    def _ensure_live_dir(self, table: str) -> None:
+        """First-touch init for a table born from segment appends
+        (tombstones): write a schema'd EMPTY base so the directory is
+        always readable — a bare `_SUCCESS` dir would fail schema
+        inference if a crash landed between init and the first link.
+        No-op once the table exists (overwriting later would delete
+        linked segments)."""
+        if not self.store.exists(table):
+            empty = self.spark.createDataFrame([], "docID long")
+            self.store.write(empty, table)
+
+    # -- deletes -----------------------------------------------------------
+    def delete_batch(self, keys_df: DataFrame | None = None,
+                     batch_id: int = 0,
+                     doc_ids: DataFrame | None = None,
+                     _fail_after: str | None = None) -> None:
+        """Delete documents from the live index: one tombstone segment
+        (docID) appended under the same idempotent-batch contract as
+        append_batch (deterministic file names, marker LAST — a replay
+        or crash-retry converges). Batch ids share append_batch's
+        namespace.
+
+        `keys_df`: (repo, path) rows — resolved to docIDs by a
+        METADATA-ONLY doc_map scan (content is never read; at 10^12
+        docs this is the only table a delete touches). `doc_ids`:
+        a (docID) relation, for callers that already resolved ids.
+
+        Semantics (Lucene-style, documented in QueryEngine): queries
+        exclude tombstoned docs immediately — set-returning queries by
+        anti-join, BM25 inside the scoring kernel BEFORE the top-k cut
+        — while dictionary stats / N / avgdl stay as-built until the
+        next compact(), which removes the postings physically and
+        recomputes stats from the surviving corpus. Deleting a key that
+        was never indexed (or twice) is a no-op; re-appending a deleted
+        key later creates a fresh docID (see append_batch supersede)."""
+        if os.path.exists(self._marker(batch_id)):
+            return  # replayed batch: NO-OP
+        if doc_ids is not None:
+            tomb = doc_ids.select("docID")
+        elif keys_df is not None:
+            tomb = (self.store.read("doc_map")
+                    .join(keys_df.select("repo", "path").distinct(),
+                          ["repo", "path"])
+                    .select("docID"))
+        else:
+            raise ValueError("delete_batch needs keys_df= or doc_ids=")
+        os.makedirs(self._stage_dir(batch_id), exist_ok=True)
+        (tomb.distinct().write.mode("overwrite")
+         .parquet(self._stage_dir(batch_id, "tombstones")))
+        self._ensure_live_dir("tombstones")
+        self._append_files(self._stage_dir(batch_id, "tombstones"),
+                           "tombstones", batch_id)
+        if _fail_after == "links":
+            raise RuntimeError("injected crash after links")
+        tmp = self._marker(batch_id) + ".tmp"
+        open(tmp, "w").write("done")
+        os.rename(tmp, self._marker(batch_id))
+        shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
+
     # -- compaction --------------------------------------------------------
     SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "doc_sha",
-                        "dictionary", "dictionary_r", "bucket_max")
+                        "dictionary", "dictionary_r", "bucket_max",
+                        "tombstones")
+
+    # compact() ships the pending-delete set to every encode task as a
+    # sorted int64 array; this caps the driver/executor memory that
+    # costs (32M ids = 256 MB). Deletes between compactions are a small
+    # fraction of the corpus in any healthy schedule.
+    TOMBSTONE_COMPACT_MAX = 1 << 25
 
     def _uncommitted_batch_ids(self) -> set:
         """Batch ids with linked segment files but NO commit marker —
@@ -309,20 +400,89 @@ class IncrementalIndexer:
            query engine's bound inflation stays an OVERESTIMATE (safe);
            flipping stats first could under-inflate stale fragments.
 
+        Pending DELETES (tombstones from delete_batch / supersede) are
+        resolved here too: the sorted drop set rides the fragment
+        merge-encoder so tombstoned postings vanish during the same
+        merge (never a separate pass), doc_map/doc_len/doc_sha are
+        rewritten without them, dictionary/bucket_max re-derive (df/cf
+        shrink), stats recompute N/total_len/avgdl over the survivors,
+        and the tombstone table is cleared LAST — so every crash state
+        still excludes deleted docs (via the then-live tombstones) and
+        never under-inflates WAND bounds (enc_min is pre-lowered when
+        deletes shrink avgdl).
+
         A crash mid-sequence is healed by simply calling compact()
         again — every step is idempotent (decode->encode of already-
         full blocks is a no-op roundtrip), and the leftover mixed state
         still answers queries correctly in the meantime.
         """
         if not any(self.store.has_segments(t) for t in self.SEGMENTED_TABLES):
-            return
+            # no batch segments — but deletes folded by compact_minor
+            # live in seg* files the glob above does not see, and they
+            # still owe a physical removal
+            if not (self.store.exists("tombstones")
+                    and self.store.read("tombstones").limit(1).count()):
+                return
         self._require_all_committed()
         cfg = self.config
         stats = self.store.read("stats").collect()[0].asDict()
-        avgdl = float(stats["avgdl"]) or 1.0
         dpb = int(stats["docs_per_bucket"])
         n = cfg.n_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
+
+        # -- 0. pending deletes: resolve the drop set + the healed stats
+        # BEFORE any re-encode, so the rebuilt blocks (and their WAND
+        # bounds) are cut at the post-delete avgdl
+        import numpy as np
+        drop_ids, tomb_df = None, None
+        n_docs_new = int(stats["n_docs"])
+        total_len_new = int(stats["total_len"])
+        if self.store.exists("tombstones"):
+            tomb_df = self.store.read("tombstones").select("docID").distinct()
+            rows = tomb_df.limit(self.TOMBSTONE_COMPACT_MAX + 1).collect()
+            if len(rows) > self.TOMBSTONE_COMPACT_MAX:
+                raise RuntimeError(
+                    f"compact() refused: > {self.TOMBSTONE_COMPACT_MAX} "
+                    "pending tombstones (the drop set ships to every "
+                    "encode task as a sorted array). Compact more often, "
+                    "or raise TOMBSTONE_COMPACT_MAX if the executors "
+                    "have the memory.")
+            if rows:
+                drop_ids = np.sort(np.fromiter((r[0] for r in rows),
+                                               np.int64, count=len(rows)))
+                # surviving-corpus stats from the METADATA tables only
+                # (one semi count + one small agg; a tombstone for a
+                # docID that never existed contributes nothing)
+                n_del = (self.store.read("doc_map").select("docID")
+                         .join(F.broadcast(tomb_df), "docID", "semi").count())
+                len_del = (self.store.read("doc_len")
+                           .join(F.broadcast(tomb_df), "docID", "semi")
+                           .agg(F.sum("dl")).collect()[0][0]) or 0
+                n_docs_new -= int(n_del)
+                total_len_new -= int(len_del)
+            else:
+                tomb_df = None
+        avgdl_new = (float(total_len_new) / n_docs_new) if n_docs_new else 0.0
+        avgdl = avgdl_new or 1.0
+        enc_min_cur = float(stats.get("avgdl_enc_min")
+                            or (float(stats["avgdl"]) or 1.0))
+        if drop_ids is not None and 0.0 < avgdl < enc_min_cur:
+            # deletes SHRANK avgdl below the recorded encode floor: the
+            # blocks about to be re-encoded at the new, smaller avgdl
+            # carry smaller stored WAND bounds, and a crash before the
+            # final stats flip would leave queries inflating by the old
+            # (too-large) floor — an UNDER-estimate. Lowering only
+            # enc_min up front keeps every crash state over-inflated,
+            # i.e. safe (the mirror of the flip-stats-last rule below).
+            pre = self.spark.createDataFrame(
+                [(int(stats["n_docs"]), int(stats["total_len"]),
+                  float(stats["avgdl"]), cfg.k1, cfg.b,
+                  cfg.docs_per_block, dpb, avgdl)],
+                "n_docs long, total_len long, avgdl double, k1 double, "
+                "b double, docs_per_block int, docs_per_bucket long, "
+                "avgdl_enc_min double")
+            self.store.write(pre, "tmp_stats_new")
+            self._swap("stats", "tmp_stats_new")
 
         # -- 1. postings: block fragments -> full blocks (fused merge) --
         # The exchange moves BLOCK rows, not exploded posting rows: the
@@ -335,7 +495,8 @@ class IncrementalIndexer:
         enc = (frags
                .repartition(n, "term", "bucket")
                .sortWithinPartitions("term", "bucket")
-               .mapInArrow(_make_fragment_encoder(cfg, avgdl),
+               .mapInArrow(_make_fragment_encoder(cfg, avgdl,
+                                                  drop_ids=drop_ids),
                            schema=POSTINGS_SCHEMA))
         self.store.write(enc, "tmp_postings_new",
                          options={"parquet.block.size": str(8 << 20)})
@@ -376,20 +537,33 @@ class IncrementalIndexer:
         # -- 3. doc_map / doc_len / doc_sha: segments -> sorted bases ---
         for tbl, key in (("doc_map", "docID"), ("doc_len", "docID"),
                          ("doc_sha", "docID")):
-            base = (self.store.read(tbl)
-                    .repartitionByRange(n, key).sortWithinPartitions(key))
+            base = self.store.read(tbl)
+            if tomb_df is not None:
+                base = base.join(F.broadcast(tomb_df), "docID", "left_anti")
+            base = base.repartitionByRange(n, key).sortWithinPartitions(key)
             self.store.write(base, f"tmp_{tbl}_new")
             self._swap(tbl, f"tmp_{tbl}_new")
 
-        # -- 4. stats last: every block now encoded at the current avgdl
+        # -- 4. stats last: every block now encoded at the (post-delete)
+        # current avgdl, and N/total_len reflect the surviving corpus —
+        # BM25 semantics heal to exactly what a fresh build of the live
+        # docs would compute
         new_stats = self.spark.createDataFrame(
-            [(int(stats["n_docs"]), int(stats["total_len"]), avgdl,
+            [(n_docs_new, total_len_new, avgdl_new,
               cfg.k1, cfg.b, cfg.docs_per_block, dpb, avgdl)],
             "n_docs long, total_len long, avgdl double, k1 double, "
             "b double, docs_per_block int, docs_per_bucket long, "
             "avgdl_enc_min double")
         self.store.write(new_stats, "tmp_stats_new")
         self._swap("stats", "tmp_stats_new")
+
+        # -- 5. tombstones clear LAST: every earlier crash state keeps
+        # them applied (over the already-filtered tables the anti-join /
+        # kernel exclusion is a no-op — consistent either way)
+        if self.store.exists("tombstones"):
+            empty = self.spark.createDataFrame([], "docID long")
+            self.store.write(empty, "tmp_tombstones_new")
+            self._swap("tombstones", "tmp_tombstones_new")
 
     def _publish_with_merged_segments(self, table: str, merged_dir: str,
                                       seg_files: list, max_id: int) -> None:
@@ -440,7 +614,8 @@ class IncrementalIndexer:
         self._require_all_committed()
         stats = self.store.read("stats").collect()[0].asDict()
         avgdl = float(stats["avgdl"]) or 1.0
-        for table in ("postings", "doc_map", "doc_len", "doc_sha"):
+        for table in ("postings", "doc_map", "doc_len", "doc_sha",
+                      "tombstones"):
             live = self.store.path(table)
             seg_files = sorted(glob.glob(os.path.join(live,
                                                       "batch*_*.parquet")))
@@ -450,6 +625,10 @@ class IncrementalIndexer:
                          for f in seg_files)
             merged_tbl = f"tmp_{table}_minor"
             src_df = self.spark.read.parquet(*seg_files)
+            if table == "tombstones":
+                # fold per-batch delete segments into one sorted, deduped
+                # segment (physical removal stays compact()'s job)
+                src_df = src_df.select("docID").distinct()
             if table == "postings":
                 merged = (src_df
                           .select("term", "bucket", "n_docs", "doc_gaps",

@@ -187,3 +187,63 @@ def test_block_metadata_consistency():
         assert (np.diff(docs) > 0).all()
         tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / AVGDL))
         assert r["block_max_wand"] == pytest.approx(float(tfn.max()), abs=0)
+
+
+def _drop_from_fixture(frags, drop):
+    """The drop_ids oracle: remove dropped docs from the fragment input
+    itself (an empty fragment disappears — drop_ids instead keeps the
+    fragment row with zero postings; both must encode identically)."""
+    out = []
+    for term, bucket, docs, tfs, dls, pos in frags:
+        kept = [i for i, d in enumerate(docs) if d not in drop]
+        if kept:
+            out.append((term, bucket, [docs[i] for i in kept],
+                        [tfs[i] for i in kept], [dls[i] for i in kept],
+                        [pos[i] for i in kept]))
+    return out
+
+
+def test_drop_ids_matches_prefiltered_input():
+    rng = np.random.default_rng(13)
+    frags, rows = _postings_fixture(rng)
+    all_docs = sorted({d for _, _, docs, _, _, _ in frags for d in docs})
+    drop = set(all_docs[::3])  # every third doc, incl. block boundaries
+    drop_ids = np.asarray(sorted(drop), dtype=np.int64)
+    got = _blocks(_make_fragment_encoder(CFG, AVGDL, drop_ids=drop_ids)(
+        [_fragment_batch(frags)]))
+    want = _blocks(_make_fragment_encoder(CFG, AVGDL)(
+        [_fragment_batch(_drop_from_fixture(frags, drop))]))
+    assert got == want
+    assert len(got) > 0
+    from information_retrieval_spark.codec import vb_decode
+    surviving = {int(d) for r in got
+                 for d in np.cumsum(vb_decode(r["doc_gaps"]).astype(np.int64))}
+    assert surviving and surviving.isdisjoint(drop)
+
+
+def test_drop_ids_across_batch_splits():
+    rng = np.random.default_rng(17)
+    frags, _ = _postings_fixture(rng, n_terms=4, frag_parts=4)
+    all_docs = sorted({d for _, _, docs, _, _, _ in frags for d in docs})
+    drop = set(all_docs[1::2])
+    drop_ids = np.asarray(sorted(drop), dtype=np.int64)
+    want = _blocks(_make_fragment_encoder(CFG, AVGDL)(
+        [_fragment_batch(_drop_from_fixture(frags, drop))]))
+    for cut in range(1, len(frags)):
+        got = _blocks(_make_fragment_encoder(CFG, AVGDL, drop_ids=drop_ids)(
+            [_fragment_batch(frags[:cut]), _fragment_batch(frags[cut:])]))
+        assert got == want, f"split at fragment {cut} diverged"
+
+
+def test_drop_ids_whole_group_and_everything():
+    frags = [("ta", 0, [1, 2], [1, 1], [5, 5], [[0], [1]]),
+             ("tb", 0, [3], [2], [7], [[0, 4]])]
+    # drop all of ta: only tb's block survives
+    got = _blocks(_make_fragment_encoder(CFG, AVGDL,
+                                         drop_ids=np.array([1, 2]))(
+        [_fragment_batch(frags)]))
+    assert [r["term"] for r in got] == ["tb"]
+    # drop everything: no output at all
+    assert _blocks(_make_fragment_encoder(CFG, AVGDL,
+                                          drop_ids=np.array([1, 2, 3]))(
+        [_fragment_batch(frags)])) == []
