@@ -1201,58 +1201,27 @@ class IndexBuilder:
         separate doc_sha table, so THIS stage's scan is column-pruned to
         the four metadata strings and never reads content at all. The
         whole build reads the corpus exactly once (at 100 TB the old
-        shape's second content scan was 100 TB of avoidable reads). The
-        meta projection is checkpointed BEFORE range partitioning so the
-        range sampler's extra pass reads pinned narrow blocks.
+        shape's second content scan was 100 TB of avoidable reads).
+
+        THREE jobs total via with_global_ordinals (the same footer-count
+        two-phase rank the dictionary's term_ord uses): the range sampler
+        pass, the staged numbered write, and the final write. Partition
+        counts come from the staging table's parquet FOOTERS — metadata
+        only, no counting job — and the staged parquet pins the numbered
+        rows, so the offsets can never be applied to rows from a
+        different range-boundary draw (the round-4 shape pinned with two
+        eager localCheckpoints + a collect: two extra corpus-meta
+        materializations and two extra driver jobs, which at 8 saturated
+        cores was pure serial time — measured stage efficiency 0.52).
         """
         n = self._n_partitions()
-        # Materialized exactly once, BEFORE any range exchange: range
-        # partitioning samples with a per-RDD seed, so two separate ACTIONS
-        # over the same range-partitioned plan can land on DIFFERENT
-        # boundaries (and AQE may re-coalesce) — offsets computed in one
-        # action must never be applied to rows produced by another. The
-        # numbered rows are pinned by a second eager localCheckpoint;
-        # counts AND final ids both derive from that single materialization.
-        # (A multi-node deployment would use a reliable checkpoint dir to
-        # also survive executor loss.)
-        meta = (docs
-                .select("repo", "path", "commit", "lang")
-                .localCheckpoint(eager=True))
-        keys = (meta.repartitionByRange(n, "repo", "path")
-                .sortWithinPartitions("repo", "path"))
-
-        def number_local(batches):
-            import pyarrow as pa
-            from pyspark import TaskContext
-            pid = TaskContext.get().partitionId()
-            local = 0
-            for rb in batches:
-                idx = pa.array(np.arange(local, local + rb.num_rows, dtype=np.int64))
-                local += rb.num_rows
-                yield pa.RecordBatch.from_arrays(
-                    rb.columns
-                    + [pa.array(np.full(rb.num_rows, pid, dtype=np.int32)), idx],
-                    names=rb.schema.names + ["pid", "local_idx"])
-
-        numbered = keys.mapInArrow(
-            number_local,
-            schema=("repo string, path string, commit string, lang string, "
-                    "pid int, local_idx long")
-        ).localCheckpoint(eager=True)
-        meta.unpersist()
-        counts = {r["pid"]: r["cnt"] for r in
-                  numbered.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        offsets_df = self.spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long")
-        doc_map = (
-            numbered.join(F.broadcast(offsets_df), "pid")
-            .select((F.col("offset") + F.col("local_idx")).alias("docID"),
-                    "repo", "path", "commit", "lang")
-        )
+        meta = docs.select("repo", "path", "commit", "lang")
+        final = with_global_ordinals(self.spark, self.store, meta,
+                                     ["repo", "path"], "docID",
+                                     "tmp_doc_order", n)
+        acc = sum((pid_counts_from_footers(self.store, "tmp_doc_order")
+                   or {}).values())
+        doc_map = final.select("docID", "repo", "path", "commit", "lang")
         # permutation invariant rides the write as an Observation — no
         # separate validation job (round 1 ran a second doc_map scan)
         from pyspark.sql import Observation
@@ -1261,8 +1230,11 @@ class IndexBuilder:
             obs, F.count(F.lit(1)).alias("c"), F.max("docID").alias("m"),
             F.sum(F.col("docID").cast("decimal(38,0)")).alias("s"))
         self.store.write(doc_map, "doc_map")
-        numbered.unpersist()
-        self._validate_doc_ids(acc, obs.get)
+        agg = obs.get
+        self.store.drop("tmp_doc_order")
+        if not acc:  # footer stats unavailable: trust the observed count
+            acc = int(agg["c"])
+        self._validate_doc_ids(acc, agg)
         self._record_lineage("doc_map", "doc_map")
         self._n_docs = acc
 
@@ -1484,35 +1456,56 @@ class IndexBuilder:
         round-1 engine ran that agg per query — VERDICT.md #2). Metadata
         only: input is postings MINUS all binary columns, output is one
         row per (term, docID-bucket). Sorted by term so a query-term
-        filter prunes parquet row groups."""
+        filter prunes parquet row groups.
+
+        ONE postings scan feeds ALL term metadata: the per-(term, bucket)
+        rollup also carries df/cf partial sums into the term-sorted
+        `tmp_term_rollup` staging table, which the dictionary stage folds
+        by term (and then drops) — the old shape scanned + aggregated the
+        postings metadata a second time for df/cf and joined it back,
+        two avoidable jobs of pure serial overhead on a saturated host."""
         postings = self.store.read("postings").select(
-            "term", "bucket", "block_max_wand")
-        bm = (postings.groupBy("term", "bucket")
-              .agg(F.max("block_max_wand").alias("tmax"),
-                   F.count("*").alias("n_blocks")))
+            "term", "bucket", "block_max_wand", "n_docs", "cf")
+        rolled = (postings.groupBy("term", "bucket")
+                  .agg(F.max("block_max_wand").alias("tmax"),
+                       F.count("*").alias("n_blocks"),
+                       F.sum("n_docs").alias("df"),
+                       F.sum("cf").alias("cf")))
         n = self._n_partitions()
-        bm = bm.repartitionByRange(n, "term").sortWithinPartitions("term", "bucket")
+        rolled = (rolled.repartitionByRange(n, "term")
+                  .sortWithinPartitions("term", "bucket"))
+        self.store.write(rolled, "tmp_term_rollup")
+        # public projection: a shuffle-free narrow rewrite of the staged
+        # rollup (file order — term-sorted — is preserved)
+        bm = (self.store.read("tmp_term_rollup")
+              .select("term", "bucket", "tmax", "n_blocks"))
         self.store.write(bm, "bucket_max")
         self._record_lineage("bucket_max", "bucket_max")
 
     # -- stage 5: dictionary -------------------------------------------
     def _build_dictionary(self) -> None:
-        """Term stats rollup from bucket_max (NOT the postings table:
-        bucket_max is ~blocks/512 rows and carries everything the
-        dictionary needs except cf/df, which ride along from a slim
-        postings projection)."""
-        postings = self.store.read("postings").select("term", "n_docs", "cf")
+        """Term stats fold over the bucket_max stage's term rollup — no
+        second postings scan, no join (df/cf partial sums rode the same
+        aggregate that produced the WAND maxima). The postings fallback
+        covers resume from an index whose rollup staging was already
+        dropped (older layout or a crash between the two stages)."""
+        if self.store.exists("tmp_term_rollup"):
+            src = self.store.read("tmp_term_rollup")
+        else:  # resume fallback: re-derive the rollup from postings
+            src = (self.store.read("postings")
+                   .select("term", "bucket", "block_max_wand", "n_docs", "cf")
+                   .groupBy("term", "bucket")
+                   .agg(F.max("block_max_wand").alias("tmax"),
+                        F.count("*").alias("n_blocks"),
+                        F.sum("n_docs").alias("df"),
+                        F.sum("cf").alias("cf")))
         dictionary = (
-            postings.groupBy("term")
-            .agg(F.sum("n_docs").alias("df"),
-                 F.sum("cf").alias("cf"))
-        )
-        bm = (self.store.read("bucket_max").groupBy("term")
-              .agg(F.sum("n_blocks").alias("n_blocks"),
-                   F.count("*").alias("n_buckets"),
-                   F.max("tmax").alias("max_block_wand")))
-        dictionary = (
-            dictionary.join(bm, "term")
+            src.groupBy("term")
+            .agg(F.sum("df").alias("df"),
+                 F.sum("cf").alias("cf"),
+                 F.sum("n_blocks").alias("n_blocks"),
+                 F.count("*").alias("n_buckets"),
+                 F.max("tmax").alias("max_block_wand"))
             .withColumn("rterm", F.reverse(F.col("term")))
             .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
                     "max_block_wand")
@@ -1526,6 +1519,7 @@ class IndexBuilder:
                                      self._n_partitions())
         self.store.write(final, "dictionary")
         self.store.drop("tmp_dict_order")
+        self.store.drop("tmp_term_rollup")
         self._record_lineage("dictionary", "dictionary")
 
     # -- stage 5b: reversed dictionary ------------------------------------

@@ -502,24 +502,30 @@ class IncrementalIndexer:
                          options={"parquet.block.size": str(8 << 20)})
         self._swap("postings", "tmp_postings_new")
 
-        # -- 2. metadata from the compacted postings --------------------
+        # -- 2. metadata from the compacted postings — ONE postings scan
+        # feeds both tables (the build-stage shape: df/cf partial sums
+        # ride the WAND rollup, the dictionary folds it, no join)
         post = self.store.read("postings")
-        bmax = (post.select("term", "bucket", "block_max_wand")
-                .groupBy("term", "bucket")
-                .agg(F.max("block_max_wand").alias("tmax"),
-                     F.count("*").alias("n_blocks"))
-                .repartitionByRange(n, "term")
-                .sortWithinPartitions("term", "bucket"))
-        self.store.write(bmax, "tmp_bucket_max_new")
+        rolled = (post.select("term", "bucket", "block_max_wand",
+                              "n_docs", "cf")
+                  .groupBy("term", "bucket")
+                  .agg(F.max("block_max_wand").alias("tmax"),
+                       F.count("*").alias("n_blocks"),
+                       F.sum("n_docs").cast("long").alias("df"),
+                       F.sum("cf").cast("long").alias("cf"))
+                  .repartitionByRange(n, "term")
+                  .sortWithinPartitions("term", "bucket"))
+        self.store.write(rolled, "tmp_term_rollup")
+        rolled = self.store.read("tmp_term_rollup")
+        self.store.write(rolled.select("term", "bucket", "tmax", "n_blocks"),
+                         "tmp_bucket_max_new")
         self._swap("bucket_max", "tmp_bucket_max_new")
-        d = (post.select("term", "n_docs", "cf").groupBy("term")
-             .agg(F.sum("n_docs").cast("long").alias("df"),
-                  F.sum("cf").cast("long").alias("cf")))
-        bm = (self.store.read("bucket_max").groupBy("term")
-              .agg(F.sum("n_blocks").alias("n_blocks"),
-                   F.count("*").alias("n_buckets"),
-                   F.max("tmax").alias("max_block_wand")))
-        merged = (d.join(bm, "term")
+        merged = (rolled.groupBy("term")
+                  .agg(F.sum("df").alias("df"),
+                       F.sum("cf").alias("cf"),
+                       F.sum("n_blocks").alias("n_blocks"),
+                       F.count("*").alias("n_buckets"),
+                       F.max("tmax").alias("max_block_wand"))
                   .withColumn("rterm", F.reverse(F.col("term")))
                   .select("term", "rterm", "df", "cf", "n_blocks",
                           "n_buckets", "max_block_wand"))
@@ -528,6 +534,7 @@ class IncrementalIndexer:
             "tmp_compact_order", n)
         self.store.write(merged, "tmp_dictionary_new")
         self.store.drop("tmp_compact_order")
+        self.store.drop("tmp_term_rollup")
         self._swap("dictionary", "tmp_dictionary_new")
         d_r = (self.store.read("dictionary").select("rterm", "term", "df")
                .repartitionByRange(n, "rterm").sortWithinPartitions("rterm"))
