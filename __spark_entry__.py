@@ -323,6 +323,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("term", F.col("df").cast("long").alias("df")))
     q["dict_suffix_terms"] = dict_suffix_terms
 
+    def dict_fuzzy_terms(spark, sf):
+        # fuzzy vocabulary match (north-star "did you mean"): one
+        # metadata-sized dictionary scan, length-banded + JVM banded
+        # levenshtein — postings never touched
+        e = _engine(spark, sf)
+        return (e.fuzzy_terms("part", max_edits=2)
+                .select("term", F.col("df").cast("long").alias("df"),
+                        F.col("dist").cast("int").alias("dist")))
+    q["dict_fuzzy_terms"] = dict_fuzzy_terms
+
+    def dict_fuzzy_suggest(spark, sf):
+        # ranked top-k corrections: dist asc, df desc, term — the exact
+        # deterministic cut (dist dominates df: 'row' outranks the
+        # higher-df 'join' here)
+        e = _engine(spark, sf)
+        return (e.suggest("ron", k=2, max_edits=2)
+                .select("term", F.col("df").cast("long").alias("df"),
+                        F.col("dist").cast("int").alias("dist")))
+    q["dict_fuzzy_suggest"] = dict_fuzzy_suggest
+
     # ---- boolean retrieval (SURVEY §2.2 Q6-Q10) ----
     def boolean_and(spark, sf):
         e = _engine(spark, sf)
@@ -792,6 +812,23 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKS}, {_EX}
         SELECT term, count(DISTINCT doc_id)::BIGINT AS df
         FROM ex WHERE term LIKE '%ow' GROUP BY term
+    """
+
+    o["dict_fuzzy_terms"] = f"""
+        WITH {_TOKS}, {_EX},
+        terms AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM ex GROUP BY term)
+        SELECT term, df, levenshtein(term, 'part')::INT AS dist
+        FROM terms WHERE levenshtein(term, 'part') <= 2
+    """
+
+    o["dict_fuzzy_suggest"] = f"""
+        WITH {_TOKS}, {_EX},
+        terms AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM ex GROUP BY term)
+        SELECT term, df, levenshtein(term, 'ron')::INT AS dist
+        FROM terms WHERE levenshtein(term, 'ron') <= 2
+        ORDER BY dist, df DESC, term LIMIT 2
     """
 
     o["boolean_and"] = f"""

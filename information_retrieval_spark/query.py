@@ -560,6 +560,53 @@ class QueryEngine:
             return int(self._dictionary.filter(F.col("term") < term).count())
         return int(st[term]["term_ord"])
 
+    # ------------------------------------------------------------------
+    # fuzzy term match / spell suggest (north-star addition: the
+    # reference's vocabulary supports exact/prefix/suffix/joker lookup
+    # only — IndexBody.java:86-162; "did you mean" is the missing
+    # 2000s-search-box surface over the same dictionary)
+    # ------------------------------------------------------------------
+    def fuzzy_terms(self, token: str, max_edits: int = 1) -> DataFrame:
+        """(term, df, dist): every dictionary term within `max_edits`
+        Levenshtein edits of normalize(token).
+
+        Scale shape: the dictionary is the engine's SMALL table (Heaps'
+        law — vocabulary grows ~O(corpus^beta), beta<1, while postings
+        grow linearly), so fuzzy match is ONE metadata-sized scan that
+        never touches postings. Two prunes keep the per-row cost flat:
+        a length band |len(term) - len(q)| <= max_edits short-circuits
+        almost every row before any DP, and the surviving rows run the
+        JVM's BANDED levenshtein(_, _, threshold) builtin (O(len *
+        max_edits) per row with early-exit -1, not the full O(len^2)
+        matrix). No shuffle: filter + project over the cached
+        dictionary; the driver-side top-k in suggest() is the only
+        collect."""
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        q = normalize(token)
+        if q is None:
+            # the token normalizes to nothing (dropped by the admission
+            # filter) — same contract as the parsers on bad input
+            raise ValueError("incorrect input")
+        return (self._dictionary
+                .filter(F.abs(F.length("term") - F.lit(len(q)))
+                        <= F.lit(max_edits))
+                .withColumn("dist",
+                            F.levenshtein(F.col("term"), F.lit(q),
+                                          max_edits))
+                .filter((F.col("dist") >= 0)
+                        & (F.col("dist") <= F.lit(max_edits)))
+                .select("term", "df", "dist"))
+
+    def suggest(self, token: str, k: int = 8,
+                max_edits: int = 2) -> DataFrame:
+        """Top-k spelling corrections: nearest first, then most frequent
+        (df desc), then term — fully deterministic ordering. An exact
+        vocabulary hit ranks first by construction (dist 0)."""
+        return (self.fuzzy_terms(token, max_edits)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(k))
+
     def _names(self, doc_ids: DataFrame) -> DataFrame:
         """docID set -> sorted file names (QueryProcessor.java:95-98:
         getDocName is the path's last component)."""

@@ -284,3 +284,53 @@ def test_bm25_snippets_synth_sweep(synth_engine, synth_docs):
     for r in rows:
         want = _py_min_window(texts[r["name"]], {"sym0", "sym1", "needle"})
         assert (r["win_start"], r["win_end"], r["n_terms"]) == want, r["name"]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy term match / spell suggest
+# ---------------------------------------------------------------------------
+
+def _py_levenshtein(a: str, b: str) -> int:
+    # classic full-matrix DP — the independent oracle for the JVM's
+    # banded builtin
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_terms_matches_python_oracle(synth_engine):
+    vocab = {r["term"]: r["df"]
+             for r in synth_engine.index.table("dictionary").collect()}
+    for q, d in [("sym1", 1), ("neede", 2), ("haystack", 0), ("xyzq", 2)]:
+        got = {(r["term"], r["df"], r["dist"])
+               for r in synth_engine.fuzzy_terms(q, max_edits=d).collect()}
+        want = {(t, df, _py_levenshtein(t, q)) for t, df in vocab.items()
+                if _py_levenshtein(t, q) <= d}
+        assert got == want, (q, d)
+
+
+def test_fuzzy_suggest_ranking_and_cut(synth_engine):
+    rows = synth_engine.suggest("neede", k=3, max_edits=2).collect()
+    vocab = {r["term"]: r["df"]
+             for r in synth_engine.index.table("dictionary").collect()}
+    cands = sorted(((_py_levenshtein(t, "neede"), -df, t)
+                    for t, df in vocab.items()
+                    if _py_levenshtein(t, "neede") <= 2))
+    want = [(t, -negdf, d) for d, negdf, t in cands[:3]]
+    assert [(r["term"], r["df"], r["dist"]) for r in rows] == want
+    # an exact vocabulary hit always ranks first
+    first = synth_engine.suggest("needle", k=3, max_edits=2).collect()[0]
+    assert (first["term"], first["dist"]) == ("needle", 0)
+
+
+def test_fuzzy_rejects_unnormalizable_token(synth_engine):
+    import pytest
+    with pytest.raises(ValueError):
+        synth_engine.fuzzy_terms("...", max_edits=1)
+    with pytest.raises(ValueError):
+        synth_engine.fuzzy_terms("needle", max_edits=-1)
