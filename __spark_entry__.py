@@ -698,6 +698,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_filtered"] = bm25_filtered
 
+    def more_like_this(spark, sf):
+        # query-by-document: source doc 42's top-5 tf·idf terms become a
+        # BM25 query; the source is excluded AFTER a k+1 page cut (true
+        # top-k of the remaining corpus). Term selection rounds the
+        # weight to 6 dp before the (w desc, term) cut — deterministic
+        # and engine-portable.
+        e = _engine(spark, sf)
+        dm = e.index.table("doc_map")
+        src = int(dm.filter(F.col("path").cast("long") == 42)
+                  .select("docID").collect()[0][0])
+        top = e.more_like_this(src, k=10, n_terms=5)
+        ids = dm.select("docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(ids, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["more_like_this"] = more_like_this
+
     def delete_requery(spark, sf):
         # streaming deletes (tombstones): docs deleted from a LIVE index
         # leave every page immediately — BM25 excludes them inside the
@@ -885,6 +901,39 @@ def oracle_sql() -> dict[str, str]:
         {_bm25_ctes()}
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # query-by-document: the qterms CTE re-derives the engine's exact
+    # term selection (tf·idf rounded to 6 dp, desc, then term) from the
+    # raw documents table, then standard BM25 over the selected set with
+    # the source dropped BEFORE the LIMIT
+    o["more_like_this"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM ex GROUP BY term),
+        srctf AS (SELECT term, count(*)::DOUBLE AS tf FROM ex
+                  WHERE doc_id = 42 GROUP BY term),
+        qterms AS (
+            SELECT srctf.term
+            FROM srctf JOIN dfreq USING (term) CROSS JOIN st
+            ORDER BY round(srctf.tf * ln(1 + (st.n - dfreq.df + 0.5)
+                                             / (dfreq.df + 0.5)), 6) DESC,
+                     srctf.term
+            LIMIT 5),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM ex JOIN qterms USING (term) GROUP BY doc_id, term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores WHERE doc_id != 42
+        ORDER BY s DESC, doc_id LIMIT 10
     """
 
     # streaming deletes pre-compact: scores use AS-BUILT full-corpus

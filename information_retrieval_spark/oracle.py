@@ -145,13 +145,35 @@ class OracleIndex:
     def bm25(self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75):
         terms = sorted({t for t in (normalize(tok) for tok in re.split(r"\s+", query.strip()))
                         if t is not None and t in self.postings})
+        ranked = self._score_terms(terms, k1, b)[:k]
+        return [(d, s, self.name(d)) for d, s in ranked]
+
+    def _score_terms(self, terms, k1: float = 1.2, b: float = 0.75):
+        """Full BM25 ranking of PRE-NORMALIZED terms: [(docID, score)],
+        score desc, docID asc."""
         avgdl = self.avgdl or 1.0
         scores = defaultdict(float)
         for t in terms:
             w = self.idf(t)
-            for d, pos in self.postings[t].items():
+            for d, pos in self.postings.get(t, {}).items():
                 tf = len(pos)
                 dl = self.doc_len[d]
                 scores[d] += w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+    def doc_vector(self, doc_id: int) -> dict:
+        """term -> tf of one document."""
+        return {t: len(ps[doc_id]) for t, ps in self.postings.items()
+                if doc_id in ps}
+
+    def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5):
+        """QueryEngine.more_like_this mirror: top-n_terms by
+        (round(tf*idf, 6) desc, term), BM25 over them, source excluded
+        before the cut."""
+        vec = self.doc_vector(doc_id)
+        sel = sorted((-round(tf * self.idf(t), 6), t)
+                     for t, tf in vec.items())
+        terms = sorted(t for _, t in sel[:n_terms])
+        ranked = [(d, s) for d, s in self._score_terms(terms)
+                  if d != doc_id][:k]
         return [(d, s, self.name(d)) for d, s in ranked]

@@ -969,6 +969,13 @@ class QueryEngine:
         """Free-text query -> top-k (docID, score, name), score desc, docID asc."""
         terms = sorted({t for t in (normalize(tok) for tok in re.split(r"\s+", query.strip()))
                         if t is not None})
+        return self._bm25_for_terms(terms, k, wand, wand_gate_blocks)
+
+    def _bm25_for_terms(self, terms: list, k: int, wand: bool,
+                        wand_gate_blocks: int) -> DataFrame:
+        """BM25 top-k over PRE-NORMALIZED terms (bm25 tokenizes; internal
+        callers like more_like_this hold dictionary terms already — a
+        second normalize pass is not idempotent for every stem)."""
         stats = self.term_stats(terms)
         terms = [t for t in terms if t in stats]
         if not terms:
@@ -1005,6 +1012,57 @@ class QueryEngine:
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)
                 .orderBy(F.desc("score"), F.asc("docID")))
+
+    # ------------------------------------------------------------------
+    # query-by-document ("more like this" — north-star addition)
+    # ------------------------------------------------------------------
+    def doc_term_vector(self, doc_id: int) -> DataFrame:
+        """(term, tf) of ONE document, read back from the inverted index.
+
+        Block pruning rides the stored per-block metadata: only blocks
+        of the doc's own bucket whose [block_first_doc, block_last_doc]
+        span covers the docID decode — at most one block per term with
+        postings in the doc's neighborhood, bounded by the bucket's
+        vocabulary, never a full postings pass. (A deployment serving
+        heavy query-by-document traffic at the 10^12-doc design point
+        would add a doc-major forward index — one more partitionBy
+        output of the same SPIMI pass; the inverted-only path here keeps
+        the table set minimal.)"""
+        d = int(doc_id)
+        dpb = int(self.stats["docs_per_bucket"])
+        blocks = self._postings.filter(
+            (F.col("bucket") == F.lit(d // dpb))
+            & (F.col("block_first_doc") <= F.lit(d))
+            & (F.col("block_last_doc") >= F.lit(d)))
+        dec = blocks.mapInArrow(lambda it: _decode_iter(it, False),
+                                schema=_DECODED_SCHEMA)
+        return dec.filter(F.col("docID") == F.lit(d)).select("term", "tf")
+
+    def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5,
+                       wand: bool = True,
+                       wand_gate_blocks: int = 16384) -> DataFrame:
+        """Documents most similar to `doc_id`: the classic Lucene-style
+        MoreLikeThis — the source doc's `n_terms` highest tf·idf terms
+        become a BM25 query; the source itself is excluded EXACTLY (the
+        page is cut at k+1 before the source is dropped, so the result
+        is the true top-k of the remaining corpus, not an under-filled
+        page). Term selection is deterministic: weight desc, term asc.
+        Returns (docID, score, name) like bm25()."""
+        vec = {r["term"]: int(r["tf"])
+               for r in self.doc_term_vector(doc_id).collect()}
+        if not vec:
+            return self._empty_scores()
+        stats = self.term_stats(sorted(vec))
+        # weights rounded to 6 dp before the cut: the selection is a hard
+        # threshold, so it must not hinge on sub-ulp libm differences
+        # between engines (the score COMPARISONS downstream are already
+        # rounded; this applies the same discipline to the term cut)
+        ranked = sorted((-round(vec[t] * self._idf(int(stats[t]["df"])), 6), t)
+                        for t in vec if t in stats)
+        terms = sorted(t for _, t in ranked[:n_terms])
+        page = self._bm25_for_terms(terms, k + 1, wand, wand_gate_blocks)
+        return (page.filter(F.col("docID") != F.lit(int(doc_id)))
+                .orderBy(F.desc("score"), F.asc("docID")).limit(k))
 
     # filtered BM25: ship the allowed docID set into the kernel below
     # this many ids; above it, emit all aggregated scores and let the

@@ -151,3 +151,31 @@ def test_bm25_filtered_empty_filter(synth_engine):
     got = synth_engine.bm25_filtered(
         "sym0 sym1", F.col("lang") == "zz_nolang", k=10).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (query-by-document)
+# ---------------------------------------------------------------------------
+
+def test_doc_term_vector_matches_tokenizer(synth_engine, synth_docs):
+    from information_retrieval_spark.normalize import tokenize
+    from collections import Counter
+    rows = sorted(synth_docs.collect(),
+                  key=lambda r: (r["repo"], r["path"]))
+    for d in (0, 7, 123, len(rows) - 1):
+        want = dict(Counter(tokenize(rows[d]["content"])))
+        got = {r["term"]: r["tf"]
+               for r in synth_engine.doc_term_vector(d).collect()}
+        assert got == want, d
+
+
+def test_more_like_this_rank_identity(synth_engine, synth_docs):
+    oracle = OracleIndex((r["repo"], r["path"], r["content"])
+                         for r in synth_docs.collect())
+    for src in (0, 42, 123, 250):
+        got = synth_engine.more_like_this(src, k=10, n_terms=5).collect()
+        want = oracle.more_like_this(src, k=10, n_terms=5)
+        assert [r["docID"] for r in got] == [d for d, _, _ in want], src
+        assert all(r["docID"] != src for r in got)
+        for r, (_, s, _) in zip(got, want):
+            assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
