@@ -698,6 +698,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_filtered"] = bm25_filtered
 
+    def related_terms(spark, sf):
+        # pseudo-relevance feedback: terms most characteristic of the
+        # query's top-25 BM25 docs, scored df_in_set * global idf with
+        # the query's own terms excluded (the "related searches" row)
+        e = _engine(spark, sf)
+        return e.related_terms("spark join", k=10, top_docs=25)
+    q["related_terms"] = related_terms
+
     def more_like_this(spark, sf):
         # query-by-document: source doc 42's top-5 tf·idf terms become a
         # BM25 query; the source is excluded AFTER a k+1 page cut (true
@@ -901,6 +909,37 @@ def oracle_sql() -> dict[str, str]:
         {_bm25_ctes()}
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # pseudo-relevance feedback: the top_docs CTE is the exact BM25
+    # page for 'spark join' (shared float math with bm25_topk), then
+    # df-in-set * global idf over the page's vocabulary, query terms
+    # excluded, rounded before the deterministic (w desc, term) cut
+    o["related_terms"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM ex GROUP BY term),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ex
+               WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf.doc_id),
+        top_docs AS (SELECT doc_id FROM scores
+                     ORDER BY s DESC, doc_id LIMIT 25),
+        cand AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_s
+                 FROM ex JOIN top_docs USING (doc_id)
+                 WHERE term NOT IN ('spark', 'join') GROUP BY term)
+        SELECT term, df_s,
+               round(df_s * ln(1 + (st.n - dfreq.df + 0.5)
+                               / (dfreq.df + 0.5)), 6) AS w
+        FROM cand JOIN dfreq USING (term) CROSS JOIN st
+        ORDER BY w DESC, term LIMIT 10
     """
 
     # query-by-document: the qterms CTE re-derives the engine's exact

@@ -166,6 +166,25 @@ class OracleIndex:
         return {t: len(ps[doc_id]) for t, ps in self.postings.items()
                 if doc_id in ps}
 
+    def related_terms(self, query: str, k: int = 10, top_docs: int = 25):
+        """QueryEngine.related_terms mirror: [(term, df_s, w)]."""
+        q_terms = sorted({t for t in (normalize(tok)
+                                      for tok in re.split(r"\s+", query.strip()))
+                          if t is not None})
+        s = {d for d, _ in self._score_terms(
+            [t for t in q_terms if t in self.postings])[:top_docs]}
+        cand = defaultdict(set)
+        for t, ps in self.postings.items():
+            if t in q_terms:
+                continue
+            for d in ps:
+                if d in s:
+                    cand[t].add(d)
+        rows = [(t, len(ds), round(len(ds) * self.idf(t), 6))
+                for t, ds in cand.items()]
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return rows[:k]
+
     def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5):
         """QueryEngine.more_like_this mirror: top-n_terms by
         (round(tf*idf, 6) desc, term), BM25 over them, source excluded

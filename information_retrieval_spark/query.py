@@ -1064,6 +1064,53 @@ class QueryEngine:
         return (page.filter(F.col("docID") != F.lit(int(doc_id)))
                 .orderBy(F.desc("score"), F.asc("docID")).limit(k))
 
+    # ------------------------------------------------------------------
+    # related terms ("related searches" — relevance-feedback term
+    # suggestion over the query's result neighborhood)
+    # ------------------------------------------------------------------
+    def related_terms(self, query: str, k: int = 10,
+                      top_docs: int = 25) -> DataFrame:
+        """(term, df_s, w): the k terms most characteristic of `query`'s
+        top result docs — pseudo-relevance feedback, the engine behind a
+        2000s search page's "related searches" row.
+
+        Shape: (1) the BM25 page gives the relevance set S (`top_docs`
+        docIDs — a driver-sized list); (2) postings decode restricted to
+        S's BUCKETS (|S| buckets at most, a vanishing fraction of the
+        index at scale — the same bucket-pruned decode the boolean-NOT
+        path uses) then filter docID IN S; (3) candidate terms score
+        w = df_S · idf(term) — in-S document frequency damped by global
+        rarity, so corpus-wide stopwords sink — with the query's own
+        terms excluded and w ROUNDED to 6 dp before the deterministic
+        (w desc, term) cut (the engine-portable hard-cut discipline of
+        more_like_this)."""
+        q_terms = sorted({t for t in (normalize(tok)
+                                      for tok in re.split(r"\s+", query.strip()))
+                          if t is not None})
+        page = self._bm25_for_terms(q_terms, top_docs, True, 16384)
+        ids = sorted(r["docID"] for r in page.collect())
+        empty = self.spark.createDataFrame(
+            [], "term string, df_s long, w double")
+        if not ids:
+            return empty
+        dpb = int(self.stats["docs_per_bucket"])
+        buckets = sorted({d // dpb for d in ids})
+        blocks = self._postings.filter(F.col("bucket").isin(buckets))
+        dec = blocks.mapInArrow(lambda it: _decode_iter(it, False),
+                                schema=_DECODED_SCHEMA)
+        n = float(self.stats["n_docs"])
+        idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)))
+        cand = (dec.filter(F.col("docID").isin([int(d) for d in ids]))
+                .filter(~F.col("term").isin(q_terms))
+                .groupBy("term")
+                .agg(F.countDistinct("docID").cast("long").alias("df_s")))
+        return (cand.join(self._dictionary.select("term", "df"), "term")
+                .select("term", "df_s",
+                        F.round(F.col("df_s") * idf, 6).alias("w"))
+                .orderBy(F.desc("w"), F.asc("term"))
+                .limit(k))
+
     # filtered BM25: ship the allowed docID set into the kernel below
     # this many ids; above it, emit all aggregated scores and let the
     # join (AQE-planned) do the membership test

@@ -179,3 +179,19 @@ def test_more_like_this_rank_identity(synth_engine, synth_docs):
         assert all(r["docID"] != src for r in got)
         for r, (_, s, _) in zip(got, want):
             assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_related_terms_matches_python_oracle(synth_engine, synth_docs):
+    oracle = OracleIndex((r["repo"], r["path"], r["content"])
+                         for r in synth_docs.collect())
+    for q in ("sym0 sym1", "needle haystack", "the for"):
+        got = [(r["term"], r["df_s"], r["w"])
+               for r in synth_engine.related_terms(q, k=8,
+                                                   top_docs=15).collect()]
+        want = oracle.related_terms(q, k=8, top_docs=15)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gt, gd, gw), (wt, wd, ww) in zip(got, want):
+            assert gd == wd and math.isclose(gw, ww, rel_tol=1e-9), (q, gt)
+        # the query's own terms never suggest themselves
+        qn = set(q.split())
+        assert not qn & {g[0] for g in got}
