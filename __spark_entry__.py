@@ -144,19 +144,20 @@ def _minhash_lsh_ctes(num_hashes: int, band_size: int, n: int) -> str:
         )"""
 
 
-def _ivf_oracle_sql(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
-                    k: int = 10, dim: int = 64,
-                    train_rate: float | None = None,
-                    train_seed: str = "ivf-train") -> str:
-    """DuckDB oracle for ann_ivf_topk: re-derives the deterministic
-    quantized-k-means centroids (exact int64 sums; left-associated
-    float64 distance folds identical to similarity._ivf_dists), the
-    final assignments, the query's nprobe lists, and the exact cosine
-    re-rank — iterations unrolled as chained CTEs. With ``train_rate``,
-    the training CTEs (init + every iteration) read the SAME
-    deterministic hash sample the Spark side trains on
-    (sampling.uniform_expr keyed by vec_id); final assignment and the
-    probe still cover every vector."""
+def _ivf_af_ctes(n_lists: int, iters: int, dim: int,
+                 train_rate: float | None,
+                 train_seed: str = "ivf-train"):
+    """The shared IVF oracle prefix: CTE chain re-deriving the
+    deterministic quantized-k-means centroids (exact int64 sums;
+    left-associated float64 distance folds identical to
+    similarity._ivf_dists) and the final FULL-CORPUS assignments `af`
+    — iterations unrolled as chained CTEs. With ``train_rate``, the
+    training CTEs (init + every iteration) read the SAME deterministic
+    hash sample the Spark side trains on (sampling.uniform_expr keyed
+    by vec_id); the final assignment still covers every vector.
+    Returns (ctes, final_centroid_cte_name, dist_fn) so the
+    ann_ivf_topk and ann_semdedup_pairs oracles can append their own
+    query-specific CTEs."""
     from information_retrieval_spark.sampling import uniform_expr
     from information_retrieval_spark.similarity import ivf_quantize_expr
 
@@ -210,6 +211,23 @@ def _ivf_oracle_sql(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
             SELECT vec_id, list_id, row_number() OVER (
                 PARTITION BY vec_id ORDER BY dist, list_id) AS rn
             FROM df_) WHERE rn = 1)""",
+    ]
+    return ctes, prev, dist
+
+
+def _ivf_oracle_sql(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
+                    k: int = 10, dim: int = 64,
+                    train_rate: float | None = None,
+                    train_seed: str = "ivf-train") -> str:
+    """DuckDB oracle for ann_ivf_topk: the shared centroid/assignment
+    chain (_ivf_af_ctes), then the query's nprobe lists and the exact
+    cosine re-rank."""
+    from information_retrieval_spark.similarity import ivf_quantize_expr
+
+    ctes, prev, dist = _ivf_af_ctes(n_lists, iters, dim,
+                                    train_rate, train_seed)
+    qz = ivf_quantize_expr("embedding", "duckdb")
+    ctes += [
         f"""q AS (SELECT embedding AS qv, {qz} AS qiv
             FROM embeddings WHERE vec_id = 0)""",
         f"""qd AS (SELECT c.list_id, {dist('q.qiv', 'c.c')} AS dist
@@ -229,6 +247,38 @@ def _ivf_oracle_sql(n_lists: int = 8, iters: int = 2, nprobe: int = 2,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT vec_id, round(c, 6) AS cos FROM sc "
               f"ORDER BY c DESC, vec_id LIMIT {k}")
+
+
+def _semdedup_oracle_sql(n_lists: int = 8, iters: int = 2, dim: int = 64,
+                         threshold: float = 0.4,
+                         train_rate: float | None = None,
+                         train_seed: str = "ivf-train") -> str:
+    """DuckDB oracle for ann_semdedup_pairs: the shared
+    centroid/assignment chain (_ivf_af_ctes), then ALL within-cluster
+    pairs with their exact cosine — the oracle makes the operator's
+    recall contract explicit: pairs it returns are exactly
+    {(a, b) : list(a) == list(b) and cos(a, b) >= threshold}."""
+    ctes, _, _ = _ivf_af_ctes(n_lists, iters, dim, train_rate, train_seed)
+    ctes += [
+        """prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM af a JOIN af b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id)""",
+        """pv AS (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+            FROM prs
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b)""",
+        """sc AS (SELECT id_a, id_b,
+            list_sum(list_transform(range(len(va)),
+                     i -> va[i + 1]::DOUBLE * vb[i + 1]::DOUBLE))
+            / (greatest(sqrt(list_sum(list_transform(va,
+                             x -> x::DOUBLE * x::DOUBLE))), 1e-12)
+               * greatest(sqrt(list_sum(list_transform(vb,
+                               x -> x::DOUBLE * x::DOUBLE))), 1e-12)) AS c
+            FROM pv)""",
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id_a, id_b, round(c, 6) AS cos FROM sc "
+              f"WHERE c >= {threshold!r}")
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
@@ -650,6 +700,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             centroids=cents, assignments=asg
         ).withColumnRenamed("id", "vec_id")
     q["ann_ivf_topk"] = ann_ivf_topk
+
+    def ann_semdedup_pairs(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means cluster blocking ->
+        # exact cosine verify WITHIN clusters only — the data-adaptive
+        # embedding-dedup family next to hyperplane LSH (ann_near_dup).
+        # Reuses the persisted IVF quantizer; recall < 1 by contract
+        # (cross-cluster pairs unseen) and the oracle re-derives the
+        # same clusters, making that contract the graded semantics.
+        # Random corpus -> threshold at its similarity scale (~0.4).
+        cents, asg = _ivf_index(spark, sf)
+        return similarity.semantic_near_duplicates(
+            _embeddings(spark, sf), threshold=0.4,
+            centroids=cents, assignments=asg)
+    q["ann_semdedup_pairs"] = ann_semdedup_pairs
 
     def sample_split(spark, sf):
         # deterministic per-language stratified sample + train/val
@@ -1419,6 +1483,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["ann_ivf_topk"] = _ivf_oracle_sql(n_lists=8, iters=2, nprobe=2,
                                         k=10, dim=64, train_rate=0.5)
+
+    o["ann_semdedup_pairs"] = _semdedup_oracle_sql(
+        n_lists=8, iters=2, dim=64, threshold=0.4, train_rate=0.5)
 
     u1 = sampling.uniform_expr("doc_id", "s1", dialect="duckdb")
     u2 = sampling.uniform_expr("doc_id", "s2", dialect="duckdb")

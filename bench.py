@@ -264,6 +264,9 @@ def main() -> None:
         steps["ann_ivf_topk"] = lambda: similarity.ivf_topk(
             emb, qv, k=10, nprobe=2, centroids=sig_state["ivf"][0],
             assignments=sig_state["ivf"][1]).collect()
+        steps["ann_semdedup"] = lambda: similarity.semantic_near_duplicates(
+            emb, threshold=0.4, centroids=sig_state["ivf"][0],
+            assignments=sig_state["ivf"][1]).count()
 
     for name, fn in steps.items():
         record(name, fn, reset=resets.get(name))

@@ -648,3 +648,79 @@ def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_lists: int = 8,
                 .select(F.col("id").alias(id_col)))
     cand = df.join(F.broadcast(cand_ids), id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
+
+
+def semantic_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                             n_lists: int = 8, iters: int = 2,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             round_to: int = 6,
+                             centroids=None,
+                             assignments: DataFrame | None = None,
+                             train_rate: float | None = None,
+                             train_seed: str = "ivf-train") -> DataFrame:
+    """SemDeDup: semantic near-duplicate pairs via k-means cluster
+    blocking (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023) — cluster the
+    embeddings with the engine's deterministic IVF quantizer, then run
+    the exact-cosine verify only WITHIN each cluster. The third
+    candidate-generation family next to hyperplane LSH
+    (embedding_near_duplicates) and banded LSH: clustering adapts to
+    the corpus's actual density (LSH planes are data-oblivious), which
+    is why it is the published choice for embedding-level training-data
+    curation.
+
+    Scale shape: candidate volume is sum over clusters of C(size, 2) —
+    the knob is ``n_lists``, which the paper scales with the corpus
+    (~corpus/avg_cluster_size; they use 50k clusters for LAION). The
+    cluster self-join carries SLIM (list_id, id) rows; vectors join
+    back exactly once for the verify (the embedding_near_duplicates
+    discipline). A skewed k-means list goes quadratic the same way a
+    hot LSH bucket does — at 10^12 rows raise ``n_lists`` (the paper's
+    own mitigation) or pre-split hot lists on a secondary signature;
+    unlike simhash block banding there is no completeness constraint to
+    preserve, because recall < 1 is already the operator's contract
+    (cross-cluster pairs are unseen by design — the name and the gate's
+    oracle make that explicit, like dedup_ngram_jaccard_lsh).
+
+    Deterministic end-to-end: quantized k-means training (exact int64
+    sums, order-free), hash-sampled training via ``train_rate``
+    (sampling.uniform_expr), left-associated float64 folds — so the
+    driver gate has an EXACT DuckDB oracle that re-derives the same
+    clusters from the same table. Pass ``centroids=`` /
+    ``assignments=`` (persist_ivf) to reuse a built IVF index instead
+    of retraining.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold,
+    cos rounded to ``round_to``.
+    """
+    empty = (df.select(F.col(id_col).cast("long").alias("id_a"),
+                       F.col(id_col).cast("long").alias("id_b"),
+                       F.lit(0.0).cast("double").alias("cos")).limit(0))
+    if _vec_dim(df, vec_col) is None:
+        return empty
+    if centroids is None:
+        centroids = ivf_train(df, n_lists, iters, id_col, vec_col,
+                              train_rate=train_rate, train_seed=train_seed)
+    if centroids is None:
+        return empty
+    asg = assignments if assignments is not None else ivf_assignments(
+        df, centroids, id_col, vec_col)
+    # candidates on slim (list_id, id) rows; one row per id -> the
+    # equality self-join emits each within-cluster pair exactly once
+    a = asg.select(F.col("list_id"), F.col("id").alias("id_a"))
+    b = asg.select(F.col("list_id"), F.col("id").alias("id_b"))
+    cand = (a.join(b, "list_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    # vectors join back ONCE, for the exact verify only
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * "
+                 "cast(y as double)), cast(0.0 as double), (a, v) -> a + v)")
+    na = F.greatest(F.expr(_norm_expr("va")), F.lit(1e-12))
+    nb = F.greatest(F.expr(_norm_expr("vb")), F.lit(1e-12))
+    return (pairs.withColumn("cos_raw", dot / (na * nb))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", round_to).alias("cos")))

@@ -616,6 +616,86 @@ def test_ivf_sampled_training_preserves_quality(emb_df):
     assert hits_samp >= total * 0.5, (hits_samp, total)
 
 
+def _semdedup_py(vecs_by_id: dict, threshold: float, n_lists: int,
+                 iters: int):
+    """Pure-python chain oracle for semantic_near_duplicates: train ->
+    assign -> within-cluster pairs -> exact cosine >= threshold."""
+    cents = _ivf_train_py(vecs_by_id, n_lists, iters)
+    asg = {i: similarity.ivf_assign_of(
+        similarity._ivf_quantize_py([float(x) for x in v]), cents)
+        for i, v in vecs_by_id.items()}
+    ids = sorted(vecs_by_id)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if asg[a] != asg[b]:
+                continue
+            c = _cos(vecs_by_id[a], vecs_by_id[b])
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_semdedup_chain_oracle(spark):
+    # planted near-duplicates (id 100+i ~ id i) on a random base: the
+    # operator must equal the full python chain (train -> assign ->
+    # within-cluster pairs -> exact cosine), including the planted
+    # pairs that share a cluster
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs = {i: base[i] for i in range(30)}
+    for i in (0, 5, 12):
+        vecs[100 + i] = (base[i]
+                         + 0.01 * rng.standard_normal(16)).astype(np.float32)
+    rows = [(int(k), [float(x) for x in v]) for k, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in similarity.semantic_near_duplicates(
+               df, threshold=0.9, n_lists=4, iters=2).collect()}
+    want = _semdedup_py(vecs, 0.9, n_lists=4, iters=2)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-6, (k, got[k], v)
+    # the corpus's planted near-dups are the operator's point: at least
+    # two of the three pairs must land in a shared cluster and be found
+    assert sum((i, 100 + i) in got for i in (0, 5, 12)) >= 2
+
+
+def test_semdedup_reuses_persisted_ivf_and_empty_input(emb_df, tmp_path):
+    df, _ = emb_df
+    inline = similarity.semantic_near_duplicates(
+        df, threshold=0.4, n_lists=4, iters=2).collect()
+    cents, asg = similarity.persist_ivf(df, str(tmp_path / "ivf"),
+                                        n_lists=4, iters=2)
+    reused = similarity.semantic_near_duplicates(
+        df, threshold=0.4, centroids=cents, assignments=asg).collect()
+    assert sorted(map(tuple, reused)) == sorted(map(tuple, inline))
+    empty = df.filter(F.lit(False))
+    assert similarity.semantic_near_duplicates(empty, threshold=0.4,
+                                               n_lists=4).collect() == []
+
+
+def test_semdedup_candidates_are_slim(spark):
+    # the cluster self-join must carry (list_id, id) rows only — the
+    # embedding vectors join back AFTER the pair set exists (one join
+    # per side), never ride the candidate join itself
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(df, n_lists=2, iters=1)
+    plan = similarity.semantic_near_duplicates(
+        df, threshold=0.0, centroids=cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    # exactly one equality join keyed on list_id, and it must not
+    # mention the embedding column
+    lid = [ln for ln in joins if "list_id" in ln]
+    assert len(lid) == 1, plan
+    assert "embedding" not in lid[0], lid[0]
+
+
 # --- deterministic sampling / splits ---------------------------------------
 
 from information_retrieval_spark import sampling
