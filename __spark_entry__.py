@@ -786,6 +786,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["more_like_this"] = more_like_this
 
+    def doc_vector(spark, sf):
+        # doc-major FORWARD index: build_forward_index materializes
+        # doc_vec(docID, term, tf) sorted by docID (one decode pass over
+        # the postings), and doc_term_vector becomes one file- and
+        # row-group-pruned scan — the acceleration structure for
+        # query-by-document traffic. Idempotent across gate runs.
+        e = _engine(spark, sf)
+        e.build_forward_index()
+        dm = e.index.table("doc_map")
+        src = int(dm.filter(F.col("path").cast("long") == 7)
+                  .select("docID").collect()[0][0])
+        return (e.doc_term_vector(src)
+                .select("term", F.col("tf").cast("long").alias("tf")))
+    q["doc_vector"] = doc_vector
+
     def delete_requery(spark, sf):
         # streaming deletes (tombstones): docs deleted from a LIVE index
         # leave every page immediately — BM25 excludes them inside the
@@ -1037,6 +1052,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(s, 6) AS score
         FROM scores WHERE doc_id != 42
         ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # forward-index read-back: (term, tf) of doc 7 — doc_vec is exactly
+    # the per-doc tokenizer multiset, independent of the storage layout
+    o["doc_vector"] = f"""
+        WITH {_TOKS}, {_EX}
+        SELECT term, count(*)::BIGINT AS tf
+        FROM ex WHERE doc_id = 7 GROUP BY term
     """
 
     # streaming deletes pre-compact: scores use AS-BUILT full-corpus

@@ -424,6 +424,10 @@ class IncrementalIndexer:
                     and self.store.read("tombstones").limit(1).count()):
                 return
         self._require_all_committed()
+        # the doc-major forward index (QueryEngine.build_forward_index)
+        # is DERIVED from the postings this compaction is about to
+        # rewrite — drop it; callers rebuild it after compacting
+        self.store.drop("doc_vec")
         cfg = self.config
         stats = self.store.read("stats").collect()[0].asDict()
         dpb = int(stats["docs_per_bucket"])
@@ -619,6 +623,11 @@ class IncrementalIndexer:
         only ever over-estimate. stats is untouched for the same
         reason (base blocks still carry the old encode avgdl)."""
         self._require_all_committed()
+        # minor folds leave postings segments in place (doc_term_vector
+        # already ignores doc_vec while segments are pending), but the
+        # derived forward index would go stale the moment a later
+        # compact() clears them — drop it here too, same contract
+        self.store.drop("doc_vec")
         stats = self.store.read("stats").collect()[0].asDict()
         avgdl = float(stats["avgdl"]) or 1.0
         for table in ("postings", "doc_map", "doc_len", "doc_sha",

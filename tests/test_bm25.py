@@ -169,6 +169,39 @@ def test_doc_term_vector_matches_tokenizer(synth_engine, synth_docs):
         assert got == want, d
 
 
+def test_forward_index_path_matches_inverted(synth_engine, synth_docs):
+    # build_forward_index materializes doc_vec; doc_term_vector must
+    # switch to the file-pruned forward scan (no postings decode in the
+    # plan) and return exactly the inverted path's vectors; MLT results
+    # are unchanged by the acceleration structure
+    store = synth_engine.index.store
+    store.drop("doc_vec")
+    try:
+        probes = (0, 7, 123)
+        before = {d: sorted(map(tuple,
+                                synth_engine.doc_term_vector(d).collect()))
+                  for d in probes}
+        mlt_before = [tuple(r) for r in
+                      synth_engine.more_like_this(42, k=5).collect()]
+        synth_engine.build_forward_index(n_partitions=4)
+        assert store.exists("doc_vec")
+        plan = synth_engine.doc_term_vector(0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "doc_vec" in plan, plan
+        assert "MapInArrow" not in plan, plan
+        after = {d: sorted(map(tuple,
+                               synth_engine.doc_term_vector(d).collect()))
+                 for d in probes}
+        assert after == before
+        mlt_after = [tuple(r) for r in
+                     synth_engine.more_like_this(42, k=5).collect()]
+        assert mlt_after == mlt_before
+        # idempotent on the _SUCCESS marker: a second call is a no-op
+        synth_engine.build_forward_index(n_partitions=4)
+    finally:
+        store.drop("doc_vec")
+
+
 def test_more_like_this_rank_identity(synth_engine, synth_docs):
     oracle = OracleIndex((r["repo"], r["path"], r["content"])
                          for r in synth_docs.collect())

@@ -253,6 +253,40 @@ def test_queries_identical_before_and_after_compact(spark, work_dir):
     assert snap() == before
 
 
+def test_forward_index_staleness_contract(spark, work_dir):
+    # doc_vec is DERIVED: pending segments disable the fast path, the
+    # compactions drop the table, and a rebuild after compaction serves
+    # the grown corpus correctly
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/fwd_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    qe = QueryEngine(IncrementalIndexer(spark, idx_dir, cfg).index())
+    qe.build_forward_index(n_partitions=2)
+    vec0 = sorted(map(tuple, qe.doc_term_vector(0).collect()))
+
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+    inc.append_batch(spark.createDataFrame(NEW_DOCS, DOCUMENTS_SCHEMA))
+    qe2 = QueryEngine(inc.index())
+    # segments pending -> the stale doc_vec must NOT serve the read;
+    # the inverted fallback sees the appended doc
+    plan = qe2.doc_term_vector(5)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "doc_vec" not in plan, plan
+    assert {r["term"] for r in qe2.doc_term_vector(5).collect()} != set()
+    # base-corpus vectors still correct through the fallback
+    assert sorted(map(tuple, qe2.doc_term_vector(0).collect())) == vec0
+
+    inc.compact()
+    assert not inc.store.exists("doc_vec")  # derived table invalidated
+    qe3 = QueryEngine(inc.index())
+    inverted = {d: sorted(map(tuple, qe3.doc_term_vector(d).collect()))
+                for d in range(7)}
+    qe3.build_forward_index(n_partitions=2)
+    forward = {d: sorted(map(tuple, qe3.doc_term_vector(d).collect()))
+               for d in range(7)}
+    assert forward == inverted
+
+
 def test_compaction_swap_is_crash_safe_and_reader_safe(spark, work_dir):
     """The versioned manifest swap (TableStore.publish): a crash at ANY
     point of the swap leaves a readable dictionary (old version before
