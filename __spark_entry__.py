@@ -589,6 +589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.unigram_logprob_scores(_documents(spark, sf))
     q["text_unigram_logprob"] = text_unigram_logprob
 
+    def text_top_bigrams(spark, sf):
+        # corpus n-gram statistics (n-gram LM data / common-phrase
+        # report): exact top-20 bigrams by (count desc, ngram) — one
+        # explode + one map-side-combined agg, cut via
+        # TakeOrderedAndProject (never a full sort shuffle)
+        return textstats.ngram_counts(_documents(spark, sf), n=2, k=20)
+    q["text_top_bigrams"] = text_top_bigrams
+
     # ---- multimodal plumbing ----
     def multimodal_features(spark, sf):
         # binary payload columns synthesized deterministically from the
@@ -1360,6 +1368,16 @@ def oracle_sql() -> dict[str, str]:
                sum(c)::BIGINT AS n_terms
         FROM tfd JOIN cf USING (term) CROSS JOIN tot
         GROUP BY id
+    """
+
+    # corpus bigram top-20: consecutive-position self-join over the
+    # tokenizer CTE, same (count desc, ngram) deterministic cut
+    o["text_top_bigrams"] = f"""
+        WITH {_TOKS}, {_POS}
+        SELECT a.term || ' ' || b.term AS ngram, count(*)::BIGINT AS n
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 20
     """
 
     o["ann_cosine_topk"] = """

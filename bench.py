@@ -201,6 +201,10 @@ def main() -> None:
         "dedup_inc_probe": lambda: _dedup_inc_probe(spark, docs),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
+        # corpus bigram top-20: one explode + map-side-combined agg,
+        # TakeOrderedAndProject cut (never a full sort shuffle)
+        "text_bigrams": lambda: textstats.ngram_counts(
+            docs, n=2, k=20, text_col="content").collect(),
         "sample_split": lambda: sampling.train_val_split(
             sampling.hash_sample(docs, 0.5, key_col="path"), 0.25,
             key_col="path").groupBy("split").count().collect(),

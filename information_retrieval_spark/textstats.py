@@ -163,3 +163,34 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.array_min(shingles).alias("fingerprint"),
     )
+
+def ngram_counts(df: DataFrame, n: int = 2, k: int | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram counts over the normalized token stream:
+    (ngram, n) for every run of `n` consecutive kept terms, optionally
+    cut to the exact top-k by (count desc, ngram asc) — the n-gram LM /
+    common-phrase statistics a training-data pipeline reports per crawl
+    snapshot.
+
+    All JVM expressions (sequence/transform/slice/array_join over the
+    shared tokenizer column — the doc_fingerprints shingle shape), one
+    explode, ONE groupBy with map-side partial aggregation; the
+    optional cut compiles to TakeOrderedAndProject (per-partition
+    top-k heaps, never a full sort shuffle), so at 100 TB the job is
+    one corpus scan + one exchange of distinct-ngram partials. The
+    (count desc, ngram asc) order makes the cut deterministic and
+    engine-portable. Docs shorter than n terms contribute nothing
+    (CASE guard: `sequence(1, size-n+1)` would go DESCENDING there)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _toks(df, text_col)
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+        f"ELSE array() END")
+    counts = (toks.select(F.explode(grams).alias("ngram"))
+              .groupBy("ngram").agg(F.count(F.lit(1)).alias("n")))
+    if k is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("ngram")).limit(int(k))
+    return counts

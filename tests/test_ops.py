@@ -220,6 +220,35 @@ def test_quality_scores(docs_df):
         assert math.isclose(got[doc_id], round(want, 6), abs_tol=1e-6), doc_id
 
 
+def test_ngram_counts(docs_df):
+    # full relation vs a pure-Python Counter over the same token stream
+    from collections import Counter
+    want = Counter()
+    for _doc_id, text in DOCS:
+        toks = tokenize(text)
+        want.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    got = {r["ngram"]: r["n"] for r in
+           textstats.ngram_counts(docs_df, n=2).collect()}
+    assert got == dict(want)
+    # the top-k cut: exact (count desc, ngram asc) prefix, and the plan
+    # is TakeOrderedAndProject (per-partition heaps), never a full sort
+    top = textstats.ngram_counts(docs_df, n=2, k=3)
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["ngram"], r["n"]) for r in top.collect()] == order
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # trigrams + too-short docs contribute nothing (no DESC sequence)
+    tri = Counter()
+    for _doc_id, text in DOCS:
+        toks = tokenize(text)
+        tri.update(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+    got3 = {r["ngram"]: r["n"] for r in
+            textstats.ngram_counts(docs_df, n=3).collect()}
+    assert got3 == dict(tri)
+    with pytest.raises(ValueError):
+        textstats.ngram_counts(docs_df, n=0)
+
+
 def test_fingerprints(docs_df):
     got = {r["id"]: r["fingerprint"] for r in
            textstats.doc_fingerprints(docs_df, n=5).collect()}
