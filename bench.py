@@ -175,6 +175,14 @@ def main() -> None:
         "positional": lambda: qe.positional_docs("spark /3 join").count(),
         "phrase": lambda: qe.phrase_docs("row column sort").count(),
         "joker": lambda: qe.joker_docs("st* *ow").count(),
+        "fuzzy_suggest": lambda: qe.suggest("spak", k=5, max_edits=2).collect(),
+        "related_terms": lambda: qe.related_terms(
+            "spark join", k=10, top_docs=25).collect(),
+        # doc-major forward index build (one postings decode pass) ...
+        "fwd_index_build": lambda: qe.build_forward_index(),
+        # ... then query-by-document rides the file-pruned doc_vec scan
+        "more_like_this": lambda: qe.more_like_this(0, k=10,
+                                                    n_terms=5).collect(),
         # candidate-driven (the gated scale shape): LSH proposes, exact
         # Jaccard verifies over one shared persisted shingle relation —
         # never the corpus-wide shared-shingle self-join
@@ -220,6 +228,8 @@ def main() -> None:
     resets: dict = {}
     resets["dedup_inc_build"] = lambda: shutil.rmtree(
         _DD_STORE, ignore_errors=True)
+    resets["fwd_index_build"] = lambda: shutil.rmtree(
+        f"{idx_dir}/doc_vec", ignore_errors=True)
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         emb = spark.read.parquet(emb_path)
