@@ -1054,13 +1054,19 @@ class QueryEngine:
         own bucket whose [block_first_doc, block_last_doc] span covers
         the docID decode — at most one block per term with postings in
         the doc's neighborhood, bounded by the bucket's vocabulary,
-        never a full postings pass."""
+        never a full postings pass.
+
+        A tombstoned (streaming-deleted) doc reads as EMPTY — the same
+        immediate-invisibility contract every other query surface
+        honors; a delete-only batch leaves no postings segments, so
+        without this check the doc_vec fast path would serve the
+        deleted doc's vector until the next compaction."""
         d = int(doc_id)
         store = self.index.store
         if store.exists("doc_vec") and not store.has_segments("postings"):
-            return (store.read("doc_vec")
-                    .filter(F.col("docID") == F.lit(d))
-                    .select("term", "tf"))
+            rows = (store.read("doc_vec")
+                    .filter(F.col("docID") == F.lit(d)))
+            return self._live(rows).select("term", "tf")
         dpb = int(self.stats["docs_per_bucket"])
         blocks = self._postings.filter(
             (F.col("bucket") == F.lit(d // dpb))
@@ -1068,7 +1074,8 @@ class QueryEngine:
             & (F.col("block_last_doc") >= F.lit(d)))
         dec = blocks.mapInArrow(lambda it: _decode_iter(it, False),
                                 schema=_DECODED_SCHEMA)
-        return dec.filter(F.col("docID") == F.lit(d)).select("term", "tf")
+        return (self._live(dec.filter(F.col("docID") == F.lit(d)))
+                .select("term", "tf"))
 
     def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5,
                        wand: bool = True,

@@ -179,3 +179,37 @@ def test_minor_fold_then_compact_still_applies_deletes(spark, work_dir):
     assert inc.store.read("tombstones").count() == 0
     qe = QueryEngine(inc.index())
     assert qe.boolean("trigger AND pineapple").count() == 0
+
+
+def test_delete_hides_doc_term_vector_both_paths(spark, work_dir):
+    # a delete-only batch writes tombstones and NO postings segments, so
+    # the doc_vec fast path stays eligible — it must still hide the doc
+    # (regression: pre-fix it served the deleted doc's vector until the
+    # next compaction, unlike every other query surface)
+    cfg = IndexConfig(docs_per_block=4, blocks_per_bucket=4)
+    idx_dir = f"{work_dir}/del_vec_idx"
+    IndexBuilder(spark, idx_dir, cfg).build(fixture_docs(spark), resume=False)
+    inc = IncrementalIndexer(spark, idx_dir, cfg)
+
+    qe0 = QueryEngine(inc.index())
+    qe0.build_forward_index(n_partitions=2)
+    dm = {r["path"]: r["docID"]
+          for r in inc.index().table("doc_map").collect()}
+    d = int(dm["test1.txt"])
+    assert qe0.doc_term_vector(d).count() > 0
+
+    inc.delete_batch(_keys(spark, [("ref/testing_files", "test1.txt")]),
+                     batch_id=1)
+    assert not inc.store.has_segments("postings")
+    qe = QueryEngine(inc.index())
+    # fast path (doc_vec present, no pending postings segments)
+    assert qe.doc_term_vector(d).count() == 0
+    # query-by-document over the deleted doc: empty page, not stale MLT
+    assert qe.more_like_this(d, k=5).count() == 0
+    # inverted fallback agrees once doc_vec is gone
+    inc.store.drop("doc_vec")
+    qe2 = QueryEngine(inc.index())
+    assert qe2.doc_term_vector(d).count() == 0
+    # live docs still serve their vectors through the tombstone filter
+    d2 = int(dm["test2.txt"])
+    assert qe2.doc_term_vector(d2).count() > 0
