@@ -1378,8 +1378,12 @@ class IndexBuilder:
                                "docID long, sha256 string"))
         else:
             ids = self.store.read("doc_map").select("docID", "repo", "path")
+            # NULL content -> sha2 NULL -> NO row, matching the arrow
+            # kernel's contract (codec marker docstring): both paths
+            # must produce byte-identical doc_sha tables
             sha = (with_sha256(docs)
                    .select("repo", "path", "sha256")
+                   .filter(F.col("sha256").isNotNull())
                    .join(ids, ["repo", "path"])
                    .select("docID", "sha256"))
         self.store.write(sha, "doc_sha")

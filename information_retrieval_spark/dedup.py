@@ -696,7 +696,9 @@ def _simhash_candidates(signatures: DataFrame, max_hamming: int, bits: int,
         return joined(blocks, ["blk", "val"])
 
     from pyspark.storagelevel import StorageLevel
+    _release_candidate_caches()  # previous call's persists (see below)
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    _CANDIDATE_CACHES.append(blocks)
     sizes = blocks.groupBy("blk", "val").agg(F.count(F.lit(1)).alias("bsz"))
     if split_above_candidates > 0:
         # one scalar job over the tiny histogram: the plain join's
@@ -743,7 +745,27 @@ def _simhash_candidates(signatures: DataFrame, max_hamming: int, bits: int,
              # both join sides read keyed: persist so the packed-word
              # group extraction (a wide codegen'd bit-op tree) runs once
              .persist(StorageLevel.MEMORY_AND_DISK))
+    _CANDIDATE_CACHES.append(keyed)
     return joined(keyed, ["blk", "val", "sub", "sval"])
+
+
+# DataFrame persists live in Spark's CacheManager until explicitly
+# unpersisted — they are NOT GC-evicted — so a long-running session
+# calling the simhash pairing per corpus snapshot would accumulate one
+# or two cached relations per call forever. Scope them per call
+# instead (the QueryEngine._cache discipline): each new candidate
+# generation releases the previous call's caches, bounding the
+# footprint to one call. A caller that holds an UNMATERIALIZED result
+# across a second call recomputes (correct, just uncached).
+_CANDIDATE_CACHES: list = []
+
+
+def _release_candidate_caches() -> None:
+    while _CANDIDATE_CACHES:
+        try:
+            _CANDIDATE_CACHES.pop().unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing left to release
 
 
 def simhash_near_duplicates(df: DataFrame | None = None,

@@ -815,8 +815,10 @@ class QueryEngine:
             self.postings_for(set(terms), with_positions=True)
             .select("term", "docID", "positions"))
         if len(terms) == 1:
-            return decoded.filter(F.col("term") == terms[0]) \
-                .select("docID").distinct()
+            # degenerate membership — still a set-returning query, so
+            # the tombstone anti-join applies like everywhere else
+            return self._live(decoded.filter(F.col("term") == terms[0])
+                              .select("docID").distinct())
 
         n_slots = len(terms)
 

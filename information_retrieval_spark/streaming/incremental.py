@@ -443,17 +443,22 @@ class IncrementalIndexer:
         total_len_new = int(stats["total_len"])
         if self.store.exists("tombstones"):
             tomb_df = self.store.read("tombstones").select("docID").distinct()
-            rows = tomb_df.limit(self.TOMBSTONE_COMPACT_MAX + 1).collect()
-            if len(rows) > self.TOMBSTONE_COMPACT_MAX:
+            # Arrow transfer, not .collect(): at the 32M-id cap a Row
+            # list costs GBs of driver heap where the Arrow column is
+            # the bare 8 bytes/id (+ the one np copy below)
+            tomb_arrow = (tomb_df.limit(self.TOMBSTONE_COMPACT_MAX + 1)
+                          .toArrow())
+            if tomb_arrow.num_rows > self.TOMBSTONE_COMPACT_MAX:
                 raise RuntimeError(
                     f"compact() refused: > {self.TOMBSTONE_COMPACT_MAX} "
                     "pending tombstones (the drop set ships to every "
                     "encode task as a sorted array). Compact more often, "
                     "or raise TOMBSTONE_COMPACT_MAX if the executors "
                     "have the memory.")
-            if rows:
-                drop_ids = np.sort(np.fromiter((r[0] for r in rows),
-                                               np.int64, count=len(rows)))
+            if tomb_arrow.num_rows:
+                drop_ids = np.sort(tomb_arrow.column("docID")
+                                   .to_numpy(zero_copy_only=False)
+                                   .astype(np.int64, copy=False))
                 # surviving-corpus stats from the METADATA tables only
                 # (one semi count + one small agg; a tombstone for a
                 # docID that never existed contributes nothing)

@@ -74,6 +74,11 @@ def test_delete_excludes_everywhere_before_compact(spark, work_dir):
     assert [r["name"] for r in qe.boolean("already AND streaming").collect()] \
         == ["test7.txt"]
     assert qe.boolean("trigger AND pineapple").count() == 0
+    # phrase queries too — including the single-term degenerate path,
+    # which returns straight from the decoded membership set
+    assert [r["name"] for r in qe.phrase("streaming").collect()] \
+        == ["test7.txt"]
+    assert qe.phrase_docs("fresh streaming").count() == 0
     # batched BM25 matches per-query bm25 on the deleted index
     many = qe.bm25_many({"q1": "fell already"}, k=5).collect()
     single = qe.bm25("fell already", k=5).collect()
