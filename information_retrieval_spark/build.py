@@ -1069,6 +1069,37 @@ _SEGMENT_FOLDS = {
 }
 
 
+def term_bucket_rollup(postings: DataFrame) -> DataFrame:
+    """The per-(term, docID-bucket) metadata rollup EVERY dictionary /
+    bucket_max derivation goes through: WAND threshold max, block count,
+    df/cf partial sums — one aggregate over the postings metadata
+    columns only (no binary columns ride the shuffle). Shared by the
+    batch build (stages 4.5 + 5, incl. the resume fallback) and the
+    streaming major compaction so the term-stat semantics can never
+    drift between a fresh build and a compacted index."""
+    return (postings.select("term", "bucket", "block_max_wand",
+                            "n_docs", "cf")
+            .groupBy("term", "bucket")
+            .agg(F.max("block_max_wand").alias("tmax"),
+                 F.count("*").alias("n_blocks"),
+                 F.sum("n_docs").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf")))
+
+
+def fold_term_rollup(rolled: DataFrame) -> DataFrame:
+    """term_bucket_rollup -> dictionary rows (term stats + rterm twin
+    column; term_ord is assigned by the caller's ordinal pass)."""
+    return (rolled.groupBy("term")
+            .agg(F.sum("df").alias("df"),
+                 F.sum("cf").alias("cf"),
+                 F.sum("n_blocks").alias("n_blocks"),
+                 F.count("*").alias("n_buckets"),
+                 F.max("tmax").alias("max_block_wand"))
+            .withColumn("rterm", F.reverse(F.col("term")))
+            .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
+                    "max_block_wand"))
+
+
 @dataclass
 class Index:
     store: TableStore
@@ -1468,13 +1499,7 @@ class IndexBuilder:
         by term (and then drops) — the old shape scanned + aggregated the
         postings metadata a second time for df/cf and joined it back,
         two avoidable jobs of pure serial overhead on a saturated host."""
-        postings = self.store.read("postings").select(
-            "term", "bucket", "block_max_wand", "n_docs", "cf")
-        rolled = (postings.groupBy("term", "bucket")
-                  .agg(F.max("block_max_wand").alias("tmax"),
-                       F.count("*").alias("n_blocks"),
-                       F.sum("n_docs").alias("df"),
-                       F.sum("cf").alias("cf")))
+        rolled = term_bucket_rollup(self.store.read("postings"))
         n = self._n_partitions()
         rolled = (rolled.repartitionByRange(n, "term")
                   .sortWithinPartitions("term", "bucket"))
@@ -1496,24 +1521,8 @@ class IndexBuilder:
         if self.store.exists("tmp_term_rollup"):
             src = self.store.read("tmp_term_rollup")
         else:  # resume fallback: re-derive the rollup from postings
-            src = (self.store.read("postings")
-                   .select("term", "bucket", "block_max_wand", "n_docs", "cf")
-                   .groupBy("term", "bucket")
-                   .agg(F.max("block_max_wand").alias("tmax"),
-                        F.count("*").alias("n_blocks"),
-                        F.sum("n_docs").alias("df"),
-                        F.sum("cf").alias("cf")))
-        dictionary = (
-            src.groupBy("term")
-            .agg(F.sum("df").alias("df"),
-                 F.sum("cf").alias("cf"),
-                 F.sum("n_blocks").alias("n_blocks"),
-                 F.count("*").alias("n_buckets"),
-                 F.max("tmax").alias("max_block_wand"))
-            .withColumn("rterm", F.reverse(F.col("term")))
-            .select("term", "rterm", "df", "cf", "n_blocks", "n_buckets",
-                    "max_block_wand")
-        )
+            src = term_bucket_rollup(self.store.read("postings"))
+        dictionary = fold_term_rollup(src)
         # term_ord: the term's ordinal in the sorted dictionary — the
         # reference's getTermDictPos surface (IndexBody.java:86-88);
         # assigned with the same no-global-sort two-phase rank trick as

@@ -67,6 +67,8 @@ from ..build import (
     _make_block_encoder,
     _make_fragment_encoder,
     _spimi_invert_arrow,
+    fold_term_rollup,
+    term_bucket_rollup,
     with_global_ordinals,
 )
 from ..corpus import DOCUMENTS_SCHEMA, with_sha256
@@ -514,14 +516,7 @@ class IncrementalIndexer:
         # -- 2. metadata from the compacted postings — ONE postings scan
         # feeds both tables (the build-stage shape: df/cf partial sums
         # ride the WAND rollup, the dictionary folds it, no join)
-        post = self.store.read("postings")
-        rolled = (post.select("term", "bucket", "block_max_wand",
-                              "n_docs", "cf")
-                  .groupBy("term", "bucket")
-                  .agg(F.max("block_max_wand").alias("tmax"),
-                       F.count("*").alias("n_blocks"),
-                       F.sum("n_docs").cast("long").alias("df"),
-                       F.sum("cf").cast("long").alias("cf"))
+        rolled = (term_bucket_rollup(self.store.read("postings"))
                   .repartitionByRange(n, "term")
                   .sortWithinPartitions("term", "bucket"))
         self.store.write(rolled, "tmp_term_rollup")
@@ -529,15 +524,7 @@ class IncrementalIndexer:
         self.store.write(rolled.select("term", "bucket", "tmax", "n_blocks"),
                          "tmp_bucket_max_new")
         self._swap("bucket_max", "tmp_bucket_max_new")
-        merged = (rolled.groupBy("term")
-                  .agg(F.sum("df").alias("df"),
-                       F.sum("cf").alias("cf"),
-                       F.sum("n_blocks").alias("n_blocks"),
-                       F.count("*").alias("n_buckets"),
-                       F.max("tmax").alias("max_block_wand"))
-                  .withColumn("rterm", F.reverse(F.col("term")))
-                  .select("term", "rterm", "df", "cf", "n_blocks",
-                          "n_buckets", "max_block_wand"))
+        merged = fold_term_rollup(rolled)
         merged = with_global_ordinals(
             self.spark, self.store, merged, ["term"], "term_ord",
             "tmp_compact_order", n)
