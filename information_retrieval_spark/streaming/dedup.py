@@ -45,13 +45,13 @@ from __future__ import annotations
 import glob
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dedup import minhash_signatures
 from ..io import TableStore
+from .segments import BatchSegments
 
 # default streaming-source schema: the documents-table shape
 # (TESTDATA.md); pass `schema=` to stream any other document relation
@@ -88,7 +88,7 @@ def _est_jaccard(a: str = "sig_a", b: str = "sig_b"):
     return matches / F.size(F.col(a))
 
 
-class IncrementalDeduper:
+class IncrementalDeduper(BatchSegments):
     """Persisted LSH signature store + per-batch near-dup probe.
 
     Usage (batch-incremental):
@@ -105,6 +105,7 @@ class IncrementalDeduper:
     """
 
     TABLES = ("bands", "sigs", "dup_pairs")
+    SEGMENTED_TABLES = TABLES  # BatchSegments guard scans these
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  num_hashes: int = 64, band_size: int = 8, n: int = 3,
@@ -144,37 +145,21 @@ class IncrementalDeduper:
             json.dump(self.params, open(tmp, "w"))
             os.rename(tmp, meta)
 
+    # _marker / _stage_dir / _append_files / _stage_and_link /
+    # _commit_batch and the uncommitted-batch compaction guard come
+    # from BatchSegments — one shared contract with the incremental
+    # indexer, not a parallel copy that could drift
+
     def _path(self, table: str) -> str:
         d = self.store.path(table)
         os.makedirs(d, exist_ok=True)
         return d
-
-    def _marker(self, batch_id: int) -> str:
-        d = os.path.join(self.root, "applied")
-        os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{batch_id}.done")
 
     def _read(self, table: str) -> DataFrame | None:
         files = glob.glob(os.path.join(self._path(table), "*.parquet"))
         if not files:
             return None
         return self.spark.read.parquet(self._path(table))
-
-    def _append_segment(self, df: DataFrame, table: str,
-                        batch_id: int) -> None:
-        """Stage + link under deterministic names (retry-safe append:
-        a replayed batch first removes its own files — the
-        streaming/incremental.py contract)."""
-        stage = os.path.join(self.root, f"tmp_batch_{batch_id}", table)
-        df.write.mode("overwrite").parquet(stage)
-        live = self._path(table)
-        for old in glob.glob(os.path.join(live,
-                                          f"batch{batch_id}_*.parquet")):
-            os.remove(old)
-        for i, fp in enumerate(sorted(glob.glob(
-                os.path.join(stage, "*.parquet")))):
-            os.link(fp, os.path.join(live,
-                                     f"batch{batch_id}_{i:05d}.parquet"))
 
     # -- signature construction -------------------------------------------
     def _signatures(self, df: DataFrame) -> DataFrame:
@@ -267,18 +252,11 @@ class IncrementalDeduper:
         bands = (_banded(sig, p["num_hashes"], p["band_size"])
                  .repartitionByRange(1, "band_key")
                  .sortWithinPartitions("band_key"))
-        self._append_segment(bands, "bands", batch_id)
-        self._append_segment(
+        self._stage_and_link(bands, "bands", batch_id)
+        self._stage_and_link(
             sig.repartitionByRange(1, "id").sortWithinPartitions("id"),
             "sigs", batch_id)
-        self._finish(batch_id)
-
-    def _finish(self, batch_id: int) -> None:
-        tmp = self._marker(batch_id) + ".tmp"
-        open(tmp, "w").write("done")
-        os.rename(tmp, self._marker(batch_id))
-        shutil.rmtree(os.path.join(self.root, f"tmp_batch_{batch_id}"),
-                      ignore_errors=True)
+        self._commit_batch(batch_id)
 
     def probe_and_append(self, batch_df: DataFrame,
                          batch_id: int) -> DataFrame:
@@ -291,7 +269,7 @@ class IncrementalDeduper:
             pairs = self.probe(batch_df, _batch_sigs=sig)
             # pairs segment first, marker last (inside append): a crash
             # anywhere replays the whole unit idempotently
-            self._append_segment(
+            self._stage_and_link(
                 pairs.withColumn("batch_id",
                                  F.lit(batch_id).cast("long")),
                 "dup_pairs", batch_id)
@@ -305,18 +283,6 @@ class IncrementalDeduper:
         return self._read("dup_pairs")
 
     # -- compaction --------------------------------------------------------
-    def _uncommitted_batch_ids(self) -> set:
-        """Batch ids with linked segment files but no commit marker —
-        crashed mid-append, pending a foreachBatch retry (the
-        incremental.py guard: folding their partial files into a base
-        would double-count the retry's remove-and-relink)."""
-        ids = set()
-        for t in self.TABLES:
-            for fp in glob.glob(os.path.join(self._path(t),
-                                             "batch*_*.parquet")):
-                ids.add(int(os.path.basename(fp).split("_")[0][5:]))
-        return {i for i in ids if not os.path.exists(self._marker(i))}
-
     def compact(self) -> None:
         """Fold the accumulated per-batch segment files into one sorted
         base per table — after 10^4 micro-batches a probe's store scan
@@ -327,12 +293,7 @@ class IncrementalDeduper:
         publish), so a crash anywhere leaves a consistent, probe-safe
         store and batch commit markers survive — a replayed batch id
         stays a no-op after its segments were folded."""
-        pending = self._uncommitted_batch_ids()
-        if pending:
-            raise RuntimeError(
-                f"compact() refused: batches {sorted(pending)} have "
-                "linked segment files but no commit marker — re-apply "
-                "them (appends are idempotent) before compacting")
+        self._require_all_committed()
         n = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions",
                                            "8")) // 4)
         for table, key in (("bands", "band_key"), ("sigs", "id"),

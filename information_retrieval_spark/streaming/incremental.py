@@ -72,36 +72,19 @@ from ..build import (
     with_global_ordinals,
 )
 from ..corpus import DOCUMENTS_SCHEMA, with_sha256
+from .segments import BatchSegments
 from ..io import TableStore
 
 
-class IncrementalIndexer:
+class IncrementalIndexer(BatchSegments):
+    # batch bookkeeping (_marker/_stage_dir/_append_files/_commit_batch,
+    # the uncommitted-batch compaction guard) comes from BatchSegments —
+    # the contract is shared verbatim with streaming/dedup.py
     def __init__(self, spark: SparkSession, index_dir: str,
                  config: IndexConfig | None = None):
         self.spark = spark
         self.config = config or IndexConfig()
         self.store = TableStore(spark, index_dir)
-
-    # -- batch bookkeeping -------------------------------------------------
-    def _marker(self, batch_id: int) -> str:
-        d = self.store.path("applied")
-        os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{batch_id}.done")
-
-    def _stage_dir(self, batch_id: int, *parts: str) -> str:
-        return os.path.join(self.store.path(f"tmp_batch_{batch_id}"), *parts)
-
-    def _append_files(self, staged: str, table: str, batch_id: int) -> None:
-        """Move staged parquet files into the live table under
-        deterministic names; removes this batch's files first so a retry
-        never double-appends."""
-        live = self.store.path(table)
-        for old in glob.glob(os.path.join(live, f"batch{batch_id}_*.parquet")):
-            os.remove(old)
-        files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
-        for i, fp in enumerate(files):
-            tgt = os.path.join(live, f"batch{batch_id}_{i:05d}.parquet")
-            os.link(fp, tgt)
 
     # -- one micro-batch -------------------------------------------------
     def append_batch(self, batch_df: DataFrame, batch_id: int = 0,
@@ -271,10 +254,7 @@ class IncrementalIndexer:
         crash_point("stats")
 
         # -- stage 4: commit marker + cleanup -----------------------------
-        tmp = self._marker(batch_id) + ".tmp"
-        open(tmp, "w").write("done")
-        os.rename(tmp, self._marker(batch_id))
-        shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
+        self._commit_batch(batch_id)
 
     def _ensure_live_dir(self, table: str) -> None:
         """First-touch init for a table born from segment appends
@@ -330,10 +310,7 @@ class IncrementalIndexer:
                            "tombstones", batch_id)
         if _fail_after == "links":
             raise RuntimeError("injected crash after links")
-        tmp = self._marker(batch_id) + ".tmp"
-        open(tmp, "w").write("done")
-        os.rename(tmp, self._marker(batch_id))
-        shutil.rmtree(self._stage_dir(batch_id), ignore_errors=True)
+        self._commit_batch(batch_id)
 
     # -- compaction --------------------------------------------------------
     SEGMENTED_TABLES = ("postings", "doc_map", "doc_len", "doc_sha",
@@ -346,29 +323,7 @@ class IncrementalIndexer:
     # fraction of the corpus in any healthy schedule.
     TOMBSTONE_COMPACT_MAX = 1 << 25
 
-    def _uncommitted_batch_ids(self) -> set:
-        """Batch ids with linked segment files but NO commit marker —
-        a batch that crashed between stage 2 and stage 4 and is pending
-        a foreachBatch retry. Compaction MUST NOT fold these: once
-        their files are baked into a compacted base, the retry's
-        remove-and-relink (_append_files) can no longer supersede them
-        and the batch's rows would be counted twice."""
-        ids = set()
-        for t in self.SEGMENTED_TABLES:
-            for fp in glob.glob(os.path.join(self.store.path(t),
-                                             "batch*_*.parquet")):
-                ids.add(int(os.path.basename(fp).split("_")[0][5:]))
-        return {i for i in ids if not os.path.exists(self._marker(i))}
-
-    def _require_all_committed(self) -> None:
-        pending = self._uncommitted_batch_ids()
-        if pending:
-            raise RuntimeError(
-                f"compact() refused: batches {sorted(pending)} have "
-                "linked segment files but no commit marker (crashed "
-                "mid-apply). Re-apply them (append_batch replays are "
-                "idempotent) before compacting — folding partial files "
-                "into a base would double-count the retry.")
+    # _uncommitted_batch_ids / _require_all_committed: BatchSegments
 
     def compact(self) -> None:
         """Fold ALL pending LSM segments — data tables included — into

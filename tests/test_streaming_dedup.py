@@ -210,10 +210,10 @@ def test_compact_refuses_uncommitted_batch(spark, work_dir):
     dd.probe_and_append(_df(spark, BATCHES[0]), 0)
     # simulate a batch that crashed between linking and its marker
     sig = dd._signatures(_df(spark, BATCHES[1]))
-    dd._append_segment(sig, "sigs", 1)
+    dd._stage_and_link(sig, "sigs", 1)
     with pytest.raises(RuntimeError, match="no commit marker"):
         dd.compact()
-    dd._finish(1)  # marker lands -> compaction proceeds
+    dd._commit_batch(1)  # marker lands -> compaction proceeds
     dd.compact()
 
 
