@@ -589,6 +589,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.unigram_logprob_scores(_documents(spark, sf))
     q["text_unigram_logprob"] = text_unigram_logprob
 
+    def text_pii(spark, sf):
+        # PII detect + redact (the C4/RefinedWeb curation step). The
+        # synthetic corpus contains no PII-shaped spans, so the gate
+        # plants them DETERMINISTICALLY from the doc's own fields (an
+        # email built from `source`, an IP from doc_id, plus a decoy
+        # "1234.5.6.7" that must NOT match) — the same augmentation
+        # expression runs in the oracle, so counts and the redacted
+        # text verify character-for-character across engines.
+        d = _documents(spark, sf)
+        aug = d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" mail "), F.col("source"),
+                     F.lit("@corp.example.com node 10.1."),
+                     (F.col("doc_id") % 200).cast("string"),
+                     F.lit(".42 decoy 1234.5.6.7")).alias("text"))
+        return (textstats.pii_stats(aug)
+                .join(textstats.redact_pii(aug), "id"))
+    q["text_pii"] = text_pii
+
     def text_top_bigrams(spark, sf):
         # corpus n-gram statistics (n-gram LM data / common-phrase
         # report): exact top-20 bigrams by (count desc, ngram) — one
@@ -1372,6 +1391,24 @@ def oracle_sql() -> dict[str, str]:
 
     # corpus bigram top-20: consecutive-position self-join over the
     # tokenizer CTE, same (count desc, ngram) deterministic cut
+    pii_em = textstats.PII_PATTERNS["email"]
+    pii_ip = textstats.PII_PATTERNS["ipv4"]
+    o["text_pii"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' mail ' || source || '@corp.example.com node 10.1.'
+                        || (doc_id % 200)::VARCHAR || '.42 decoy 1234.5.6.7'
+                   AS text
+            FROM documents
+        )
+        SELECT doc_id AS id,
+               len(regexp_extract_all(coalesce(text, ''), '{pii_em}'))::BIGINT AS n_email,
+               len(regexp_extract_all(coalesce(text, ''), '{pii_ip}'))::BIGINT AS n_ipv4,
+               regexp_replace(regexp_replace(text, '{pii_em}', '<EMAIL>', 'g'),
+                              '{pii_ip}', '<IPV4>', 'g') AS text_redacted
+        FROM aug
+    """
+
     o["text_top_bigrams"] = f"""
         WITH {_TOKS}, {_POS}
         SELECT a.term || ' ' || b.term AS ngram, count(*)::BIGINT AS n

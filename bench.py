@@ -209,6 +209,11 @@ def main() -> None:
         "dedup_inc_probe": lambda: _dedup_inc_probe(spark, docs),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
+        # PII detect+redact: two map-only regexp projections (C4-style
+        # curation); count() forces the full redaction pass
+        "text_pii": lambda: textstats.redact_pii(
+            docs, id_col="path", text_col="content")
+            .filter(F.length("text_redacted") >= 0).count(),
         # corpus bigram top-20: one explode + map-side-combined agg,
         # TakeOrderedAndProject cut (never a full sort shuffle)
         "text_bigrams": lambda: textstats.ngram_counts(

@@ -194,3 +194,58 @@ def ngram_counts(df: DataFrame, n: int = 2, k: int | None = None,
     if k is not None:
         counts = counts.orderBy(F.desc("n"), F.asc("ngram")).limit(int(k))
     return counts
+
+
+# PII patterns shared by pii_stats / redact_pii and their oracles.
+# Shape-based (the C4 / RefinedWeb curation convention): the email
+# pattern is the usual local@domain.tld form, the IPv4 pattern is four
+# 1-3 digit runs joined by dots between word boundaries — it
+# deliberately matches out-of-range shapes like 999.1.1.1 (redacting a
+# non-routable lookalike costs nothing; missing a real address leaks).
+# Both patterns avoid lookaround and backreferences so Java regex
+# (Spark), RE2 (DuckDB) and Python `re` agree match-for-match.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, n_email, n_ipv4): per-document counts of PII-shaped spans —
+    the detection half of the standard pre-training redaction step
+    (no reference counterpart; north-star pipeline addition).
+
+    Scale shape (100 TB): two `regexp_extract_all` + `size` expressions
+    in one projection — map-only, whole-stage codegen, no shuffle, no
+    UDF; the corpus is scanned exactly once and only (id, text) is
+    read. NULL text counts as empty (coalesce), so the output is total
+    over the input and the counts are never NULL."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+          .cast("long").alias(f"n_{name}")
+          for name, p in PII_PATTERNS.items()])
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", email_token: str = "<EMAIL>",
+               ipv4_token: str = "<IPV4>") -> DataFrame:
+    """(id, text_redacted): every PII-shaped span replaced by its
+    placeholder token — the redaction half of the curation step.
+
+    Emails are replaced BEFORE IPv4s (fixed, documented order shared
+    with the oracle); the replacement tokens contain no digits or '@',
+    so the second pass cannot re-match inside the first pass's output.
+    NULL text redacts to NULL (the input's nullability is preserved,
+    unlike pii_stats' coalesced counts).
+
+    Scale shape (100 TB): two chained `regexp_replace` calls in one
+    map-only projection — same single-scan/no-shuffle/no-UDF contract
+    as pii_stats."""
+    red = F.regexp_replace(F.col(text_col),
+                           PII_PATTERNS["email"], email_token)
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], ipv4_token)
+    return df.select(F.col(id_col).alias("id"),
+                     red.alias("text_redacted"))

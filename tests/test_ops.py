@@ -1196,3 +1196,61 @@ def test_repetition_scores_oracle(spark):
     assert got[0][0] == round(1 - 2 / 3, 6)
     assert got[2][1] == round(1 - 1 / 4, 6)
     assert got[4] == (0.0, 0.0) and got[5] == (0.0, 0.0)
+
+
+def test_pii_stats_and_redact_oracle(spark):
+    # pure-Python `re` oracle: the patterns avoid lookaround and
+    # backreferences precisely so Java regex / RE2 / Python re agree
+    import re as _re
+    docs = [
+        (0, "reach me at alice.b+tag%x@foo-bar.example.COM or bob@y.io"),
+        (1, "x@y is not an email, nor is @host or user@"),           # no TLD
+        (2, "10.0.0.1 leads, 255.255.255.255 ends"),                 # edges
+        (3, "1234.5.6.7 has no boundary match; 999.1.1.1 does"),     # shape
+        (4, "mix: c@d.co then 192.168.0.42 then e@f.org"),
+        (5, "user@1.2.3.4 — domain is an IP, email must not match"),
+        (6, ""),                                                     # empty
+        (7, None),                                                   # null
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r["id"]: (r["n_email"], r["n_ipv4"])
+             for r in textstats.pii_stats(df).collect()}
+    red = {r["id"]: r["text_redacted"]
+           for r in textstats.redact_pii(df).collect()}
+    em, ip = (textstats.PII_PATTERNS["email"], textstats.PII_PATTERNS["ipv4"])
+    for i, text in docs:
+        t = text or ""
+        want = (len(_re.findall(em, t)), len(_re.findall(ip, t)))
+        assert stats[i] == want, (i, stats[i], want)
+        want_red = (None if text is None else
+                    _re.sub(ip, "<IPV4>", _re.sub(em, "<EMAIL>", text)))
+        assert red[i] == want_red, (i, red[i], want_red)
+    # the planted facts the oracle should agree on
+    assert stats[0] == (2, 0) and stats[2] == (0, 2)
+    assert stats[3] == (0, 1)       # "1234.5.6.7" never matches (no \b)
+    assert stats[5] == (0, 1)       # IP-domain "email" is redacted as IPv4
+    assert red[4] == "mix: <EMAIL> then <IPV4> then <EMAIL>"
+
+    # three-engine parity: DuckDB (RE2) over the same rows
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    rows = con.execute(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''), '{em}'))::BIGINT,
+               len(regexp_extract_all(coalesce(text, ''), '{ip}'))::BIGINT,
+               regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                              '{ip}', '<IPV4>', 'g')
+        FROM d""").fetchall()
+    for i, ne, ni, rtext in rows:
+        assert stats[i] == (ne, ni), (i, stats[i], (ne, ni))
+        assert red[i] == rtext, (i, red[i], rtext)
+
+
+def test_pii_ops_are_map_only(docs_df):
+    # single-scan / no-shuffle / no-UDF contract for both PII ops
+    for op in (textstats.pii_stats, textstats.redact_pii):
+        plan = op(docs_df)._jdf.queryExecution().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
