@@ -608,6 +608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .join(textstats.redact_pii(aug), "id"))
     q["text_pii"] = text_pii
 
+    def text_bpe_pieces(spark, sf):
+        # GPT-2-style pre-tokenizer piece counts — the LLM token-budget
+        # estimate next to whitespace counts (BPE merges only ever
+        # happen within pre-tokenizer pieces)
+        return textstats.bpe_piece_counts(_documents(spark, sf))
+    q["text_bpe_pieces"] = text_bpe_pieces
+
     def text_top_bigrams(spark, sf):
         # corpus n-gram statistics (n-gram LM data / common-phrase
         # report): exact top-20 bigrams by (count desc, ngram) — one
@@ -1407,6 +1414,18 @@ def oracle_sql() -> dict[str, str]:
                regexp_replace(regexp_replace(text, '{pii_em}', '<EMAIL>', 'g'),
                               '{pii_ip}', '<IPV4>', 'g') AS text_redacted
         FROM aug
+    """
+
+    bpe_pat = textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    o["text_bpe_pieces"] = f"""
+        SELECT doc_id AS id,
+               len(regexp_extract_all(coalesce(text, ''), '{bpe_pat}'))::BIGINT
+                   AS n_pieces,
+               len(list_filter(
+                   regexp_extract_all(coalesce(text, ''), '{bpe_pat}'),
+                   x -> NOT regexp_full_match(x, '[ \\t\\n\\x0b\\f\\r]+')
+               ))::BIGINT AS n_nonspace_pieces
+        FROM documents
     """
 
     o["text_top_bigrams"] = f"""

@@ -214,6 +214,11 @@ def main() -> None:
         "text_pii": lambda: textstats.redact_pii(
             docs, id_col="path", text_col="content")
             .filter(F.length("text_redacted") >= 0).count(),
+        # BPE pre-tokenizer piece counts: one regexp_extract_all +
+        # array filter, map-only (the LLM token-budget estimate)
+        "text_bpe": lambda: textstats.bpe_piece_counts(
+            docs, id_col="path", text_col="content")
+            .agg(F.sum("n_nonspace_pieces")).collect(),
         # corpus bigram top-20: one explode + map-side-combined agg,
         # TakeOrderedAndProject cut (never a full sort shuffle)
         "text_bigrams": lambda: textstats.ngram_counts(

@@ -249,3 +249,48 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
     red = F.regexp_replace(red, PII_PATTERNS["ipv4"], ipv4_token)
     return df.select(F.col(id_col).alias("id"),
                      red.alias("text_redacted"))
+
+
+# GPT-2-style pre-tokenizer ("BPE-ish") pattern: contraction suffixes,
+# optionally-space-prefixed letter runs / digit runs / punctuation runs,
+# then whitespace runs. Simplified from the GPT-2 original in three
+# deliberate, engine-portability-driven ways: no `(?!\S)` lookahead
+# (RE2 has none), explicit ASCII classes instead of \p{L}/\p{N}/\s
+# (identical semantics in Java regex, RE2 and Python `re` — Python's
+# \s is otherwise Unicode-wide), non-capturing group only (keeps
+# `re.findall` and group-0 extraction aligned). All three engines use
+# leftmost-first alternation, so piece boundaries agree exactly.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r]+"
+    r"|[ \t\n\x0b\f\r]+")
+
+_WS_RUN_PATTERN = r"[ \t\n\x0b\f\r]+"
+
+
+def bpe_piece_counts(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_pieces, n_nonspace_pieces): document length under a
+    GPT-2-style pre-tokenizer regex — the standard first pass of a BPE
+    tokenizer, and the LLM-token-budget estimate a training pipeline
+    reports next to whitespace counts (a BPE vocab only ever merges
+    WITHIN pre-tokenizer pieces, so n_nonspace_pieces lower-bounds and
+    tracks the real token count). n_pieces counts every match
+    including whitespace runs; n_nonspace_pieces drops the
+    pure-whitespace matches — counted by FILTERING the actual match
+    array, not by re-extracting whitespace runs standalone (a single
+    space before a word is consumed by the ` ?[A-Za-z]+` piece, so a
+    standalone whitespace scan would overcount). NULL text counts as
+    empty.
+
+    Scale shape (100 TB): one `regexp_extract_all` + an array filter
+    in one map-only projection — same single-scan / no-shuffle /
+    no-UDF contract as pii_stats."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pieces = F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    nonspace = F.filter(
+        pieces, lambda x: ~x.rlike(f"^{_WS_RUN_PATTERN}$"))
+    return df.select(F.col(id_col).alias("id"),
+                     F.size(pieces).cast("long").alias("n_pieces"),
+                     F.size(nonspace).cast("long")
+                     .alias("n_nonspace_pieces"))

@@ -1254,3 +1254,49 @@ def test_pii_ops_are_map_only(docs_df):
         plan = op(docs_df)._jdf.queryExecution().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_piece_counts_oracle(spark):
+    # python `re` oracle: the ASCII-class / non-capturing-group pattern
+    # is chosen so Java regex, RE2 and Python re split identically
+    import re as _re
+    docs = [
+        (0, "don't we'll they're I'm you've he'd it's"),   # contractions
+        (1, "a b"),          # single space consumed by the word piece
+        (2, "a  b"),         # double space -> one ws-run piece survives
+        (3, "foo123bar!! x-y_z"),                          # mixed runs
+        (4, "  leading and trailing  "),
+        (5, "tab\there\nnewline\x0bvt\fff\rcr"),
+        (6, ""),
+        (7, None),
+        (8, "count(*) OVER (PARTITION BY x ORDER BY y)"),  # code-ish
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["n_pieces"], r["n_nonspace_pieces"])
+           for r in textstats.bpe_piece_counts(df).collect()}
+    ws_full = _re.compile(r"[ \t\n\x0b\f\r]+\Z")
+    for i, text in docs:
+        pieces = _re.findall(textstats.BPE_PRETOKEN_PATTERN, text or "")
+        want = (len(pieces),
+                sum(1 for p in pieces if not ws_full.match(p)))
+        assert got[i] == want, (i, got[i], want)
+    # planted facts: contraction splitting and the ws-run subtlety
+    assert got[0][1] == 14          # 7 words + 7 contraction suffixes
+    assert got[1] == (2, 2)         # "a", " b" — no ws piece
+    assert got[2] == (3, 2)         # "a", "  ", "b"
+    assert got[6] == (0, 0) and got[7] == (0, 0)
+
+    # three-engine parity: DuckDB (RE2) over the same rows
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    pat = textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    rows = con.execute(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT,
+               len(list_filter(regexp_extract_all(coalesce(text, ''), '{pat}'),
+                   x -> NOT regexp_full_match(x, '[ \t\n\x0b\f\r]+')))::BIGINT
+        FROM d""").fetchall()
+    for i, na, nn in rows:
+        assert got[i] == (na, nn), (i, got[i], (na, nn))
