@@ -1300,3 +1300,57 @@ def test_bpe_piece_counts_oracle(spark):
         FROM d""").fetchall()
     for i, na, nn in rows:
         assert got[i] == (na, nn), (i, got[i], (na, nn))
+
+
+def test_regex_ops_random_text_parity(spark):
+    # seeded random-text sweep: Spark (Java regex) vs Python `re` vs
+    # DuckDB (RE2) must agree on every PII count, every redacted text
+    # and every BPE piece count — the tri-engine-portability claim the
+    # pattern design rests on, checked beyond the hand-picked edges.
+    import re as _re
+    import duckdb
+    rng = np.random.RandomState(17)
+    frags = ["user", "a.b", "+tag", "%x", "@", "example", ".com", ".c",
+             "10", ".", "255", "999", "1234", "0", " ", "  ", "\t", "\n",
+             "don", "'t", "'", "ll", "we", "-", "_", "!", "(", ")",
+             "COUNT", "x1y2", "\x0b", "\f", "\r", "e@f.org", "1.2.3.4"]
+    docs = [(i, "".join(rng.choice(frags, size=rng.randint(0, 25))))
+            for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    em, ip = textstats.PII_PATTERNS["email"], textstats.PII_PATTERNS["ipv4"]
+    stats = {r["id"]: (r["n_email"], r["n_ipv4"])
+             for r in textstats.pii_stats(df).collect()}
+    red = {r["id"]: r["text_redacted"]
+           for r in textstats.redact_pii(df).collect()}
+    bpe = {r["id"]: (r["n_pieces"], r["n_nonspace_pieces"])
+           for r in textstats.bpe_piece_counts(df).collect()}
+    ws_full = _re.compile(r"[ \t\n\x0b\f\r]+\Z")
+    for i, text in docs:
+        assert stats[i] == (len(_re.findall(em, text)),
+                            len(_re.findall(ip, text))), (i, text)
+        assert red[i] == _re.sub(ip, "<IPV4>",
+                                 _re.sub(em, "<EMAIL>", text)), (i, text)
+        pieces = _re.findall(textstats.BPE_PRETOKEN_PATTERN, text)
+        assert bpe[i] == (len(pieces),
+                          sum(1 for p in pieces
+                              if not ws_full.match(p))), (i, text)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    bpat = textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    rows = con.execute(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{em}'))::BIGINT,
+               len(regexp_extract_all(text, '{ip}'))::BIGINT,
+               regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                              '{ip}', '<IPV4>', 'g'),
+               len(regexp_extract_all(text, '{bpat}'))::BIGINT,
+               len(list_filter(regexp_extract_all(text, '{bpat}'),
+                   x -> NOT regexp_full_match(x, '[ \t\n\x0b\f\r]+')))::BIGINT
+        FROM d""").fetchall()
+    for i, ne, ni, rtext, np_, nn in rows:
+        assert stats[i] == (ne, ni), (i, docs[i][1])
+        assert red[i] == rtext, (i, docs[i][1])
+        assert bpe[i] == (np_, nn), (i, docs[i][1])
