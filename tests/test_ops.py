@@ -1250,7 +1250,8 @@ def test_pii_stats_and_redact_oracle(spark):
 
 def test_pii_ops_are_map_only(docs_df):
     # single-scan / no-shuffle / no-UDF contract for both PII ops
-    for op in (textstats.pii_stats, textstats.redact_pii):
+    for op in (textstats.pii_stats, textstats.redact_pii,
+               textstats.bpe_piece_counts):
         plan = op(docs_df)._jdf.queryExecution().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
