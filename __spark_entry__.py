@@ -623,6 +623,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.ngram_counts(_documents(spark, sf), n=2, k=20)
     q["text_top_bigrams"] = text_top_bigrams
 
+    def text_pmi_bigrams(spark, sf):
+        # collocation extraction: exact top-20 adjacent pairs by PMI
+        # (Church & Hanks), hapax pairs dropped (n_xy >= 3); pmi rounds
+        # to 6 dp BEFORE the (pmi desc, ngram) cut. Two map-side-combined
+        # aggs whose exchanges Spark reuses for the totals, then
+        # vocabulary-sized joins only.
+        return textstats.pmi_bigrams(_documents(spark, sf), k=20,
+                                     min_count=3)
+    q["text_pmi_bigrams"] = text_pmi_bigrams
+
     # ---- multimodal plumbing ----
     def multimodal_features(spark, sf):
         # binary payload columns synthesized deterministically from the
@@ -834,6 +844,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (e.doc_term_vector(src)
                 .select("term", F.col("tf").cast("long").alias("tf")))
     q["doc_vector"] = doc_vector
+
+    def tfidf_keywords(spark, sf):
+        # corpus-wide keyword extraction: the top-3 tf·idf terms of
+        # EVERY document in one decode pass + one docID window — the
+        # batch form of more_like_this's term-selection step. Weights
+        # round to 6 dp BEFORE the rank cut, ties break on term asc
+        # (the deterministic hard-cut discipline of the other ranked
+        # gates).
+        e = _engine(spark, sf)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (e.tfidf_top_terms(k=3).join(dm, "docID")
+                .select("doc_id", "term",
+                        F.col("tf").cast("long").alias("tf"),
+                        "w", F.col("rank").cast("long").alias("rank")))
+    q["tfidf_keywords"] = tfidf_keywords
 
     def delete_requery(spark, sf):
         # streaming deletes (tombstones): docs deleted from a LIVE index
@@ -1094,6 +1120,28 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TOKS}, {_EX}
         SELECT term, count(*)::BIGINT AS tf
         FROM ex WHERE doc_id = 7 GROUP BY term
+    """
+
+    # corpus-wide keyword extraction: per-doc tf * global idf (the
+    # shared idf formula of the bm25 gates), rounded to 6 dp BEFORE the
+    # per-doc (w desc, term) rank cut — the deterministic hard-cut
+    # discipline that makes the page engine-portable
+    o["tfidf_keywords"] = f"""
+        WITH {_TOKS}, {_EX},
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM ex GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM ex GROUP BY term),
+        st AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        w AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln(1 + (st.n - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5)), 6) AS w
+              FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+        r AS (SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY w DESC, term) AS rank
+              FROM w)
+        SELECT doc_id, term, tf, w, rank::BIGINT AS rank
+        FROM r WHERE rank <= 3
     """
 
     # streaming deletes pre-compact: scores use AS-BUILT full-corpus
@@ -1434,6 +1482,30 @@ def oracle_sql() -> dict[str, str]:
         FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
         GROUP BY ngram
         ORDER BY n DESC, ngram LIMIT 20
+    """
+
+    # PMI collocations: same adjacency relation as text_top_bigrams,
+    # scored ln(n_xy*N_uni*N_uni / (N_big*c_x*c_y)) with ONE literal
+    # operand order on both engines, rounded before the cut
+    o["text_pmi_bigrams"] = f"""
+        WITH {_TOKS}, {_EX}, {_POS},
+        uni AS (SELECT term, count(*)::BIGINT AS c FROM ex GROUP BY term),
+        big AS (SELECT a.term AS x, b.term AS y, count(*)::BIGINT AS n_xy
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY a.term, b.term),
+        tot AS (SELECT (SELECT sum(c)::DOUBLE FROM uni) AS n_uni,
+                       (SELECT sum(n_xy)::DOUBLE FROM big) AS n_big),
+        scored AS (
+            SELECT big.x || ' ' || big.y AS ngram, big.n_xy,
+                   round(ln((big.n_xy::DOUBLE * tot.n_uni * tot.n_uni)
+                            / (tot.n_big * ux.c * uy.c)), 6) AS pmi
+            FROM big
+            JOIN uni ux ON ux.term = big.x
+            JOIN uni uy ON uy.term = big.y
+            CROSS JOIN tot
+            WHERE big.n_xy >= 3)
+        SELECT ngram, n_xy, pmi FROM scored
+        ORDER BY pmi DESC, ngram LIMIT 20
     """
 
     o["ann_cosine_topk"] = """

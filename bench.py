@@ -183,6 +183,10 @@ def main() -> None:
         # ... then query-by-document rides the file-pruned doc_vec scan
         "more_like_this": lambda: qe.more_like_this(0, k=10,
                                                     n_terms=5).collect(),
+        # corpus-wide keyword extraction: one decode pass (or the
+        # doc_vec scan when fwd_index_build ran first) + one docID
+        # window for the per-doc top-k cut
+        "tfidf_keywords": lambda: qe.tfidf_top_terms(k=3).count(),
         # candidate-driven (the gated scale shape): LSH proposes, exact
         # Jaccard verifies over one shared persisted shingle relation —
         # never the corpus-wide shared-shingle self-join
@@ -223,6 +227,10 @@ def main() -> None:
         # TakeOrderedAndProject cut (never a full sort shuffle)
         "text_bigrams": lambda: textstats.ngram_counts(
             docs, n=2, k=20, text_col="content").collect(),
+        # PMI collocations: two map-side-combined aggs (exchanges
+        # reused for the totals) + vocabulary-sized joins
+        "text_pmi": lambda: textstats.pmi_bigrams(
+            docs, k=20, min_count=3, text_col="content").collect(),
         "sample_split": lambda: sampling.train_val_split(
             sampling.hash_sample(docs, 0.5, key_col="path"), 0.25,
             key_col="path").groupBy("split").count().collect(),

@@ -1079,6 +1079,52 @@ class QueryEngine:
         return (self._live(dec.filter(F.col("docID") == F.lit(d)))
                 .select("term", "tf"))
 
+    def tfidf_top_terms(self, k: int = 5) -> DataFrame:
+        """(docID, term, tf, w, rank): the `k` highest-tf·idf terms of
+        EVERY live document — batch keyword extraction, the corpus-wide
+        form of more_like_this's term-selection step (reference parity:
+        the same tf·idf weighting discipline; reference has only the
+        single-doc form). Weights are ROUNDED to 6 dp before the cut
+        and ties break on term asc, so the page is engine-portable
+        (the hard-cut discipline of more_like_this / related_terms).
+
+        Scale shape (10^12 docs): ONE postings decode pass — the
+        doc-major forward index when present (file-pruned scan, no
+        decode), else the same mapInArrow decode build_forward_index
+        uses — then the df join and ONE window shuffle keyed on docID.
+        df attaches from the dictionary with Spark's own size-estimated
+        join (broadcast when the vocabulary fits, sort-merge when it
+        does not — no unconditional hint: a 10^9-term vocabulary must
+        not be forced through the driver). The per-doc top-k window is
+        the inherent cost: per-document rank needs doc-major grouping,
+        the exact exchange the forward index is already laid out in —
+        when doc_vec serves the scan the rows arrive range-partitioned
+        and sorted by docID, so the window's sort is partition-local
+        over runs that are already docID-clustered."""
+        from pyspark.sql.window import Window
+        store = self.index.store
+        if store.exists("doc_vec") and not store.has_segments("postings"):
+            dec = store.read("doc_vec")
+        else:
+            dec = (self._postings
+                   .mapInArrow(lambda it: _decode_iter(it, False),
+                               schema=_DECODED_SCHEMA)
+                   .select("docID", "term", "tf"))
+        dec = self._live(dec)
+        n = float(self.stats["n_docs"])
+        dic = self.index.table("dictionary").select(
+            "term", F.col("df").cast("double").alias("df"))
+        w = (dec.join(dic, "term")
+             .withColumn("w", F.round(
+                 F.col("tf") * F.log(
+                     1.0 + (F.lit(n) - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5)), 6)))
+        win = Window.partitionBy("docID").orderBy(F.desc("w"), F.asc("term"))
+        return (w.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= F.lit(int(k)))
+                .select("docID", "term", F.col("tf").cast("long").alias("tf"),
+                        "w", F.col("rank").cast("long").alias("rank")))
+
     def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5,
                        wand: bool = True,
                        wand_gate_blocks: int = 16384) -> DataFrame:

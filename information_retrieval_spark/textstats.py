@@ -196,6 +196,58 @@ def ngram_counts(df: DataFrame, n: int = 2, k: int | None = None,
     return counts
 
 
+def pmi_bigrams(df: DataFrame, k: int | None = 20, min_count: int = 5,
+                text_col: str = "text") -> DataFrame:
+    """(ngram, n_xy, pmi): adjacent-pair collocations scored by
+    pointwise mutual information — the classic collocation statistic
+    (Church & Hanks 1990): pmi = ln(p(x,y) / (p(x)·p(y))) with
+    p(x,y) = n_xy/N_bigrams and p(x) = c_x/N_unigrams, computed over
+    the same normalized token stream as ngram_counts. `min_count`
+    drops hapax pairs (PMI's known rare-pair bias); the optional cut
+    is exact top-k by (pmi desc, ngram asc) with pmi ROUNDED to 6 dp
+    first — the engine-portable hard-cut discipline.
+
+    Scale shape (100 TB): two corpus scans (unigram agg + bigram agg,
+    both map-side combined — a production variant could fuse them into
+    one tagged union stream, at the cost of a mixed-key exchange), then
+    vocabulary-sized joins only: bigram counts join unigram counts on
+    each side (AQE picks broadcast when the vocabulary fits) and the
+    two totals ride in as 1-row broadcast cross joins — no driver
+    collect, one lazy DAG. The PMI expression keeps one literal
+    operand order (n_xy·N_uni·N_uni / (N_big·c_x·c_y)) so the rounded
+    score is reproducible across engines."""
+    toks = _toks(df, text_col)
+    uni = (toks.select(F.explode("__toks").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    grams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS x, "
+        "element_at(__toks, i + 1) AS y)) "
+        "ELSE array() END")
+    big = (toks.select(F.explode(grams).alias("g"))
+           .select(F.col("g.x").alias("x"), F.col("g.y").alias("y"))
+           .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_big = big.agg(F.sum("n_xy").cast("double").alias("n_big"))
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    scored = (big.filter(F.col("n_xy") >= F.lit(int(min_count)))
+              .join(ux, "x").join(uy, "y")
+              .crossJoin(F.broadcast(n_uni))
+              .crossJoin(F.broadcast(n_big))
+              .select(F.concat_ws(" ", "x", "y").alias("ngram"),
+                      "n_xy",
+                      F.round(F.log(
+                          (F.col("n_xy").cast("double")
+                           * F.col("n_uni") * F.col("n_uni"))
+                          / (F.col("n_big") * F.col("c_x") * F.col("c_y"))),
+                          6).alias("pmi")))
+    if k is not None:
+        scored = scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(int(k))
+    return scored
+
+
 # PII patterns shared by pii_stats / redact_pii and their oracles.
 # Shape-based (the C4 / RefinedWeb curation convention): the email
 # pattern is the usual local@domain.tld form, the IPv4 pattern is four

@@ -228,3 +228,57 @@ def test_related_terms_matches_python_oracle(synth_engine, synth_docs):
         # the query's own terms never suggest themselves
         qn = set(q.split())
         assert not qn & {g[0] for g in got}
+
+
+def test_tfidf_top_terms_matches_python_oracle(synth_engine, synth_docs):
+    # corpus-wide keyword extraction: per-doc top-k by round(tf*idf, 6)
+    # desc, term asc — checked against a pure-Python recomputation from
+    # the tokenizer, on BOTH serving paths (postings decode and the
+    # doc_vec forward index), which must agree row-for-row
+    from collections import Counter
+
+    from information_retrieval_spark.normalize import tokenize
+
+    rows = sorted(synth_docs.collect(), key=lambda r: (r["repo"], r["path"]))
+    vecs = [Counter(tokenize(r["content"])) for r in rows]
+    n = len(rows)
+    df: Counter = Counter()
+    for v in vecs:
+        df.update(v.keys())
+
+    def idf(d):
+        return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+    k = 4
+    want = {}
+    for doc, v in enumerate(vecs):
+        ranked = sorted((-round(tf * idf(df[t]), 6), t, tf)
+                        for t, tf in v.items())[:k]
+        want[doc] = [(t, tf, -w, r + 1)
+                     for r, (w, t, tf) in enumerate(ranked)]
+
+    store = synth_engine.index.store
+    store.drop("doc_vec")
+    try:
+        got_decode = synth_engine.tfidf_top_terms(k=k).collect()
+        synth_engine.build_forward_index(n_partitions=4)
+        fast = synth_engine.tfidf_top_terms(k=k)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "doc_vec" in plan and "MapInArrow" not in plan, plan
+        got_fast = fast.collect()
+    finally:
+        store.drop("doc_vec")
+
+    for got in (got_decode, got_fast):
+        by_doc: dict = {}
+        for r in got:
+            by_doc.setdefault(r["docID"], []).append(
+                (r["rank"], r["term"], r["tf"], r["w"]))
+        assert len(by_doc) == sum(1 for v in vecs if v)
+        for doc in (0, 7, 42, 123, n - 1):
+            got_rows = [(t, tf, w, rk)
+                        for rk, t, tf, w in sorted(by_doc[doc])]
+            assert [(t, tf, rk) for t, tf, _, rk in got_rows] == \
+                   [(t, tf, rk) for t, tf, _, rk in want[doc]], doc
+            for (_, _, gw, _), (_, _, ww, _) in zip(got_rows, want[doc]):
+                assert math.isclose(gw, ww, rel_tol=1e-9, abs_tol=1e-9), doc

@@ -249,6 +249,47 @@ def test_ngram_counts(docs_df):
         textstats.ngram_counts(docs_df, n=0)
 
 
+def test_pmi_bigrams(docs_df):
+    # full relation vs a pure-Python PMI recomputation over the same
+    # token stream (identical formula + operand order + 6 dp rounding)
+    import math
+    from collections import Counter
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _doc_id, text in DOCS:
+        toks = tokenize(text)
+        uni.update(toks)
+        big.update((toks[i], toks[i + 1]) for i in range(len(toks) - 1))
+    n_uni = float(sum(uni.values()))
+    n_big = float(sum(big.values()))
+
+    def pmi(pair, n_xy):
+        return round(math.log((n_xy * n_uni * n_uni)
+                              / (n_big * uni[pair[0]] * uni[pair[1]])), 6)
+
+    want_all = {f"{x} {y}": (n, pmi((x, y), n))
+                for (x, y), n in big.items() if n >= 1}
+    got = {r["ngram"]: (r["n_xy"], r["pmi"]) for r in
+           textstats.pmi_bigrams(docs_df, k=None, min_count=1).collect()}
+    assert set(got) == set(want_all)
+    for g, (n_xy, p) in got.items():
+        assert n_xy == want_all[g][0], g
+        assert math.isclose(p, want_all[g][1], rel_tol=1e-9, abs_tol=1e-9), g
+    # min_count drops hapax pairs; the top-k cut is the exact
+    # (pmi desc, ngram) prefix of the filtered relation
+    want2 = sorted(((p, g) for g, (n, p) in want_all.items() if n >= 2))
+    want_top = [(g, p) for p, g in
+                sorted(((-p, g) for p, g in want2))][:3]
+    top_df = textstats.pmi_bigrams(docs_df, k=3, min_count=2)
+    got_top = [(r["ngram"], r["pmi"]) for r in top_df.collect()]
+    assert [g for g, _ in got_top] == [g for g, _ in want_top]
+    # the totals ride REUSED exchanges of the two aggregations — the
+    # corpus is scanned once per agg, not once per total (visible only
+    # in the FINAL adaptive plan, hence the collect() above)
+    plan = top_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
 def test_fingerprints(docs_df):
     got = {r["id"]: r["fingerprint"] for r in
            textstats.doc_fingerprints(docs_df, n=5).collect()}
