@@ -437,6 +437,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_topk"] = bm25_topk
 
+    def qlm_topk(spark, sf):
+        # Dirichlet query-likelihood ranking (Zhai & Lafferty 2001) over
+        # the same inverted index: kernel scores vs the oracle's full
+        # relational recomputation from raw documents
+        e = _engine(spark, sf)
+        top = e.qlm("spark join window", k=10, mu=2000.0)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["qlm_topk"] = qlm_topk
+
     def bm25_snippets(spark, sf):
         # top-k page + minimal covering snippet window from the
         # positional index (two-pointer Arrow sweep vs the oracle's
@@ -1046,6 +1058,32 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk"] = f"""
         WITH {_TOKS},
         {_bm25_ctes()}
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # Dirichlet query-likelihood: rank-equivalent decomposition
+    # sum ln(1 + tf/(mu*cf/T)) + |q|*(ln mu - ln(mu+dl)), mu=2000;
+    # 2000.0 * (cf / T) mirrors the engine's w_t float association,
+    # qlen counts the DISTINCT query terms present in the vocabulary
+    # (the engine drops dictionary-absent terms before scoring)
+    o["qlm_topk"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        coll AS (SELECT count(*)::DOUBLE AS total_len FROM ex),
+        cfq AS (SELECT term, count(*)::DOUBLE AS cf FROM ex
+                WHERE term IN ('spark', 'join', 'window') GROUP BY term),
+        qn AS (SELECT count(*)::DOUBLE AS qlen FROM cfq),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ex
+               WHERE term IN ('spark', 'join', 'window')
+               GROUP BY doc_id, term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + tf.tf / (2000.0 * (cfq.cf / coll.total_len))))
+                   + qn.qlen * (ln(2000.0) - ln(2000.0 + dl.dl)) AS s
+            FROM tf JOIN cfq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN coll CROSS JOIN qn
+            GROUP BY tf.doc_id, dl.dl, qn.qlen)
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
     """

@@ -163,6 +163,7 @@ def main() -> None:
         "bm25_full": lambda: qe.bm25("spark join window", k=10, wand=False).collect(),
         "bm25_snippets": lambda: qe.bm25_snippets(
             "spark join window", k=10).collect(),
+        "qlm": lambda: qe.qlm("spark join window", k=10).collect(),
         # 8 queries in ONE job (union-term scan + one kernel pass) —
         # compare against ~8x the bm25_full line for the amortization
         "bm25_batch8": lambda: qe.bm25_many(

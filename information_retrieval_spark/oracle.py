@@ -161,6 +161,29 @@ class OracleIndex:
                 scores[d] += w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
 
+    def qlm(self, query: str, k: int = 10, mu: float = 2000.0):
+        """Dirichlet query-likelihood mirror of QueryEngine.qlm:
+        [(docID, score, name)], score desc, docID asc, over docs
+        matching >=1 query term. Same rank-equivalent decomposition
+        (sum ln(1+tf/w_t) + |q|(ln mu - ln(mu+dl)), w_t = mu*cf/T)
+        and the same float64 association (w_t = mu * (cf / T))."""
+        terms = sorted({t for t in (normalize(tok) for tok in re.split(r"\s+", query.strip()))
+                        if t is not None and t in self.postings})
+        if not terms:
+            return []
+        total_len = float(sum(self.doc_len.values())) or 1.0
+        scores = defaultdict(float)
+        for t in terms:
+            cf = float(sum(len(ps) for ps in self.postings[t].values()))
+            w = mu * (cf / total_len)
+            for d, pos in self.postings[t].items():
+                scores[d] += math.log(1.0 + len(pos) / w)
+        qlen = len(terms)
+        for d in scores:
+            scores[d] += qlen * (math.log(mu) - math.log(mu + self.doc_len[d]))
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(d, s, self.name(d)) for d, s in ranked]
+
     def doc_vector(self, doc_id: int) -> dict:
         """term -> tf of one document."""
         return {t: len(ps[doc_id]) for t, ps in self.postings.items()

@@ -218,12 +218,15 @@ def _min_window_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                          "n_terms": [need]})
 
 
-def _decode_scored_batch(rb, k1: float, b: float, avgdl: float) -> dict:
+def _decode_scored_batch(rb, k1: float, b: float, avgdl: float,
+                         tf_norm: bool = True) -> dict:
     """Decode ONE compressed posting-block record batch for scoring:
     buffer-level varbyte decode (one call per column per batch), absolute
     docIDs via a per-block-reset gap cumsum, and the per-posting BM25
-    tf-norm. Shared by the single-query kernel (_make_bm25_kernel) and
-    the batched multi-query kernel (_make_bm25_many_kernel)."""
+    tf-norm. Shared by the single-query kernel (_make_bm25_kernel), the
+    batched multi-query kernel (_make_bm25_many_kernel) and the
+    query-likelihood kernel (_make_qlm_kernel, tf_norm=False: it scores
+    from the raw tf/dl columns and skips the BM25 tf-norm)."""
     import pyarrow.compute as pc
 
     col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
@@ -246,9 +249,12 @@ def _decode_scored_batch(rb, k1: float, b: float, avgdl: float) -> dict:
     corr = np.zeros(n_rows, dtype=np.int64)
     corr[1:] = csum[starts[1:] - 1]
     d_abs = csum - np.repeat(corr, n_docs)
-    tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
-    return {"bucket": bucket, "n_docs": n_docs, "starts": starts,
-            "t_codes": t_codes, "terms": terms, "d_abs": d_abs, "tfn": tfn}
+    out = {"bucket": bucket, "n_docs": n_docs, "starts": starts,
+           "t_codes": t_codes, "terms": terms, "d_abs": d_abs,
+           "tf": t, "dl": l}
+    if tf_norm:
+        out["tfn"] = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / avgdl))
+    return out
 
 
 def _make_bm25_many_kernel(term_qinfo: dict, n_queries: int, k1: float,
@@ -435,6 +441,105 @@ def _make_bm25_kernel(idf_map: dict, k1: float, b: float, avgdl: float,
                     acc = np.zeros(docs_per_bucket, dtype=np.float64)
                 acc += np.bincount(local[s:e], weights=score[s:e],
                                    minlength=docs_per_bucket)
+        flush()
+        if out_d:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_d), type=pa.int64()),
+                 pa.array(np.concatenate(out_s), type=pa.float64())],
+                names=["docID", "score"])
+
+    return kernel
+
+
+def _make_qlm_kernel(w_map: dict, mu: float, qlen: int,
+                     docs_per_bucket: int, k, excluded=None):
+    """mapInArrow kernel: compressed posting blocks -> per-bucket exact
+    Dirichlet query-likelihood top-k rows (docID, score).
+
+    Rank-equivalent decomposition of log P(q|d) under Dirichlet
+    smoothing (Zhai & Lafferty, "A Study of Smoothing Methods for
+    Language Models Applied to Ad Hoc Information Retrieval",
+    SIGIR 2001):
+
+        score(d) = sum_{t in q, tf_td > 0} ln(1 + tf_td / w_t)
+                   + |q| * (ln mu - ln(mu + dl_d)),
+        w_t = mu * (cf_t / total_len)
+
+    (the doc-independent sum of ln(mu * p_t) is dropped — identical for
+    every doc, so ranks and score DELTAS are exact). Candidate set =
+    docs matching >=1 query term, the same inverted-index contract as
+    BM25's kernel; per-bucket sums are final because a bucket is a
+    complete docID range.
+
+    Same dense bucket-accumulator shape as _make_bm25_kernel with one
+    addition: a second per-bucket array carries dl by ASSIGNMENT (every
+    posting of a doc stores the same dl), so the length-normalization
+    term applies once per doc at flush, not once per matched term.
+    Matched-term contributions are strictly positive (tf >= 1), so
+    flatnonzero(acc) still finds exactly the candidate docs even though
+    final scores are negative.
+    """
+    import pyarrow as pa
+
+    log_mu = float(np.log(mu))
+
+    def kernel(batches):
+        cur_bucket = None
+        acc = None   # sum of ln(1 + tf/w_t) over matched query terms
+        dlv = None   # per-doc dl, assigned (not summed)
+        out_d: list = []
+        out_s: list = []
+
+        def flush():
+            nonlocal cur_bucket, acc, dlv
+            if cur_bucket is None:
+                return
+            idxs = np.flatnonzero(acc)
+            if len(idxs):
+                sc = acc[idxs] + qlen * (log_mu - np.log(mu + dlv[idxs]))
+                glob = idxs.astype(np.int64) + cur_bucket * docs_per_bucket
+                if excluded is not None and len(excluded):
+                    p = np.searchsorted(excluded, glob)
+                    p[p == len(excluded)] = 0
+                    live = excluded[p] != glob
+                    glob, sc = glob[live], sc[live]
+                if k is not None and len(glob) > k:
+                    thresh = np.partition(sc, len(sc) - k)[len(sc) - k]
+                    keep = sc >= thresh  # keep ALL kth-score ties
+                    glob, sc = glob[keep], sc[keep]
+                if len(glob):
+                    out_d.append(glob)
+                    out_s.append(sc.copy())
+            cur_bucket = None
+            acc = None
+            dlv = None
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            dec = _decode_scored_batch(rb, 0.0, 0.0, 1.0, tf_norm=False)
+            bucket, n_docs, starts = dec["bucket"], dec["n_docs"], dec["starts"]
+            n_rows = rb.num_rows
+            w_of_code = np.array([w_map[t] for t in dec["terms"]])
+            contrib = np.log(1.0 + dec["tf"]
+                             / np.repeat(w_of_code[dec["t_codes"]], n_docs))
+            local = dec["d_abs"] - np.repeat(bucket, n_docs) * docs_per_bucket
+
+            b_change = np.ones(n_rows, dtype=bool)
+            b_change[1:] = bucket[1:] != bucket[:-1]
+            seg_rows = np.flatnonzero(b_change)
+            seg_starts = starts[seg_rows]
+            seg_ends = np.append(seg_starts[1:], len(local))
+            for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
+                bkt = int(bucket[seg_rows[si]])
+                if bkt != cur_bucket:
+                    flush()
+                    cur_bucket = bkt
+                    acc = np.zeros(docs_per_bucket, dtype=np.float64)
+                    dlv = np.zeros(docs_per_bucket, dtype=np.float64)
+                acc += np.bincount(local[s:e], weights=contrib[s:e],
+                                   minlength=docs_per_bucket)
+                dlv[local[s:e]] = dec["dl"][s:e]
         flush()
         if out_d:
             yield pa.RecordBatch.from_arrays(
@@ -954,12 +1059,20 @@ class QueryEngine:
                                    int(st["docs_per_bucket"]), k,
                                    allowed=allowed,
                                    excluded=self._tomb_arr)
-        # EXPLICIT partition count: the compressed-block exchange is tiny
-        # in bytes but CPU-heavy per row, so AQE's size-based coalescing
-        # would collapse it onto one core. One bucket = one docID range =
-        # one unit of kernel work; 2x over-partitioning smooths hash
-        # collisions among bucket keys.
-        n_buckets = max(1, -(-int(self.stats["n_docs"]) // int(st["docs_per_bucket"])))
+        return self._kernel_scan(blocks, kernel)
+
+    def _kernel_scan(self, blocks: DataFrame, kernel) -> DataFrame:
+        """Repartition compressed blocks by docID bucket and run a
+        scoring kernel over them — the shared physical plan of every
+        bucket-accumulator ranker (BM25, query-likelihood).
+
+        EXPLICIT partition count: the compressed-block exchange is tiny
+        in bytes but CPU-heavy per row, so AQE's size-based coalescing
+        would collapse it onto one core. One bucket = one docID range =
+        one unit of kernel work; 2x over-partitioning smooths hash
+        collisions among bucket keys."""
+        st = self.stats
+        n_buckets = max(1, -(-int(st["n_docs"]) // int(st["docs_per_bucket"])))
         n = max(1, min(int(self.spark.conf.get("spark.sql.shuffle.partitions")),
                        2 * n_buckets))
         slim = blocks.select("term", "bucket", "n_docs", "doc_gaps", "tfs", "dls")
@@ -1009,6 +1122,52 @@ class QueryEngine:
             else:
                 candidates = self.blocks_for(terms)
             scores = (self._score_blocks(candidates, idf_map, k)
+                      .orderBy(F.desc("score"), F.asc("docID")).limit(k))
+        name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
+        return (scores.join(self._doc_map, "docID")
+                .select("docID", "score", name)
+                .orderBy(F.desc("score"), F.asc("docID")))
+
+    def qlm(self, query: str, k: int = 10, mu: float = 2000.0) -> DataFrame:
+        """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty,
+        SIGIR 2001) — the classic language-model ranking alternative to
+        BM25, served from the SAME index tables: per-term smoothing mass
+        w_t = mu * cf_t / total_len comes from the dictionary's
+        collection frequencies, dl rides the postings, and the scoring
+        runs in the same bucket-accumulator Arrow kernel shape (one
+        compressed-block exchange keyed by docID bucket, per-bucket
+        exact top-k with kth-score ties kept). Candidate set = docs
+        containing >=1 query term (same contract as bm25). Returns
+        (docID, score, name), score desc, docID asc; scores are the
+        rank-equivalent form sum ln(1+tf/w_t) + |q|(ln mu - ln(mu+dl)),
+        negative for typical dl >> matched mass.
+
+        Streaming deletes: small tombstone sets drop inside the kernel
+        BEFORE the per-bucket cut; an over-cap set falls back to
+        emit-all + anti-join + cut, exact (mirrors _bm25_for_terms).
+        """
+        terms = sorted({t for t in (normalize(tok)
+                                    for tok in re.split(r"\s+", query.strip()))
+                        if t is not None})
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_scores()
+        st = self.stats
+        total_len = float(st["total_len"]) or 1.0
+        w_map = {t: mu * (float(stats[t]["cf"]) / total_len) for t in terms}
+        qlen = len(terms)
+        blocks = self.blocks_for(terms)
+        if self._tombstones is not None and self._tomb_arr is None:
+            kernel = _make_qlm_kernel(w_map, mu, qlen,
+                                      int(st["docs_per_bucket"]), None)
+            scores = (self._live(self._kernel_scan(blocks, kernel))
+                      .orderBy(F.desc("score"), F.asc("docID")).limit(k))
+        else:
+            kernel = _make_qlm_kernel(w_map, mu, qlen,
+                                      int(st["docs_per_bucket"]), k,
+                                      excluded=self._tomb_arr)
+            scores = (self._kernel_scan(blocks, kernel)
                       .orderBy(F.desc("score"), F.asc("docID")).limit(k))
         name = F.element_at(F.split(F.col("path"), "/"), -1).alias("name")
         return (scores.join(self._doc_map, "docID")

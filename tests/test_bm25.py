@@ -65,6 +65,40 @@ def test_bm25_absent_terms(synth_engine):
     assert synth_engine.bm25("zzzmissing qqqabsent", k=5).collect() == []
 
 
+# -- Dirichlet query-likelihood (QueryEngine.qlm) ----------------------
+
+def _check_qlm_rank_identity(engine, oracle, query, k=10, mu=2000.0):
+    got = engine.qlm(query, k=k, mu=mu).collect()
+    want = oracle.qlm(query, k=k, mu=mu)
+    assert [r["docID"] for r in got] == [d for d, _, _ in want]
+    assert [r["name"] for r in got] == [n for _, _, n in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_qlm_fixture_rank_identity(fixture_engine, q):
+    oracle = OracleIndex(
+        ("ref/testing_files", name, content) for name, content in FIXTURE_DOCS.items())
+    _check_qlm_rank_identity(fixture_engine, oracle, q, k=5)
+
+
+@pytest.mark.parametrize("q", SYNTH_QUERIES)
+def test_qlm_synth_rank_identity(synth_engine, synth_oracle, q):
+    _check_qlm_rank_identity(synth_engine, synth_oracle, q, k=10)
+
+
+def test_qlm_mu_sensitivity_matches_oracle(synth_engine, synth_oracle):
+    # smoothing strength is a real parameter, not a constant baked into
+    # the kernel: a small mu must reproduce the oracle too
+    _check_qlm_rank_identity(synth_engine, synth_oracle,
+                             "needle haystack", k=10, mu=50.0)
+
+
+def test_qlm_absent_terms(synth_engine):
+    assert synth_engine.qlm("zzzmissing qqqabsent", k=5).collect() == []
+
+
 @pytest.mark.parametrize("q", SYNTH_QUERIES[:3])
 def test_bm25_wand_distributed_path_equals_baseline(synth_engine, q, monkeypatch):
     # force the DISTRIBUTED bound-aggregation path (the 10^12-doc shape,
