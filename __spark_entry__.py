@@ -873,6 +873,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "w", F.col("rank").cast("long").alias("rank")))
     q["tfidf_keywords"] = tfidf_keywords
 
+    def eval_ndcg(spark, sf):
+        # retrieval-quality evaluation as an operator: NDCG@10 of the
+        # BM25 page for the 3-query batch, graded against capped-tf
+        # qrels (rel = min(sum tf of query terms, 10)) derived from the
+        # corpus itself; IDCG via grade-run counts, never a candidate
+        # sort (see QueryEngine.eval_ndcg)
+        e = _engine(spark, sf)
+        return e.eval_ndcg(_BM25_BATCH, k=10)
+    q["eval_ndcg"] = eval_ndcg
+
+    def term_zipf_fit(spark, sf):
+        # corpus collection-statistics diagnostic: least-squares Zipf
+        # fit (log10 cf on log10 rank) over the term dictionary, with
+        # NO vocabulary sort — rank runs from per-cf counts
+        e = _engine(spark, sf)
+        return e.zipf_fit()
+    q["term_zipf_fit"] = term_zipf_fit
+
     def delete_requery(spark, sf):
         # streaming deletes (tombstones): docs deleted from a LIVE index
         # leave every page immediately — BM25 excludes them inside the
@@ -1210,6 +1228,68 @@ def oracle_sql() -> dict[str, str]:
         {_batch_ctes}
         {_batch_sel}
         ORDER BY qid, score DESC, doc_id
+    """
+
+    # NDCG@10 of each batch query's BM25 page: rel = min(total tf of
+    # the query's terms in the doc, 10) — graded, discriminative on
+    # this vocabulary (coverage grading saturates at 1.0); DCG over the
+    # row_number page order, IDCG over the (rel desc, doc_id) ideal
+    # ordering — the oracle sorts the candidates outright (fine at
+    # sf0.01), the engine derives the same rank positions from grade
+    # counts; the (rel, rank) multisets are identical because ties
+    # share a grade
+    _ndcg_ctes = []
+    _ndcg_parts = []
+    for i, qid in enumerate(sorted(_BM25_BATCH)):
+        in_terms = ", ".join(f"'{t}'" for t in _BM25_BATCH_TERMS[qid])
+        _ndcg_ctes.append(f"""
+        rel_{i} AS (SELECT doc_id, least(count(*), 10)::DOUBLE AS rel
+                    FROM ex WHERE term IN ({in_terms}) GROUP BY doc_id),
+        page_{i} AS (SELECT doc_id, rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+            FROM scores_{i}) WHERE rnk <= 10),
+        d_{i} AS (SELECT sum((pow(2, r.rel) - 1) / log2(1 + p.rnk)) AS dcg
+                  FROM page_{i} p JOIN rel_{i} r USING (doc_id)),
+        i_{i} AS (SELECT sum((pow(2, rel) - 1) / log2(1 + rnk)) AS idcg FROM (
+            SELECT rel, doc_id,
+                   row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+            FROM rel_{i}) WHERE rnk <= 10)""")
+        _ndcg_parts.append(
+            f"SELECT '{qid}' AS qid, round(d_{i}.dcg / i_{i}.idcg, 6) AS ndcg "
+            f"FROM d_{i}, i_{i}")
+    o["eval_ndcg"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        {_batch_ctes},
+        {",".join(_ndcg_ctes)}
+        {" UNION ALL ".join(_ndcg_parts)}
+        ORDER BY qid
+    """
+
+    # Zipf fit: the oracle ranks the vocabulary with an outright
+    # row_number sort (ties by term); the engine never sorts — rank
+    # runs from per-cf counts. Tie order is regression-invariant (tying
+    # terms share y), so the (x, y) multisets are identical. Explicit
+    # least-squares sums on both sides (no reliance on regr_* aggregate
+    # implementation details).
+    o["term_zipf_fit"] = f"""
+        WITH {_TOKS}, {_EX},
+        tstats AS (SELECT term, count(*)::BIGINT AS cf FROM ex GROUP BY term),
+        ranked AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term)
+                       AS rank FROM tstats),
+        pts AS (SELECT log10(rank::DOUBLE) AS x, log10(cf::DOUBLE) AS y
+                FROM ranked),
+        s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM pts)
+        SELECT n::BIGINT AS n_terms,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+                   AS intercept,
+               round(pow(n*sxy - sx*sy, 2)
+                     / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        FROM s
     """
 
     # snippet windows over the top-10 page: the oracle recomputes the

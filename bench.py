@@ -164,6 +164,10 @@ def main() -> None:
         "bm25_snippets": lambda: qe.bm25_snippets(
             "spark join window", k=10).collect(),
         "qlm": lambda: qe.qlm("spark join window", k=10).collect(),
+        "eval_ndcg": lambda: qe.eval_ndcg(
+            {"q_spark": "spark join window", "q_merge": "table merge",
+             "q_sort": "sort spark window"}, k=10).collect(),
+        "zipf_fit": lambda: qe.zipf_fit().collect(),
         # 8 queries in ONE job (union-term scan + one kernel pass) —
         # compare against ~8x the bm25_full line for the amortization
         "bm25_batch8": lambda: qe.bm25_many(

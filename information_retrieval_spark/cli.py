@@ -67,6 +67,9 @@ def cmd_query(args) -> int:
         out = [(r["docID"], round(r["score"], 6), r["name"],
                 r["win_start"], r["win_end"])
                for r in qe.bm25_snippets(args.q, k=args.k).collect()]
+    elif args.mode == "qlm":
+        out = [(r["docID"], round(r["score"], 6), r["name"])
+               for r in qe.qlm(args.q, k=args.k).collect()]
     else:
         out = [(r["docID"], round(r["score"], 6), r["name"])
                for r in qe.bm25(args.q, k=args.k, wand=not args.no_wand).collect()]
@@ -104,7 +107,7 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "positional", "joker",
-                            "phrase", "snippets"])
+                            "phrase", "snippets", "qlm"])
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-wand", action="store_true")

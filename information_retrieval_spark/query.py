@@ -1501,6 +1501,153 @@ class QueryEngine:
     _SNIPPET_SCHEMA = ("docID long, score double, name string, "
                        "win_start int, win_end int, n_terms int")
 
+    def eval_ndcg(self, queries, k: int = 10, rel_cap: int = 10) -> DataFrame:
+        """Ranked-retrieval evaluation: NDCG@k of the BM25 page for a
+        BATCH of queries, graded against capped term-frequency
+        relevance.
+
+        qrels derive from the index itself: rel(d, q) = min(total tf of
+        q's dictionary-present terms in d, rel_cap) — a graded "how
+        much of the query does the doc talk about" when no human
+        judgments exist (pure term-COVERAGE grading saturates: on a
+        small vocabulary every page doc matches every term and NDCG
+        pins at 1.0). The cap both bounds the exponential gain
+        (2^rel - 1) and keeps the grade alphabet small for the
+        count-based IDCG below. Gains (2^rel - 1) / log2(1 + rank),
+        NDCG = DCG@k / IDCG@k.
+
+        Scale shape: ONE bm25_many job produces every page (Q*k rows);
+        the qrels relation is candidate-driven (only docs matching >=1
+        query term) off one postings decode of the union term set; and
+        IDCG@k never sorts the candidates — relevance grades are small
+        integers (0..|q|), so the ideal ordering collapses to per-grade
+        COUNTS: a map-side-combinable groupBy(qid, rel), a window over
+        the Q*|q|-row count relation, and a rank-run explode capped at
+        k. The only corpus-sized exchange is the grade count. Returns
+        (qid, ndcg), qid asc; ndcg rounded to 6 dp.
+        """
+        from pyspark.sql import Window
+        items = sorted(dict(queries).items())
+        per_q: dict = {}
+        all_terms: set = set()
+        for qid, qs in items:
+            terms = sorted({t for t in (normalize(tok)
+                                        for tok in re.split(r"\s+", qs.strip()))
+                            if t is not None})
+            per_q[qid] = terms
+            all_terms.update(terms)
+        stats = self.term_stats(sorted(all_terms))
+        qt_rows = [(qid, t) for qid, ts in per_q.items()
+                   for t in ts if t in stats]
+        if not qt_rows:
+            return self.spark.createDataFrame([], "qid string, ndcg double")
+        qt = self.spark.createDataFrame(qt_rows, "qid string, term string")
+        post = (self.postings_for(sorted({t for _, t in qt_rows}))
+                .select("term", "docID", "tf"))
+        rel = self._live(
+            post.join(F.broadcast(qt), "term")
+            .groupBy("qid", "docID")
+            .agg(F.least(F.sum("tf"), F.lit(rel_cap))
+                 .cast("double").alias("rel")))
+
+        # DCG over the page: rank = deterministic row_number within the
+        # (score desc, docID asc) page order (ties at the kth score cut
+        # exactly as the per-query gates do)
+        page = self.bm25_many(dict(items), k=k).select("qid", "docID", "score")
+        wp = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        page = (page.withColumn("rnk", F.row_number().over(wp))
+                .filter(F.col("rnk") <= k))
+        gain = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) \
+            / F.log2(F.col("rnk") + F.lit(1.0))
+        dcg = (page.join(rel, ["qid", "docID"], "left")
+               .withColumn("rel", F.coalesce("rel", F.lit(0.0)))
+               .withColumn("g", gain)
+               .groupBy("qid").agg(F.sum("g").alias("dcg")))
+
+        # IDCG from grade counts: docs of the same grade have the same
+        # gain numerator, so only the RANK POSITIONS a grade occupies
+        # matter — explode each grade's rank run [cum_before+1, ...],
+        # capped at k
+        wg = Window.partitionBy("qid").orderBy(F.desc("rel"))
+        cnts = (rel.groupBy("qid", "rel").agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("cum_before", F.coalesce(
+                    F.sum("cnt").over(
+                        wg.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0))))
+        ranks = (cnts.filter(F.col("cum_before") < k)
+                 .select("qid", "rel",
+                         F.explode(F.sequence(
+                             F.col("cum_before") + 1,
+                             F.least(F.col("cum_before") + F.col("cnt"),
+                                     F.lit(k)))).alias("rnk")))
+        ideal = (ranks.withColumn("g", gain)
+                 .groupBy("qid").agg(F.sum("g").alias("idcg")))
+        return (dcg.join(ideal, "qid")
+                .select("qid", F.round(F.col("dcg") / F.col("idcg"), 6)
+                        .alias("ndcg"))
+                .orderBy("qid"))
+
+    def zipf_fit(self, min_cf: int = 1, chunk: int = 1 << 20) -> DataFrame:
+        """Least-squares fit of the corpus term-frequency distribution
+        to Zipf's law: regress log10(cf) on log10(rank) over the
+        dictionary (rank = 1 for the most frequent term) and report
+        (n_terms, slope, intercept, r2), rounded to 6 dp — the classic
+        collection-statistics diagnostic (a healthy natural-language
+        corpus fits slope ~ -1).
+
+        Scale shape: NO global sort of the vocabulary. Terms tying on
+        cf contribute the same y at a contiguous run of ranks, and the
+        regression is tie-order-invariant, so the per-term rank
+        collapses to per-cf COUNTS: groupBy(cf) (map-side combinable;
+        #distinct cf values << vocab under Zipf itself), one window
+        over that tiny relation for the cumulative offsets, then each
+        cf's rank run [cum+1, cum+cnt] is exploded back — in `chunk`-
+        sized slices spread by a round-robin repartition so the cf=1
+        tail (often half the vocabulary) cannot pin one task. The
+        regression itself is one map-side-combinable aggregate of
+        (n, Σx, Σy, Σxx, Σyy, Σxy).
+        """
+        from pyspark.sql import Window
+        d = self._dictionary.select("cf").filter(F.col("cf") >= min_cf)
+        w = Window.orderBy(F.desc("cf"))
+        cnts = (d.groupBy("cf").agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("cum_before", F.coalesce(
+                    F.sum("cnt").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0))))
+        sub = (cnts.select(
+            "cf", "cum_before", "cnt",
+            F.explode(F.sequence(
+                F.lit(0), F.floor((F.col("cnt") - 1) / chunk))).alias("ci"))
+            .select("cf",
+                    (F.col("cum_before") + F.col("ci") * chunk + 1).alias("lo"),
+                    F.least(F.col("cum_before") + F.col("cnt"),
+                            F.col("cum_before") + (F.col("ci") + 1) * chunk)
+                    .alias("hi"))
+            .repartition(int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions"))))
+        pts = (sub.select(
+            "cf", F.explode(F.sequence("lo", "hi")).alias("rank"))
+            .select(F.log10(F.col("cf").cast("double")).alias("y"),
+                    F.log10(F.col("rank").cast("double")).alias("x")))
+        s = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                    F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                    F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                    F.sum(F.col("y") * F.col("y")).alias("syy"),
+                    F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        return s.select(
+            F.col("n").cast("long").alias("n_terms"),
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            .alias("intercept"),
+            F.round(F.pow(F.col("n") * F.col("sxy")
+                          - F.col("sx") * F.col("sy"), F.lit(2.0))
+                    / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                       * (F.col("n") * F.col("syy")
+                          - F.col("sy") * F.col("sy"))), 6).alias("r2"))
+
     def bm25_snippets(self, query: str, k: int = 10,
                       wand: bool = True) -> DataFrame:
         """Top-k BM25 + the snippet window: for each result doc, the

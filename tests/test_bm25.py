@@ -7,6 +7,7 @@ import math
 import pytest
 
 from information_retrieval_spark.corpus import FIXTURE_DOCS
+from information_retrieval_spark.normalize import normalize
 from information_retrieval_spark.oracle import OracleIndex
 
 QUERIES = [
@@ -97,6 +98,90 @@ def test_qlm_mu_sensitivity_matches_oracle(synth_engine, synth_oracle):
 
 def test_qlm_absent_terms(synth_engine):
     assert synth_engine.qlm("zzzmissing qqqabsent", k=5).collect() == []
+
+
+# -- NDCG evaluation (QueryEngine.eval_ndcg) ---------------------------
+
+EVAL_QUERIES = {"qa": "needle haystack", "qb": "sym0 sym1 sym2",
+                "qc": "the for sym10"}
+
+
+def _py_ndcg(oracle, queries, k=10, rel_cap=10):
+    out = {}
+    for qid, qs in sorted(queries.items()):
+        terms = sorted({t for t in (normalize(tok) for tok in qs.split())
+                        if t is not None and t in oracle.postings})
+        if not terms:
+            continue
+        rel: dict = {}
+        for t in terms:
+            for d, pos in oracle.postings[t].items():
+                rel[d] = rel.get(d, 0) + len(pos)
+        rel = {d: min(r, rel_cap) for d, r in rel.items()}
+        page = oracle.bm25(qs, k=k)
+        dcg = sum((2.0 ** rel.get(d, 0) - 1.0) / math.log2(2 + i)
+                  for i, (d, _, _) in enumerate(page))
+        ideal = sorted(rel.items(), key=lambda x: (-x[1], x[0]))[:k]
+        idcg = sum((2.0 ** r - 1.0) / math.log2(2 + i)
+                   for i, (_, r) in enumerate(ideal))
+        out[qid] = dcg / idcg
+    return out
+
+
+def test_eval_ndcg_matches_python_oracle(synth_engine, synth_oracle):
+    got = {r["qid"]: r["ndcg"]
+           for r in synth_engine.eval_ndcg(EVAL_QUERIES, k=10).collect()}
+    want = _py_ndcg(synth_oracle, EVAL_QUERIES, k=10)
+    assert set(got) == set(want)
+    for qid in want:
+        assert abs(got[qid] - round(want[qid], 6)) <= 2e-6
+        assert 0.0 < got[qid] <= 1.0
+
+
+def test_eval_ndcg_drops_unknown_term_queries(synth_engine, synth_oracle):
+    qs = {"qa": "needle haystack", "qz": "zzzmissing qqqabsent"}
+    got = {r["qid"]: r["ndcg"]
+           for r in synth_engine.eval_ndcg(qs, k=5).collect()}
+    assert set(got) == {"qa"}
+    want = _py_ndcg(synth_oracle, qs, k=5)
+    assert abs(got["qa"] - round(want["qa"], 6)) <= 2e-6
+
+
+# -- Zipf fit (QueryEngine.zipf_fit) -----------------------------------
+
+def _py_zipf(oracle, min_cf=1):
+    cf = sorted((sum(len(ps) for ps in docs.values()), t)
+                for t, docs in oracle.postings.items())
+    pts = [(math.log10(rank), math.log10(c))
+           for rank, (c, _) in enumerate(sorted(
+               ((c, t) for c, t in cf if c >= min_cf),
+               key=lambda x: (-x[0], x[1])), start=1)]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return int(n), slope, intercept, r2
+
+
+def test_zipf_fit_matches_python_oracle(synth_engine, synth_oracle):
+    row = synth_engine.zipf_fit().collect()[0]
+    n, slope, intercept, r2 = _py_zipf(synth_oracle)
+    assert row["n_terms"] == n
+    assert abs(row["slope"] - round(slope, 6)) <= 2e-6
+    assert abs(row["intercept"] - round(intercept, 6)) <= 2e-6
+    assert abs(row["r2"] - round(r2, 6)) <= 2e-6
+    assert row["slope"] < 0 and 0.0 < row["r2"] <= 1.0
+
+
+def test_zipf_fit_chunked_explode_equals_default(synth_engine):
+    # chunk smaller than every rank run: pins the chunk-splitting path
+    # (the cf=1 tail split across tasks at scale) to the same sums
+    a = synth_engine.zipf_fit().collect()[0]
+    b = synth_engine.zipf_fit(chunk=7).collect()[0]
+    assert a.asDict() == b.asDict()
 
 
 @pytest.mark.parametrize("q", SYNTH_QUERIES[:3])
