@@ -883,6 +883,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.eval_ndcg(_BM25_BATCH, k=10)
     q["eval_ndcg"] = eval_ndcg
 
+    def eval_metrics(spark, sf):
+        # set/rank retrieval evaluation: P@10 / R@10 / AP@10 / RR of
+        # the BM25 page for the 3-query batch against binary
+        # AND-coverage qrels (doc contains EVERY query term) derived
+        # from the corpus itself (see QueryEngine.eval_metrics)
+        e = _engine(spark, sf)
+        return e.eval_metrics(_BM25_BATCH, k=10)
+    q["eval_metrics"] = eval_metrics
+
     def term_zipf_fit(spark, sf):
         # corpus collection-statistics diagnostic: least-squares Zipf
         # fit (log10 cf on log10 rank) over the term dictionary, with
@@ -1264,6 +1273,55 @@ def oracle_sql() -> dict[str, str]:
         {_batch_ctes},
         {",".join(_ndcg_ctes)}
         {" UNION ALL ".join(_ndcg_parts)}
+        ORDER BY qid
+    """
+
+    # P@10 / R@10 / AP@10 / RR of each batch query's BM25 page against
+    # binary AND-coverage qrels (doc contains EVERY query term). nt is
+    # derived from ex (a term with >=1 posting is in the dictionary and
+    # vice versa), matching the engine's dictionary-present filter;
+    # n_rel = 0 queries are dropped on both sides.
+    _em_ctes = []
+    _em_parts = []
+    for i, qid in enumerate(sorted(_BM25_BATCH)):
+        in_terms = ", ".join(f"'{t}'" for t in _BM25_BATCH_TERMS[qid])
+        _em_ctes.append(f"""
+        reln_{i} AS (SELECT count(DISTINCT term) AS nt FROM ex
+                     WHERE term IN ({in_terms})),
+        relb_{i} AS (SELECT doc_id FROM (
+            SELECT doc_id, count(DISTINCT term) AS m FROM ex
+            WHERE term IN ({in_terms}) GROUP BY doc_id), reln_{i}
+            WHERE m = nt),
+        cb_{i} AS (SELECT rnk, is_rel,
+                          sum(is_rel) OVER (ORDER BY rnk) AS cum FROM (
+            SELECT p.rnk,
+                   CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+            FROM (SELECT doc_id, rnk FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+                FROM scores_{i}) WHERE rnk <= 10) p
+            LEFT JOIN relb_{i} r USING (doc_id))),
+        mb_{i} AS (SELECT coalesce(sum(is_rel), 0)::DOUBLE AS hits,
+                          coalesce(sum(CASE WHEN is_rel = 1
+                                       THEN cum::DOUBLE / rnk END), 0) AS ap_num,
+                          coalesce(max(CASE WHEN is_rel = 1
+                                       THEN 1.0 / rnk END), 0) AS rr0
+                   FROM cb_{i}),
+        nb_{i} AS (SELECT count(*)::BIGINT AS n_rel FROM relb_{i})""")
+        _em_parts.append(f"""
+        SELECT '{qid}' AS qid, n_rel,
+               round(hits / 10, 6) AS p_at_k,
+               round(hits / n_rel, 6) AS r_at_k,
+               round(ap_num / least(n_rel, 10), 6) AS ap,
+               round(rr0, 6) AS rr
+        FROM mb_{i}, nb_{i} WHERE n_rel > 0""")
+    o["eval_metrics"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        {_batch_ctes},
+        {",".join(_em_ctes)}
+        {" UNION ALL ".join(_em_parts)}
         ORDER BY qid
     """
 

@@ -168,6 +168,9 @@ def main() -> None:
             {"q_spark": "spark join window", "q_merge": "table merge",
              "q_sort": "sort spark window"}, k=10).collect(),
         "zipf_fit": lambda: qe.zipf_fit().collect(),
+        "eval_metrics": lambda: qe.eval_metrics(
+            {"q_spark": "spark join window", "q_merge": "table merge",
+             "q_sort": "sort spark window"}, k=10).collect(),
         # 8 queries in ONE job (union-term scan + one kernel pass) —
         # compare against ~8x the bm25_full line for the amortization
         "bm25_batch8": lambda: qe.bm25_many(

@@ -1587,6 +1587,96 @@ class QueryEngine:
                         .alias("ndcg"))
                 .orderBy("qid"))
 
+    def eval_metrics(self, queries, k: int = 10) -> DataFrame:
+        """Classic set/rank retrieval evaluation of the BM25 page for a
+        BATCH of queries: Precision@k, Recall@k, AP@k (truncated
+        average precision) and reciprocal rank, against BINARY
+        AND-coverage qrels derived from the index itself — rel(d, q) =
+        1 iff d contains EVERY dictionary-present term of q, the
+        strictest judgment the corpus can state without human labels
+        (the graded companion is eval_ndcg).
+
+        Per query: P@k = hits/k, R@k = hits/n_rel,
+        AP@k = (sum over relevant page positions i of cum_rel(i)/i)
+        / min(n_rel, k), RR = 1/rank of the first relevant page doc
+        (0 if none). Queries with no dictionary-present term, or with
+        n_rel = 0 (no doc covers all terms), are dropped — their
+        metrics are undefined.
+
+        Scale shape: ONE bm25_many job produces every page (Q*k rows);
+        the qrels relation is candidate-driven off one postings decode
+        of the union term set (rel = a map-side-combinable
+        groupBy(qid, docID) match-count compared to the per-query term
+        count, broadcast); n_rel is a Q-row aggregate of that relation;
+        and every metric is windowed arithmetic over the Q*k-row page
+        only. The single corpus-sized exchange is the match-count
+        groupBy. Returns (qid, n_rel, p_at_k, r_at_k, ap, rr), qid
+        asc; doubles rounded to 6 dp.
+        """
+        from pyspark.sql import Window
+        items = sorted(dict(queries).items())
+        per_q: dict = {}
+        all_terms: set = set()
+        for qid, qs in items:
+            terms = sorted({t for t in (normalize(tok)
+                                        for tok in re.split(r"\s+", qs.strip()))
+                            if t is not None})
+            per_q[qid] = terms
+            all_terms.update(terms)
+        stats = self.term_stats(sorted(all_terms))
+        qt_rows = [(qid, t) for qid, ts in per_q.items()
+                   for t in ts if t in stats]
+        if not qt_rows:
+            return self.spark.createDataFrame(
+                [], "qid string, n_rel long, p_at_k double, "
+                    "r_at_k double, ap double, rr double")
+        nt = [(qid, len([t for t in ts if t in stats]))
+              for qid, ts in per_q.items()]
+        qt = self.spark.createDataFrame(qt_rows, "qid string, term string")
+        ntdf = self.spark.createDataFrame(
+            [(qid, n) for qid, n in nt if n > 0], "qid string, nt int")
+        # postings hold one row per (term, docID), so count(*) IS the
+        # number of distinct query terms the doc matches
+        post = (self.postings_for(sorted({t for _, t in qt_rows}))
+                .select("term", "docID"))
+        rel = self._live(
+            post.join(F.broadcast(qt), "term")
+            .groupBy("qid", "docID")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .join(F.broadcast(ntdf), "qid")
+            .filter(F.col("m") == F.col("nt"))
+            .select("qid", "docID"))
+        n_rel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+
+        page = self.bm25_many(dict(items), k=k).select("qid", "docID", "score")
+        wp = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        page = (page.withColumn("rnk", F.row_number().over(wp))
+                .filter(F.col("rnk") <= k))
+        flag = (page.join(rel.withColumn("is_rel", F.lit(1)),
+                          ["qid", "docID"], "left")
+                .withColumn("is_rel", F.coalesce("is_rel", F.lit(0))))
+        wc = Window.partitionBy("qid").orderBy("rnk")
+        cum = flag.withColumn("cum", F.sum("is_rel").over(wc))
+        per = cum.groupBy("qid").agg(
+            F.sum("is_rel").cast("double").alias("hits"),
+            F.coalesce(F.sum(F.when(
+                F.col("is_rel") == 1,
+                F.col("cum").cast("double") / F.col("rnk"))),
+                F.lit(0.0)).alias("ap_num"),
+            F.coalesce(F.max(F.when(
+                F.col("is_rel") == 1, F.lit(1.0) / F.col("rnk"))),
+                F.lit(0.0)).alias("rr0"))
+        return (per.join(n_rel, "qid")
+                .select("qid", F.col("n_rel").cast("long").alias("n_rel"),
+                        F.round(F.col("hits") / k, 6).alias("p_at_k"),
+                        F.round(F.col("hits") / F.col("n_rel"), 6)
+                        .alias("r_at_k"),
+                        F.round(F.col("ap_num")
+                                / F.least(F.col("n_rel"), F.lit(k)), 6)
+                        .alias("ap"),
+                        F.round(F.col("rr0"), 6).alias("rr"))
+                .orderBy("qid"))
+
     def zipf_fit(self, min_cf: int = 1, chunk: int = 1 << 20) -> DataFrame:
         """Least-squares fit of the corpus term-frequency distribution
         to Zipf's law: regress log10(cf) on log10(rank) over the

@@ -147,6 +147,54 @@ def test_eval_ndcg_drops_unknown_term_queries(synth_engine, synth_oracle):
     assert abs(got["qa"] - round(want["qa"], 6)) <= 2e-6
 
 
+# -- P/R/MAP/MRR evaluation (QueryEngine.eval_metrics) -----------------
+
+def _py_metrics(oracle, queries, k=10):
+    out = {}
+    for qid, qs in sorted(queries.items()):
+        terms = sorted({t for t in (normalize(tok) for tok in qs.split())
+                        if t is not None and t in oracle.postings})
+        if not terms:
+            continue
+        rel = set.intersection(*(set(oracle.postings[t]) for t in terms))
+        if not rel:
+            continue
+        page = [d for d, _, _ in oracle.bm25(qs, k=k)]
+        hits, ap_num, rr = 0, 0.0, 0.0
+        for i, d in enumerate(page, start=1):
+            if d in rel:
+                hits += 1
+                ap_num += hits / i
+                if rr == 0.0:
+                    rr = 1.0 / i
+        out[qid] = (len(rel), hits / k, hits / len(rel),
+                    ap_num / min(len(rel), k), rr)
+    return out
+
+
+def test_eval_metrics_matches_python_oracle(synth_engine, synth_oracle):
+    got = {r["qid"]: (r["n_rel"], r["p_at_k"], r["r_at_k"], r["ap"], r["rr"])
+           for r in synth_engine.eval_metrics(EVAL_QUERIES, k=10).collect()}
+    want = _py_metrics(synth_oracle, EVAL_QUERIES, k=10)
+    assert set(got) == set(want)
+    for qid, (n_rel, p, r, ap, rr) in want.items():
+        g = got[qid]
+        assert g[0] == n_rel
+        for gv, wv in zip(g[1:], (p, r, ap, rr)):
+            assert abs(gv - round(wv, 6)) <= 2e-6
+        # sanity: AP and RR bounded, P@k consistent with the page
+        assert 0.0 <= g[4] <= 1.0 and 0.0 <= g[3] <= 1.0
+
+
+def test_eval_metrics_drops_unknown_and_uncovered(synth_engine, synth_oracle):
+    # qz: no dictionary term at all; engine must drop exactly what the
+    # Python mirror drops (including any n_rel=0 query)
+    qs = dict(EVAL_QUERIES, qz="zzzmissing qqqabsent")
+    got = {r["qid"] for r in synth_engine.eval_metrics(qs, k=5).collect()}
+    assert got == set(_py_metrics(synth_oracle, qs, k=5))
+    assert "qz" not in got
+
+
 # -- Zipf fit (QueryEngine.zipf_fit) -----------------------------------
 
 def _py_zipf(oracle, min_cf=1):
