@@ -826,6 +826,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.related_terms("spark join", k=10, top_docs=25)
     q["related_terms"] = related_terms
 
+    def prf_bm25(spark, sf):
+        # two-pass PRF retrieval: 'spark join' page -> top-5 expansion
+        # terms (related_terms' rounded df_S*idf cut) -> BM25 over the
+        # union term set; the whole pipeline re-derived relationally in
+        # the oracle
+        e = _engine(spark, sf)
+        top = e.prf_bm25("spark join", k=10, fb_terms=5, top_docs=25)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["prf_bm25"] = prf_bm25
+
     def more_like_this(spark, sf):
         # query-by-document: source doc 42's top-5 tf·idf terms become a
         # BM25 query; the source is excluded AFTER a k+1 page cut (true
@@ -1144,6 +1157,51 @@ def oracle_sql() -> dict[str, str]:
                                / (dfreq.df + 0.5)), 6) AS w
         FROM cand JOIN dfreq USING (term) CROSS JOIN st
         ORDER BY w DESC, term LIMIT 10
+    """
+
+    # two-pass PRF retrieval: base BM25 page ('spark join', shared
+    # float math with bm25_topk) -> the related_terms expansion cut
+    # (df_S*idf rounded to 6 dp, desc, then term) -> BM25 over the
+    # UNION of base and expansion terms. The whole pipeline is
+    # relational; both passes share dl/st/dfreq.
+    o["prf_bm25"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM ex GROUP BY term),
+        tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ex
+                WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+        scores0 AS (
+            SELECT tf0.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf0.tf * (1.2 + 1.0)
+                       / (tf0.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf0 JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf0.doc_id),
+        top_docs AS (SELECT doc_id FROM scores0
+                     ORDER BY s DESC, doc_id LIMIT 25),
+        cand AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_s
+                 FROM ex JOIN top_docs USING (doc_id)
+                 WHERE term NOT IN ('spark', 'join') GROUP BY term),
+        expterms AS (
+            SELECT term FROM cand JOIN dfreq USING (term) CROSS JOIN st
+            ORDER BY round(df_s * ln(1 + (st.n - dfreq.df + 0.5)
+                                     / (dfreq.df + 0.5)), 6) DESC, term
+            LIMIT 5),
+        allterms AS (SELECT term FROM expterms
+                     UNION SELECT unnest(['spark', 'join']) AS term),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM ex JOIN allterms USING (term) GROUP BY doc_id, term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores ORDER BY s DESC, doc_id LIMIT 10
     """
 
     # query-by-document: the qterms CTE re-derives the engine's exact

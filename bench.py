@@ -164,6 +164,7 @@ def main() -> None:
         "bm25_snippets": lambda: qe.bm25_snippets(
             "spark join window", k=10).collect(),
         "qlm": lambda: qe.qlm("spark join window", k=10).collect(),
+        "prf_bm25": lambda: qe.prf_bm25("spark join", k=10).collect(),
         "eval_ndcg": lambda: qe.eval_ndcg(
             {"q_spark": "spark join window", "q_merge": "table merge",
              "q_sort": "sort spark window"}, k=10).collect(),

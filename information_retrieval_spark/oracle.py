@@ -208,6 +208,21 @@ class OracleIndex:
         rows.sort(key=lambda r: (-r[2], r[0]))
         return rows[:k]
 
+    def prf_bm25(self, query: str, k: int = 10, fb_terms: int = 5,
+                 top_docs: int = 25):
+        """QueryEngine.prf_bm25 mirror: BM25 over the union of the
+        query's dictionary-present terms and the related_terms
+        expansion set."""
+        q_terms = sorted({t for t in (normalize(tok)
+                                      for tok in re.split(r"\s+", query.strip()))
+                          if t is not None and t in self.postings})
+        if not q_terms:
+            return []
+        exp = {t for t, _, _ in self.related_terms(
+            query, k=fb_terms, top_docs=top_docs)}
+        ranked = self._score_terms(sorted(set(q_terms) | exp))[:k]
+        return [(d, s, self.name(d)) for d, s in ranked]
+
     def more_like_this(self, doc_id: int, k: int = 10, n_terms: int = 5):
         """QueryEngine.more_like_this mirror: top-n_terms by
         (round(tf*idf, 6) desc, term), BM25 over them, source excluded

@@ -1357,6 +1357,37 @@ class QueryEngine:
                 .orderBy(F.desc("w"), F.asc("term"))
                 .limit(k))
 
+    def prf_bm25(self, query: str, k: int = 10, fb_terms: int = 5,
+                 top_docs: int = 25, wand: bool = True) -> DataFrame:
+        """Automatic query expansion by pseudo-relevance feedback
+        (Rocchio-style, unweighted term selection): run the base query,
+        take the `fb_terms` most characteristic terms of its top
+        `top_docs` results (related_terms' deterministic df_S·idf cut),
+        and re-rank with BM25 over the UNION of original and expansion
+        terms — the classic two-pass recall-improving search loop.
+
+        Scale shape: pass 1 is one bm25 job + the bucket-pruned
+        related_terms decode (both driver-sized outputs); the
+        expansion set (fb_terms strings) is the only thing that comes
+        back to the driver, so pass 2 is a plain _bm25_for_terms run —
+        the same fused kernel as bm25(), just with a longer term list.
+        Nothing corpus-sized crosses the driver. Deterministic: the
+        expansion cut rounds w to 6 dp with a term tiebreak, so the
+        final page is engine-portable (driver gate prf_bm25 re-derives
+        the whole two-pass pipeline relationally in DuckDB).
+        """
+        q_terms = sorted({t for t in (normalize(tok)
+                                      for tok in re.split(r"\s+", query.strip()))
+                          if t is not None})
+        stats = self.term_stats(q_terms)
+        q_terms = [t for t in q_terms if t in stats]
+        if not q_terms:
+            return self._empty_scores()
+        exp = self.related_terms(query, k=fb_terms, top_docs=top_docs)
+        all_terms = sorted(set(q_terms)
+                           | {r["term"] for r in exp.collect()})
+        return self._bm25_for_terms(all_terms, k, wand, 16384)
+
     # filtered BM25: ship the allowed docID set into the kernel below
     # this many ids; above it, emit all aggregated scores and let the
     # join (AQE-planned) do the membership test

@@ -147,6 +147,32 @@ def test_eval_ndcg_drops_unknown_term_queries(synth_engine, synth_oracle):
     assert abs(got["qa"] - round(want["qa"], 6)) <= 2e-6
 
 
+# -- PRF query expansion (QueryEngine.prf_bm25) ------------------------
+
+@pytest.mark.parametrize("q", ["spark sym5", "needle", "sym0 sym1"])
+def test_prf_bm25_rank_identity(synth_engine, synth_oracle, q):
+    got = synth_engine.prf_bm25(q, k=10, fb_terms=5, top_docs=25).collect()
+    want = synth_oracle.prf_bm25(q, k=10, fb_terms=5, top_docs=25)
+    assert [r["docID"] for r in got] == [d for d, _, _ in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_prf_bm25_expansion_changes_page(synth_engine, synth_oracle):
+    # the expansion must actually do something: the expanded page
+    # scores include terms the base query never mentioned
+    q = "needle"
+    base = {r["docID"]: r["score"]
+            for r in synth_engine.bm25(q, k=10, wand=False).collect()}
+    prf = {r["docID"]: r["score"]
+           for r in synth_engine.prf_bm25(q, k=10).collect()}
+    assert prf != base
+
+
+def test_prf_bm25_absent_terms(synth_engine):
+    assert synth_engine.prf_bm25("zzzmissing qqqabsent", k=5).collect() == []
+
+
 # -- P/R/MAP/MRR evaluation (QueryEngine.eval_metrics) -----------------
 
 def _py_metrics(oracle, queries, k=10):
