@@ -913,6 +913,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.zipf_fit()
     q["term_zipf_fit"] = term_zipf_fit
 
+    def term_heaps_fit(spark, sf):
+        # vocabulary-growth diagnostic: Heaps' law V(N) ~ K*N^beta
+        # fitted over per-doc-prefix cumulative (tokens, vocabulary)
+        # points in docID order — first appearances from the postings
+        # block metadata, cumulative pair via a distributed prefix sum
+        # (see QueryEngine.heaps_fit)
+        e = _engine(spark, sf)
+        return e.heaps_fit()
+    q["term_heaps_fit"] = term_heaps_fit
+
     def delete_requery(spark, sf):
         # streaming deletes (tombstones): docs deleted from a LIVE index
         # leave every page immediately — BM25 excludes them inside the
@@ -1403,6 +1413,40 @@ def oracle_sql() -> dict[str, str]:
                round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
                round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
                    AS intercept,
+               round(pow(n*sxy - sx*sy, 2)
+                     / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        FROM s
+    """
+
+    # Heaps fit: the oracle replays the engine's docID order (rank of
+    # (source, doc_id-as-string) — build._build_doc_map's key) with an
+    # outright row_number sort and a serial cumulative window; the
+    # engine never globally sorts (bucket prefix sums). Point sets are
+    # identical because the cumulative pair per prefix is exact integer
+    # arithmetic on both sides.
+    o["term_heaps_fit"] = f"""
+        WITH {_TOKS}, {_EX},
+        ordq AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY source, CAST(doc_id AS VARCHAR)) AS rn
+                 FROM documents),
+        dlq AS (SELECT o.rn, len(t.t)::BIGINT AS dl
+                FROM toks t JOIN ordq o USING (doc_id)),
+        firstq AS (SELECT term, min(o.rn) AS rn
+                   FROM ex JOIN ordq o USING (doc_id) GROUP BY term),
+        nvq AS (SELECT rn, count(*)::BIGINT AS nv FROM firstq GROUP BY rn),
+        cums AS (SELECT d.rn,
+                        sum(d.dl) OVER (ORDER BY d.rn) AS ct,
+                        sum(coalesce(n.nv, 0)) OVER (ORDER BY d.rn) AS cv
+                 FROM dlq d LEFT JOIN nvq n USING (rn)),
+        pts AS (SELECT log10(ct::DOUBLE) AS x, log10(cv::DOUBLE) AS y
+                FROM cums WHERE ct > 0 AND cv > 0),
+        s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+              FROM pts)
+        SELECT n::BIGINT AS n_points,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+                   AS log10_k,
                round(pow(n*sxy - sx*sy, 2)
                      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         FROM s

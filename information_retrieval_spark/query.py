@@ -1769,6 +1769,75 @@ class QueryEngine:
                        * (F.col("n") * F.col("syy")
                           - F.col("sy") * F.col("sy"))), 6).alias("r2"))
 
+    def heaps_fit(self) -> DataFrame:
+        """Heaps'-law vocabulary-growth fit over the corpus in docID
+        order: V(N) ~ K·N^beta, fitted as log10(V) = beta·log10(N) +
+        log10(K) by least squares over one (cumulative tokens,
+        cumulative vocabulary) point per document prefix — the second
+        classic collection statistic next to zipf_fit (natural-language
+        corpora fit beta ~ 0.4-0.6). Returns one row (n_points, beta,
+        log10_k, r2), rounded to 6 dp. Build-time statistic: pending
+        tombstones are ignored by design (stats stay as-built until
+        compaction, the engine's documented delete semantics).
+
+        Scale shape: a term's FIRST docID comes from the postings
+        block METADATA (min block_first_doc per term — a column-pruned
+        scan; payloads never decoded), and the per-doc cumulative pair
+        is a DISTRIBUTED PREFIX SUM: per-bucket partials (map-side
+        combinable groupBy), ONE window over the n_buckets-row partial
+        relation for the bucket offsets (~1.5e7 tiny rows at 10^12
+        docs — the only serial step), broadcast back, then the
+        within-bucket running sums are per-bucket-partitioned windows
+        running in parallel. The regression is the same one-pass 6-sum
+        aggregate as zipf_fit.
+        """
+        from pyspark.sql import Window
+        dpb = int(self.stats["docs_per_bucket"])
+        dl = (self._doc_map.select("docID")
+              .join(self.index.table("doc_len"), "docID", "left")
+              .select("docID", F.coalesce(F.col("dl").cast("long"),
+                                          F.lit(0)).alias("dl")))
+        nv = (self._postings.groupBy("term")
+              .agg(F.min("block_first_doc").alias("docID"))
+              .groupBy("docID").agg(F.count(F.lit(1)).alias("nv")))
+        per = (dl.join(nv, "docID", "left")
+               .select("docID", "dl",
+                       F.coalesce("nv", F.lit(0)).alias("nv"),
+                       F.expr(f"docID DIV {dpb}").alias("bucket")))
+        bk = per.groupBy("bucket").agg(F.sum("dl").alias("bdl"),
+                                       F.sum("nv").alias("bnv"))
+        wb = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1)
+        off = bk.select(
+            "bucket",
+            F.coalesce(F.sum("bdl").over(wb), F.lit(0)).alias("odl"),
+            F.coalesce(F.sum("bnv").over(wb), F.lit(0)).alias("onv"))
+        wi = (Window.partitionBy("bucket").orderBy("docID")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        pts = (per.join(F.broadcast(off), "bucket")
+               .select((F.col("odl") + F.sum("dl").over(wi)).alias("ct"),
+                       (F.col("onv") + F.sum("nv").over(wi)).alias("cv"))
+               .filter((F.col("ct") > 0) & (F.col("cv") > 0))
+               .select(F.log10(F.col("ct").cast("double")).alias("x"),
+                       F.log10(F.col("cv").cast("double")).alias("y")))
+        s = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                    F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                    F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                    F.sum(F.col("y") * F.col("y")).alias("syy"),
+                    F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        return s.select(
+            F.col("n").cast("long").alias("n_points"),
+            F.round(slope, 6).alias("beta"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            .alias("log10_k"),
+            F.round(F.pow(F.col("n") * F.col("sxy")
+                          - F.col("sx") * F.col("sy"), F.lit(2.0))
+                    / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                       * (F.col("n") * F.col("syy")
+                          - F.col("sy") * F.col("sy"))), 6).alias("r2"))
+
     def bm25_snippets(self, query: str, k: int = 10,
                       wand: bool = True) -> DataFrame:
         """Top-k BM25 + the snippet window: for each result doc, the

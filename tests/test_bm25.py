@@ -250,6 +250,41 @@ def test_zipf_fit_matches_python_oracle(synth_engine, synth_oracle):
     assert row["slope"] < 0 and 0.0 < row["r2"] <= 1.0
 
 
+# -- Heaps fit (QueryEngine.heaps_fit) ---------------------------------
+
+def _py_heaps(oracle):
+    first: dict = {}
+    for _t, ps in oracle.postings.items():
+        fd = min(ps)
+        first[fd] = first.get(fd, 0) + 1
+    ct = cv = 0
+    pts = []
+    for d in range(oracle.n_docs):
+        ct += oracle.doc_len.get(d, 0)
+        cv += first.get(d, 0)
+        if ct > 0 and cv > 0:
+            pts.append((math.log10(ct), math.log10(cv)))
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return int(n), slope, intercept, r2
+
+
+def test_heaps_fit_matches_python_oracle(synth_engine, synth_oracle):
+    row = synth_engine.heaps_fit().collect()[0]
+    n, beta, log10_k, r2 = _py_heaps(synth_oracle)
+    assert row["n_points"] == n
+    assert abs(row["beta"] - round(beta, 6)) <= 2e-6
+    assert abs(row["log10_k"] - round(log10_k, 6)) <= 2e-6
+    assert abs(row["r2"] - round(r2, 6)) <= 2e-6
+    # a natural-ish corpus grows sublinearly: 0 < beta < 1
+    assert 0.0 < row["beta"] < 1.0 and 0.0 < row["r2"] <= 1.0
+
+
 def test_zipf_fit_chunked_explode_equals_default(synth_engine):
     # chunk smaller than every rank run: pins the chunk-splitting path
     # (the cf=1 tail split across tasks at scale) to the same sums
