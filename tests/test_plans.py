@@ -195,3 +195,18 @@ def test_bm25_filtered_mask_path_adds_no_exchange(synth_engine):
                                       F.col("lang") == "py", k=10)
     n_ex = lambda df: _plan(df).count("Exchange")  # noqa: E731
     assert n_ex(filt) == n_ex(base), (_plan(filt), _plan(base))
+
+
+def test_heaps_fit_postings_scan_is_metadata_only(synth_engine):
+    # heaps_fit's first-appearance relation must read ONLY (term,
+    # block_first_doc) off the postings scan — the varbyte payload
+    # columns never leave parquet (the "no postings decode" claim)
+    plan = _plan(synth_engine.heaps_fit())
+    read = plan.split("ReadSchema")
+    postings_reads = [seg for seg in read[1:] if "block_first_doc" in
+                      seg.split("\n")[0]]
+    assert postings_reads, plan
+    for seg in postings_reads:
+        head = seg.split("\n")[0]
+        for payload in ("doc_gaps", "tfs", "dls", "pos_gaps"):
+            assert payload not in head, head
