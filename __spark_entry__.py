@@ -437,6 +437,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_topk"] = bm25_topk
 
+    def bm25_boosted(spark, sf):
+        # query-time term weighting (the search-box `term^2` operator):
+        # per-term idf multipliers thread through the SAME map the
+        # scoring kernel and the WAND bounds consume, so pruning stays
+        # exact under boosts
+        e = _engine(spark, sf)
+        top = e.bm25_boosted({"spark": 2.0, "join": 1.0, "window": 0.5},
+                             k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["bm25_boosted"] = bm25_boosted
+
     def qlm_topk(spark, sf):
         # Dirichlet query-likelihood ranking (Zhai & Lafferty 2001) over
         # the same inverted index: kernel scores vs the oracle's full
@@ -1108,6 +1122,31 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk"] = f"""
         WITH {_TOKS},
         {_bm25_ctes()}
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # boosted BM25: the shared idf is multiplied by the per-term boost
+    # INSIDE the score sum — float association mirrors the engine's
+    # idf_map[t] = idf * boost (one product before the kernel)
+    o["bm25_boosted"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ex
+               WHERE term IN ('spark', 'join', 'window')
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum((ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                        * CASE tf.term WHEN 'spark' THEN 2.0
+                                       WHEN 'window' THEN 0.5
+                                       ELSE 1.0 END)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf.doc_id)
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
     """

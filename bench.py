@@ -165,6 +165,8 @@ def main() -> None:
             "spark join window", k=10).collect(),
         "qlm": lambda: qe.qlm("spark join window", k=10).collect(),
         "prf_bm25": lambda: qe.prf_bm25("spark join", k=10).collect(),
+        "bm25_boosted": lambda: qe.bm25_boosted(
+            {"spark": 2.0, "join": 1.0, "window": 0.5}, k=10).collect(),
         "eval_ndcg": lambda: qe.eval_ndcg(
             {"q_spark": "spark join window", "q_merge": "table merge",
              "q_sort": "sort spark window"}, k=10).collect(),

@@ -148,13 +148,24 @@ class OracleIndex:
         ranked = self._score_terms(terms, k1, b)[:k]
         return [(d, s, self.name(d)) for d, s in ranked]
 
-    def _score_terms(self, terms, k1: float = 1.2, b: float = 0.75):
+    def bm25_boosted(self, boosts: dict, k: int = 10):
+        """QueryEngine.bm25_boosted mirror: idf scaled per term."""
+        norm = {}
+        for tok, w in sorted(boosts.items()):
+            t = normalize(tok)
+            if t is not None and t in self.postings:
+                norm[t] = float(w)
+        ranked = self._score_terms(sorted(norm), boosts=norm)[:k]
+        return [(d, s, self.name(d)) for d, s in ranked]
+
+    def _score_terms(self, terms, k1: float = 1.2, b: float = 0.75,
+                     boosts: dict | None = None):
         """Full BM25 ranking of PRE-NORMALIZED terms: [(docID, score)],
         score desc, docID asc."""
         avgdl = self.avgdl or 1.0
         scores = defaultdict(float)
         for t in terms:
-            w = self.idf(t)
+            w = self.idf(t) * (boosts.get(t, 1.0) if boosts else 1.0)
             for d, pos in self.postings.get(t, {}).items():
                 tf = len(pos)
                 dl = self.doc_len[d]

@@ -1086,8 +1086,41 @@ class QueryEngine:
                         if t is not None})
         return self._bm25_for_terms(terms, k, wand, wand_gate_blocks)
 
+    def bm25_boosted(self, boosts: dict, k: int = 10,
+                     wand: bool = True) -> DataFrame:
+        """Query-time term weighting: BM25 top-k where each term's idf
+        is multiplied by its boost — the standard search-box `term^2`
+        operator. `boosts` maps RAW tokens to positive multipliers;
+        tokens normalize through the same pipeline as bm25 (two raw
+        forms collapsing to one index term is rejected — the merged
+        weight would be ambiguous). boost=1.0 for every term is
+        exactly bm25.
+
+        Exactness under pruning: the boosted idf map is the SAME map
+        the block-max WAND bounds consume (a bound built from
+        boosted-idf · block_max dominates every boosted score the
+        block can produce), so pruning stays provably exact — no
+        wand=False fallback needed.
+        """
+        norm: dict = {}
+        for tok, w in sorted(dict(boosts).items()):
+            w = float(w)
+            if w <= 0.0:
+                raise ValueError(f"boost for {tok!r} must be > 0, got {w}")
+            t = normalize(tok)
+            if t is None:
+                continue
+            if t in norm and norm[t] != w:
+                raise ValueError(
+                    f"tokens collide on index term {t!r} with different "
+                    "boosts — merge them in the query")
+            norm[t] = w
+        return self._bm25_for_terms(sorted(norm), k, wand, 16384,
+                                    boosts=norm)
+
     def _bm25_for_terms(self, terms: list, k: int, wand: bool,
-                        wand_gate_blocks: int) -> DataFrame:
+                        wand_gate_blocks: int, boosts: dict | None = None
+                        ) -> DataFrame:
         """BM25 top-k over PRE-NORMALIZED terms (bm25 tokenizes; internal
         callers like more_like_this hold dictionary terms already — a
         second normalize pass is not idempotent for every stem)."""
@@ -1096,6 +1129,9 @@ class QueryEngine:
         if not terms:
             return self._empty_scores()
         idf_map = {t: self._idf(int(stats[t]["df"])) for t in terms}
+        if boosts:
+            idf_map = {t: w * boosts.get(t, 1.0)
+                       for t, w in idf_map.items()}
         # cost gate: pruning pays off only when there is enough to skip —
         # the threshold-estimation phase costs ~2 extra (small) jobs, and
         # the θ0 seed decodes one full bucket (1/n_buckets of the

@@ -147,6 +147,45 @@ def test_eval_ndcg_drops_unknown_term_queries(synth_engine, synth_oracle):
     assert abs(got["qa"] - round(want["qa"], 6)) <= 2e-6
 
 
+# -- boosted BM25 (QueryEngine.bm25_boosted) ---------------------------
+
+BOOSTS = {"sym0": 3.0, "sym1": 1.0, "sym2": 0.25}
+
+
+def test_bm25_boosted_rank_identity(synth_engine, synth_oracle):
+    got = synth_engine.bm25_boosted(BOOSTS, k=10).collect()
+    want = synth_oracle.bm25_boosted(BOOSTS, k=10)
+    assert [r["docID"] for r in got] == [d for d, _, _ in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_bm25_boosted_unit_boosts_equal_bm25(synth_engine):
+    base = synth_engine.bm25("sym0 sym1 sym2", k=10, wand=False).collect()
+    unit = synth_engine.bm25_boosted(
+        {"sym0": 1.0, "sym1": 1.0, "sym2": 1.0}, k=10, wand=False).collect()
+    assert [(r["docID"], r["score"]) for r in base] \
+        == [(r["docID"], r["score"]) for r in unit]
+
+
+def test_bm25_boosted_wand_equals_baseline(synth_engine):
+    base = synth_engine.bm25_boosted(BOOSTS, k=10, wand=False).collect()
+    # force the pruning path: boosted bounds must stay exact
+    wand = synth_engine._bm25_for_terms(
+        sorted({"sym0": 3.0, "sym1": 1.0, "sym2": 0.25}), k=10, wand=True,
+        wand_gate_blocks=0, boosts={"sym0": 3.0, "sym1": 1.0, "sym2": 0.25})
+    assert [(r["docID"], r["score"]) for r in base] \
+        == [(r["docID"], r["score"]) for r in wand.collect()]
+
+
+def test_bm25_boosted_rejects_bad_input(synth_engine):
+    with pytest.raises(ValueError):
+        synth_engine.bm25_boosted({"sym0": 0.0})
+    # 'spark' and 'sparks' stem-collide -> ambiguous merged weight
+    with pytest.raises(ValueError):
+        synth_engine.bm25_boosted({"spark": 2.0, "sparks": 3.0})
+
+
 # -- PRF query expansion (QueryEngine.prf_bm25) ------------------------
 
 @pytest.mark.parametrize("q", ["spark sym5", "needle", "sym0 sym1"])
