@@ -598,6 +598,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.quality_scores(_documents(spark, sf))
     q["text_quality_scores"] = text_quality_scores
 
+    def curation_top_quality(spark, sf):
+        # the selection step after quality scoring: keep the best 30%
+        # of every language by quality (rank and group count share ONE
+        # group-keyed exchange; ceil(frac*count) is the same float64
+        # product+ceil in every engine; ties break on id)
+        d = _documents(spark, sf)
+        scored = (textstats.quality_scores(d)
+                  .join(d.select(F.col("doc_id").alias("id"), "lang"),
+                        "id"))
+        kept = sampling.top_fraction_per_group(
+            scored, 0.3, "lang", "quality", id_col="id")
+        return kept.select(F.col("id").cast("long").alias("doc_id"),
+                           "lang", "quality")
+    q["curation_top_quality"] = curation_top_quality
+
     def text_repetition(spark, sf):
         # Gopher-style within-doc repetition quality filters: duplicate
         # non-blank-line fraction + duplicate kept-term 3-gram fraction
@@ -1713,6 +1728,27 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * least(1.0, 5.0 * (len(list_filter(t, x -> x IN ('{stop}')))
                                                / greatest(len(t), 1))), 6) AS quality
         FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+    """
+
+    # per-language quality selection: the quality CTE is the
+    # text_quality_scores oracle verbatim; the cut replays the engine's
+    # window (rank by quality desc, id asc; group count; float64
+    # ceil(0.3 * cnt))
+    o["curation_top_quality"] = f"""
+        WITH {_TOKS},
+        q AS (
+            SELECT d.doc_id AS id, d.lang,
+                   round(0.4 * least(1.0, len(t) / 50.0)
+                         + 0.3 * (1.0 - length(regexp_replace(d.text, '[A-Za-z0-9_\\s]', '', 'g'))
+                                  / greatest(length(d.text), 1))
+                         + 0.3 * least(1.0, 5.0 * (len(list_filter(t, x -> x IN ('{stop}')))
+                                                   / greatest(len(t), 1))), 6) AS quality
+            FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+        r AS (SELECT *, row_number() OVER
+                  (PARTITION BY lang ORDER BY quality DESC, id) AS rnk,
+               count(*) OVER (PARTITION BY lang) AS cnt FROM q)
+        SELECT id AS doc_id, lang, quality
+        FROM r WHERE rnk <= ceil(0.3 * cnt)
     """
 
     o["text_repetition"] = f"""

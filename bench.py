@@ -223,6 +223,11 @@ def main() -> None:
         # measured separately from the steady-state per-batch probe
         "dedup_inc_build": lambda: _dedup_inc_build(spark, docs),
         "dedup_inc_probe": lambda: _dedup_inc_probe(spark, docs),
+        "curation_top_quality": lambda: sampling.top_fraction_per_group(
+            textstats.quality_scores(docs, id_col="path",
+                                     text_col="content")
+            .join(docs.select(F.col("path").alias("id"), "lang"), "id"),
+            0.3, "lang", "quality", id_col="id").count(),
         "text_quality": lambda: textstats.quality_scores(
             docs, id_col="path", text_col="content").count(),
         # PII detect+redact: two map-only regexp projections (C4-style

@@ -84,6 +84,48 @@ def stratified_sample(df: DataFrame, rates: dict, strata_col: str,
     return df.filter(F.expr(uniform_expr(key_col, seed)) < rate)
 
 
+def top_fraction_per_group(df: DataFrame, frac: float, group_col: str,
+                           score_col: str, id_col: str = "doc_id",
+                           approx: bool = False,
+                           accuracy: int = 10000) -> DataFrame:
+    """Quality-driven curation cut: keep the best ceil(frac·|group|)
+    rows of every group by (score desc, id asc) — "top 30% per source
+    by quality", the selection step that follows
+    textstats.quality_scores in a filtering pipeline.
+
+    Exact path: ONE exchange keyed by group_col — rank and group count
+    are two window functions sharing the same partition spec, so they
+    share the exchange and the sort. Deterministic and engine-portable:
+    scores compare at their stored grain (textstats scores are 6-dp
+    rounded), ties break on id asc, and the cut size is
+    float64 ceil(frac · count) — the same IEEE product and ceil in
+    Spark, DuckDB and Python.
+
+    At 100 TB a single giant group makes the per-group sort the cost
+    that matters; `approx=True` switches to a per-group
+    percentile_approx threshold broadcast back onto the scan — no
+    sort, no corpus shuffle (the group-keyed aggregate is map-side
+    combinable), at the price of a boundary-fuzzy cut (keeps
+    score >= threshold; the kept count deviates by the sketch error
+    and score ties at the boundary are all kept)."""
+    if not (0.0 < float(frac) <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if approx:
+        thr = df.groupBy(group_col).agg(F.percentile_approx(
+            score_col, 1.0 - float(frac), accuracy).alias("__thr"))
+        return (df.join(F.broadcast(thr), group_col)
+                .filter(F.col(score_col) >= F.col("__thr"))
+                .drop("__thr"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col)
+    wr = w.orderBy(F.desc(score_col), F.asc(id_col))
+    return (df.withColumn("__rnk", F.row_number().over(wr))
+            .withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .filter(F.col("__rnk")
+                    <= F.ceil(F.lit(float(frac)) * F.col("__cnt")))
+            .drop("__rnk", "__cnt"))
+
+
 def _cumsum_partitions(batches):
     """mapInArrow: pass all columns through + (pid, before_local) — the
     partition-local EXCLUSIVE running sum of n_tokens (the prefix-sum

@@ -819,6 +819,51 @@ def test_stratified_sample_per_stratum_rates(spark):
         assert sampling.uniform_of(r["doc_id"], "sample") < rate
 
 
+def test_top_fraction_per_group_exact(spark):
+    import math as _m
+    rows = [(i, "en" if i % 3 else "de", round((i * 37 % 101) / 101.0, 6))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+    got = {(r["doc_id"], r["lang"]) for r in sampling.top_fraction_per_group(
+        df, 0.3, "lang", "q").collect()}
+    want = set()
+    for lang in ("en", "de"):
+        grp = sorted((r for r in rows if r[1] == lang),
+                     key=lambda r: (-r[2], r[0]))
+        keep = _m.ceil(0.3 * len(grp))
+        want.update((r[0], r[1]) for r in grp[:keep])
+    assert got == want
+
+
+def test_top_fraction_per_group_approx_is_top_segment_within_one(spark):
+    # the threshold path's documented contract: per group it keeps a
+    # CONTIGUOUS top-by-score segment (score >= sketch threshold) whose
+    # size is within the sketch's boundary fuzz of the exact cut
+    rows = [(i, "g%d" % (i % 4), i / 1000.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+    approx = sampling.top_fraction_per_group(
+        df, 0.25, "lang", "q", approx=True, accuracy=100000).collect()
+    by_grp: dict = {}
+    for r in approx:
+        by_grp.setdefault(r["lang"], set()).add(r["doc_id"])
+    exact_keep = 25  # ceil(0.25 * 100) per group
+    for g, kept in sorted(by_grp.items()):
+        grp = sorted((r for r in rows if r[1] == g), key=lambda r: -r[2])
+        m = len(kept)
+        assert abs(m - exact_keep) <= 1, (g, m)
+        # contiguity: the kept set IS the top-m of the group
+        assert kept == {r[0] for r in grp[:m]}, g
+
+
+def test_top_fraction_per_group_rejects_bad_frac(spark):
+    df = spark.createDataFrame([(1, "a", 0.5)],
+                               "doc_id long, lang string, q double")
+    with pytest.raises(ValueError):
+        sampling.top_fraction_per_group(df, 0.0, "lang", "q")
+    with pytest.raises(ValueError):
+        sampling.top_fraction_per_group(df, 1.5, "lang", "q")
+
+
 def test_near_duplicates_shingles_path_materializes_once(docs_df, tmp_path):
     # shingles_path: identical results to the recompute path, the
     # relation is written exactly once (idempotent on _SUCCESS), and
