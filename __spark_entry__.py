@@ -451,6 +451,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_boosted"] = bm25_boosted
 
+    def search_corrected(spark, sf):
+        # did-you-mean pipeline end to end: misspelled tokens resolve to
+        # their top dictionary correction (ONE banded dictionary scan
+        # for the whole token batch, suggest()'s deterministic cut),
+        # then the corrected term set runs the standard BM25 kernel
+        e = _engine(spark, sf)
+        top = e.search_corrected("sparkk joinn window", k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["search_corrected"] = search_corrected
+
     def qlm_topk(spark, sf):
         # Dirichlet query-likelihood ranking (Zhai & Lafferty 2001) over
         # the same inverted index: kernel scores vs the oracle's full
@@ -1137,6 +1150,39 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk"] = f"""
         WITH {_TOKS},
         {_bm25_ctes()}
+        SELECT doc_id, round(s, 6) AS score
+        FROM scores ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    # did-you-mean retrieval: per-token top correction by
+    # (levenshtein asc, df desc, term asc) over the length-banded
+    # vocabulary, then BM25 over the DISTINCT corrected terms — the
+    # same dynamic-term CTE shape as more_like_this
+    o["search_corrected"] = f"""
+        WITH {_TOKS}, {_EX},
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(len(t)) AS avgdl FROM toks),
+        dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                  FROM ex GROUP BY term),
+        qt AS (SELECT unnest(['sparkk', 'joinn', 'window']) AS q),
+        cand AS (SELECT qt.q, dfreq.term, dfreq.df,
+                        levenshtein(dfreq.term, qt.q) AS dist
+                 FROM dfreq, qt
+                 WHERE abs(length(dfreq.term) - length(qt.q)) <= 2
+                   AND levenshtein(dfreq.term, qt.q) <= 2),
+        corr AS (SELECT DISTINCT term FROM (
+            SELECT q, term, row_number() OVER
+                (PARTITION BY q ORDER BY dist, df DESC, term) AS rn
+            FROM cand) WHERE rn = 1),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM ex JOIN corr USING (term) GROUP BY doc_id, term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st GROUP BY tf.doc_id)
         SELECT doc_id, round(s, 6) AS score
         FROM scores ORDER BY s DESC, doc_id LIMIT 10
     """

@@ -187,6 +187,8 @@ def main() -> None:
         "positional": lambda: qe.positional_docs("spark /3 join").count(),
         "phrase": lambda: qe.phrase_docs("row column sort").count(),
         "joker": lambda: qe.joker_docs("st* *ow").count(),
+        "search_corrected": lambda: qe.search_corrected(
+            "sparkk joinn window", k=10).collect(),
         "fuzzy_suggest": lambda: qe.suggest("spak", k=5, max_edits=2).collect(),
         "related_terms": lambda: qe.related_terms(
             "spark join", k=10, top_docs=25).collect(),

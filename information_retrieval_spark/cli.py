@@ -70,6 +70,9 @@ def cmd_query(args) -> int:
     elif args.mode == "qlm":
         out = [(r["docID"], round(r["score"], 6), r["name"])
                for r in qe.qlm(args.q, k=args.k).collect()]
+    elif args.mode == "corrected":
+        out = [(r["docID"], round(r["score"], 6), r["name"])
+               for r in qe.search_corrected(args.q, k=args.k).collect()]
     else:
         out = [(r["docID"], round(r["score"], 6), r["name"])
                for r in qe.bm25(args.q, k=args.k, wand=not args.no_wand).collect()]
@@ -107,7 +110,7 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "boolean", "positional", "joker",
-                            "phrase", "snippets", "qlm"])
+                            "phrase", "snippets", "qlm", "corrected"])
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-wand", action="store_true")

@@ -712,6 +712,54 @@ class QueryEngine:
                 .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
                 .limit(k))
 
+    def correct_terms(self, tokens, max_edits: int = 2) -> dict:
+        """Batch spelling correction: normalized token -> its top
+        dictionary correction by suggest()'s deterministic
+        (dist asc, df desc, term asc) cut — an exact vocabulary hit is
+        its own correction (unique dist 0). Tokens with no dictionary
+        term within `max_edits` are absent from the result.
+
+        Scale shape: ONE length-banded dictionary scan covers ALL
+        tokens (dictionary × broadcast token list, banded JVM
+        levenshtein), then a top-1 window over the per-token candidate
+        relation — candidates, not the vocabulary, cross the window.
+        """
+        qs = sorted({t for t in (normalize(tok) for tok in tokens)
+                     if t is not None})
+        if not qs:
+            return {}
+        from pyspark.sql import Window
+        tdf = self.spark.createDataFrame([(t,) for t in qs], "q string")
+        cand = (self._dictionary.join(F.broadcast(tdf),
+                                      F.abs(F.length("term")
+                                            - F.length("q"))
+                                      <= F.lit(max_edits))
+                .withColumn("dist", F.levenshtein(F.col("term"),
+                                                  F.col("q"), max_edits))
+                .filter((F.col("dist") >= 0)
+                        & (F.col("dist") <= F.lit(max_edits))))
+        w = Window.partitionBy("q").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term"))
+        top = (cand.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+        return {r["q"]: r["term"]
+                for r in top.select("q", "term").collect()}
+
+    def search_corrected(self, query: str, k: int = 10,
+                         max_edits: int = 2, wand: bool = True) -> DataFrame:
+        """Did-you-mean retrieval: every query token is replaced by its
+        top spelling correction (correct_terms) and the corrected term
+        set runs through the standard BM25 kernel — the search box's
+        silent-correction pipeline, end to end. Tokens beyond
+        `max_edits` of the whole vocabulary are dropped (same contract
+        as dictionary-absent terms in bm25).
+        """
+        m = self.correct_terms(re.split(r"\s+", query.strip()), max_edits)
+        terms = sorted(set(m.values()))
+        if not terms:
+            return self._empty_scores()
+        return self._bm25_for_terms(terms, k, wand, 16384)
+
     def _names(self, doc_ids: DataFrame) -> DataFrame:
         """docID set -> sorted file names (QueryProcessor.java:95-98:
         getDocName is the path's last component)."""

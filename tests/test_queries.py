@@ -334,3 +334,38 @@ def test_fuzzy_rejects_unnormalizable_token(synth_engine):
         synth_engine.fuzzy_terms("...", max_edits=1)
     with pytest.raises(ValueError):
         synth_engine.fuzzy_terms("needle", max_edits=-1)
+
+
+def test_correct_terms_batch_equals_per_token_suggest(synth_engine):
+    from information_retrieval_spark.normalize import normalize
+    toks = ["neede", "haystck", "sym0", "zzzzzzzzzz"]
+    m = synth_engine.correct_terms(toks, max_edits=2)
+    for tok in toks:
+        t = normalize(tok)
+        top = synth_engine.suggest(tok, k=1, max_edits=2).collect()
+        if top:
+            assert m[t] == top[0]["term"], tok
+        else:
+            assert t not in m, tok
+
+
+def test_search_corrected_equals_bm25_of_corrections(synth_engine):
+    q = "neede haystck"
+    m = synth_engine.correct_terms(q.split(), max_edits=2)
+    assert len(m) == 2  # both tokens found a correction
+    page = synth_engine.search_corrected(q, k=10).collect()
+    base = synth_engine._bm25_for_terms(
+        sorted(set(m.values())), k=10, wand=True,
+        wand_gate_blocks=16384).collect()
+    assert [(r["docID"], r["score"]) for r in page] \
+        == [(r["docID"], r["score"]) for r in base]
+    # an exact-vocabulary query corrects to itself end to end
+    self_page = synth_engine.search_corrected("needle haystack", k=10).collect()
+    bm = synth_engine.bm25("needle haystack", k=10).collect()
+    assert [(r["docID"], r["score"]) for r in self_page] \
+        == [(r["docID"], r["score"]) for r in bm]
+
+
+def test_search_corrected_all_uncorrectable_is_empty(synth_engine):
+    assert synth_engine.search_corrected(
+        "zzzzzzzzzz qqqqqqqqqqqq", k=5).collect() == []
