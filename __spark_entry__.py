@@ -451,6 +451,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_boosted"] = bm25_boosted
 
+    def bm25_proximity(spark, sf):
+        # proximity-boosted rerank of the top-25 pool: minimal covering
+        # window (the snippets primitive) turns into a
+        # (n_terms-1)/window_len bonus; rounded before the cut
+        e = _engine(spark, sf)
+        top = e.bm25_proximity("spark join window", k=10, pool=25)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return top.join(dm, "docID").select("doc_id", "score")
+    q["bm25_proximity"] = bm25_proximity
+
     def search_corrected(spark, sf):
         # did-you-mean pipeline end to end: misspelled tokens resolve to
         # their top dictionary correction (ONE banded dictionary scan
@@ -1587,6 +1598,42 @@ def oracle_sql() -> dict[str, str]:
         FROM top t
         JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
         JOIN need n ON n.doc_id = t.doc_id
+    """
+
+    # proximity rerank: top-25 pool + the snippets oracle's O(occ^2)
+    # minimal-window formulation + the same float association as the
+    # engine ((alpha*(n_terms-1))/window_len added to the UNROUNDED
+    # BM25 score, rounded to 6 dp before the final cut)
+    o["bm25_proximity"] = f"""
+        WITH {_TOKS}, {_POS},
+        {_bm25_ctes()},
+        top AS (SELECT doc_id, s
+                FROM scores ORDER BY s DESC, doc_id LIMIT 25),
+        occ AS (SELECT p.doc_id, p.term, p.p
+                FROM pos p JOIN top USING (doc_id)
+                WHERE p.term IN ('spark', 'join', 'window')),
+        need AS (SELECT doc_id, count(DISTINCT term) AS need
+                 FROM occ GROUP BY doc_id),
+        ends AS (SELECT DISTINCT doc_id, p AS pe FROM occ),
+        latest AS (SELECT e.doc_id, e.pe, o.term, max(o.p) AS lp
+                   FROM ends e
+                   JOIN occ o ON o.doc_id = e.doc_id AND o.p <= e.pe
+                   GROUP BY 1, 2, 3),
+        cover AS (SELECT doc_id, pe, count(*) AS nt, min(lp) AS ws
+                  FROM latest GROUP BY doc_id, pe),
+        valid AS (SELECT c.doc_id, c.ws, c.pe
+                  FROM cover c JOIN need n
+                    ON n.doc_id = c.doc_id AND c.nt = n.need),
+        best AS (SELECT doc_id, ws, pe, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY pe - ws, ws) AS rn
+                 FROM valid),
+        rer AS (SELECT t.doc_id,
+                       round(t.s + (1.0 * (n.need - 1))
+                             / (b.pe - b.ws + 1), 6) AS score
+                FROM top t
+                JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+                JOIN need n ON n.doc_id = t.doc_id)
+        SELECT doc_id, score FROM rer ORDER BY score DESC, doc_id LIMIT 10
     """
 
     o["dedup_exact"] = """

@@ -163,6 +163,8 @@ def main() -> None:
         "bm25_full": lambda: qe.bm25("spark join window", k=10, wand=False).collect(),
         "bm25_snippets": lambda: qe.bm25_snippets(
             "spark join window", k=10).collect(),
+        "bm25_proximity": lambda: qe.bm25_proximity(
+            "spark join window", k=10, pool=25).collect(),
         "qlm": lambda: qe.qlm("spark join window", k=10).collect(),
         "prf_bm25": lambda: qe.prf_bm25("spark join", k=10).collect(),
         "bm25_boosted": lambda: qe.bm25_boosted(

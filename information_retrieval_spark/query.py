@@ -1970,6 +1970,31 @@ class QueryEngine:
                         "win_start", "win_end", "n_terms")
                 .orderBy(F.desc("score"), "docID"))
 
+    def bm25_proximity(self, query: str, k: int = 10, pool: int = 40,
+                       alpha: float = 1.0, wand: bool = True) -> DataFrame:
+        """Proximity-boosted reranking: the top-`pool` BM25 candidates
+        are reranked by score + alpha·(n_terms−1)/window_len, where
+        [win_start, win_end] is each doc's MINIMAL covering window
+        (the snippets primitive) and n_terms the distinct query terms
+        it covers. Tight multi-term matches rise; a single-term doc's
+        proximity evidence is vacuous and earns no bonus. The combined
+        score rounds to 6 dp BEFORE the (score desc, docID) cut, so
+        the reranked page is deterministic and engine-portable.
+
+        Scale shape: identical to bm25_snippets — rerank work is
+        bounded by `pool` (a driver-sized page); the positional decode
+        prunes to the page's buckets; nothing corpus-sized moves.
+        """
+        pool = max(int(pool), int(k))
+        snip = self.bm25_snippets(query, k=pool, wand=wand)
+        combined = F.round(
+            F.col("score")
+            + F.lit(float(alpha)) * (F.col("n_terms") - F.lit(1))
+            / (F.col("win_end") - F.col("win_start") + F.lit(1)), 6)
+        return (snip.select("docID", combined.alias("score"), "name")
+                .orderBy(F.desc("score"), F.asc("docID"))
+                .limit(k))
+
     # bucket_max slices up to this many rows are collected and folded in
     # driver numpy (saves one distributed agg job per query); beyond it —
     # e.g. a head term over a 10^12-doc index spans ~1.5e7 buckets — the

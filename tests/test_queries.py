@@ -369,3 +369,51 @@ def test_search_corrected_equals_bm25_of_corrections(synth_engine):
 def test_search_corrected_all_uncorrectable_is_empty(synth_engine):
     assert synth_engine.search_corrected(
         "zzzzzzzzzz qqqqqqqqqqqq", k=5).collect() == []
+
+
+# --- proximity-boosted rerank (QueryEngine.bm25_proximity) --------------
+
+def _py_window_from_postings(oracle, d, terms):
+    occ = sorted((p, t) for t in terms
+                 for p in oracle.postings.get(t, {}).get(d, []))
+    present = {t for _, t in occ}
+    if not present:
+        return None
+    best = None
+    for si, (s, _) in enumerate(occ):
+        seen = set()
+        for e, w in occ[si:]:
+            seen.add(w)
+            if seen == present:
+                cand = (e - s, s, e)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+                break
+    return best[1], best[2], len(present)
+
+
+@pytest.mark.parametrize("q", ["needle haystack", "sym0 sym1 sym2"])
+def test_bm25_proximity_matches_python_rerank(synth_engine, synth_oracle, q):
+    from information_retrieval_spark.normalize import normalize
+    k, pool, alpha = 10, 25, 1.0
+    got = [(r["docID"], r["score"]) for r in synth_engine.bm25_proximity(
+        q, k=k, pool=pool, alpha=alpha).collect()]
+    terms = sorted({t for t in (normalize(w) for w in q.split())
+                    if t is not None and t in synth_oracle.postings})
+    page = synth_oracle._score_terms(terms)[:pool]
+    rer = []
+    for d, s in page:
+        ws, we, nt = _py_window_from_postings(synth_oracle, d, terms)
+        rer.append((d, round(s + alpha * (nt - 1) / (we - ws + 1), 6)))
+    rer.sort(key=lambda x: (-x[1], x[0]))
+    assert got == rer[:k]
+
+
+def test_bm25_proximity_single_term_equals_bm25_rounded(synth_engine):
+    # one-term queries earn no bonus: the reranked page IS the bm25
+    # page with scores rounded
+    base = [(r["docID"], round(r["score"], 6))
+            for r in synth_engine.bm25("needle", k=10).collect()]
+    prox = [(r["docID"], r["score"])
+            for r in synth_engine.bm25_proximity("needle", k=10).collect()]
+    assert prox == base
