@@ -966,6 +966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.zipf_fit()
     q["term_zipf_fit"] = term_zipf_fit
 
+    def collection_stats(spark, sf):
+        # the index health report: build-time stats read-back + one
+        # map-side aggregate over the dictionary (no postings touched)
+        e = _engine(spark, sf)
+        return e.collection_stats()
+    q["collection_stats"] = collection_stats
+
     def term_heaps_fit(spark, sf):
         # vocabulary-growth diagnostic: Heaps' law V(N) ~ K*N^beta
         # fitted over per-doc-prefix cumulative (tokens, vocabulary)
@@ -1527,6 +1534,25 @@ def oracle_sql() -> dict[str, str]:
                round(pow(n*sxy - sx*sy, 2)
                      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         FROM s
+    """
+
+    # collection stats: every number re-derived from the raw documents
+    # (vocabulary, Σdf, Σtokens, head-term reach); avgdl is the same
+    # float64 total_len / n_docs division the builder stores
+    o["collection_stats"] = f"""
+        WITH {_TOKS}, {_EX},
+        tstats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                          count(*)::BIGINT AS cf FROM ex GROUP BY term),
+        agg AS (SELECT count(*)::BIGINT AS n_terms,
+                       sum(df)::BIGINT AS n_postings,
+                       max(df)::BIGINT AS max_df,
+                       max(cf)::BIGINT AS max_cf FROM tstats),
+        base AS (SELECT count(*)::BIGINT AS n_docs,
+                        sum(len(t))::BIGINT AS total_len FROM toks)
+        SELECT n_docs, n_terms, n_postings, total_len,
+               round(total_len::DOUBLE / n_docs, 6) AS avgdl,
+               max_df, max_cf
+        FROM base, agg
     """
 
     # Heaps fit: the oracle replays the engine's docID order (rank of

@@ -174,6 +174,7 @@ def main() -> None:
              "q_sort": "sort spark window"}, k=10).collect(),
         "zipf_fit": lambda: qe.zipf_fit().collect(),
         "heaps_fit": lambda: qe.heaps_fit().collect(),
+        "collection_stats": lambda: qe.collection_stats().collect(),
         "eval_metrics": lambda: qe.eval_metrics(
             {"q_spark": "spark join window", "q_merge": "table merge",
              "q_sort": "sort spark window"}, k=10).collect(),

@@ -1853,6 +1853,31 @@ class QueryEngine:
                        * (F.col("n") * F.col("syy")
                           - F.col("sy") * F.col("sy"))), 6).alias("r2"))
 
+    def collection_stats(self) -> DataFrame:
+        """One-row index health report: n_docs, n_terms (vocabulary),
+        n_postings (Σ df — the inverted index's row count), total_len
+        (Σ kept tokens), avgdl, max_df and max_cf (the head term's
+        reach), rounded doubles at 6 dp — the numbers an operator
+        checks after every build/compaction.
+
+        Scale shape: n_docs/total_len/avgdl are read back from the
+        build's stats table (already aggregated at build time); the
+        vocabulary numbers are ONE map-side-combinable aggregate over
+        the dictionary — no postings column is touched.
+        """
+        st = self.stats
+        d = self._dictionary.agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.max("df").cast("long").alias("max_df"),
+            F.max("cf").cast("long").alias("max_cf"))
+        return d.select(
+            F.lit(int(st["n_docs"])).alias("n_docs"),
+            "n_terms", "n_postings",
+            F.lit(int(st["total_len"])).alias("total_len"),
+            F.round(F.lit(float(st["avgdl"])), 6).alias("avgdl"),
+            "max_df", "max_cf")
+
     def heaps_fit(self) -> DataFrame:
         """Heaps'-law vocabulary-growth fit over the corpus in docID
         order: V(N) ~ K·N^beta, fitted as log10(V) = beta·log10(N) +

@@ -549,3 +549,18 @@ def test_tfidf_top_terms_matches_python_oracle(synth_engine, synth_docs):
                    [(t, tf, rk) for t, tf, _, rk in want[doc]], doc
             for (_, _, gw, _), (_, _, ww, _) in zip(got_rows, want[doc]):
                 assert math.isclose(gw, ww, rel_tol=1e-9, abs_tol=1e-9), doc
+
+
+# -- collection stats (QueryEngine.collection_stats) -------------------
+
+def test_collection_stats_matches_python_oracle(synth_engine, synth_oracle):
+    row = synth_engine.collection_stats().collect()[0]
+    o = synth_oracle
+    assert row["n_docs"] == o.n_docs
+    assert row["n_terms"] == len(o.postings)
+    assert row["n_postings"] == sum(len(ds) for ds in o.postings.values())
+    assert row["total_len"] == sum(o.doc_len.values())
+    assert abs(row["avgdl"] - round(o.avgdl, 6)) <= 2e-6
+    assert row["max_df"] == max(len(ds) for ds in o.postings.values())
+    assert row["max_cf"] == max(sum(len(ps) for ps in ds.values())
+                                for ds in o.postings.values())
