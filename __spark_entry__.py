@@ -17,7 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from information_retrieval_spark import dedup, sampling, similarity, textstats
+from information_retrieval_spark import (codesearch, dedup, sampling,
+                                          similarity, textstats)
 from information_retrieval_spark.build import (
     INDEX_FORMAT_VERSION,
     IndexBuilder,
@@ -679,6 +680,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # happen within pre-tokenizer pieces)
         return textstats.bpe_piece_counts(_documents(spark, sf))
     q["text_bpe_pieces"] = text_bpe_pieces
+
+    def code_grep(spark, sf):
+        # trigram-indexed exact substring search (Cox 2012 / the
+        # "grep all source code" north-star op): candidates from an
+        # AND over the needle's 3-grams, instr-verified + occurrence-
+        # counted on the candidate docs only
+        return codesearch.grep_literal(_documents(spark, sf),
+                                       "sort table")
+    q["code_grep"] = code_grep
+
+    def code_grep_regex(spark, sf):
+        # regex search with required-literal trigram pruning: the
+        # extracted literal " table" drives the index probe, the regex
+        # verify runs on candidates only (Java-regex ∩ RE2 subset)
+        return codesearch.grep_regex(_documents(spark, sf),
+                                     "s(ort|can) table")
+    q["code_grep_regex"] = code_grep_regex
 
     def text_top_bigrams(spark, sf):
         # corpus n-gram statistics (n-gram LM data / common-phrase
@@ -1946,6 +1964,23 @@ def oracle_sql() -> dict[str, str]:
                    x -> NOT regexp_full_match(x, '[ \\t\\n\\x0b\\f\\r]+')
                ))::BIGINT AS n_nonspace_pieces
         FROM documents
+    """
+
+    # trigram-grep gates: the index only changes what is scanned, so
+    # the oracle is the plain full-scan predicate; occurrence counts
+    # use the engine-portable replace-shrink formula / RE2 extract_all
+    o["code_grep"] = """
+        SELECT doc_id AS id,
+               ((length(text) - length(replace(text, 'sort table', '')))
+                / length('sort table'))::BIGINT AS n_hits
+        FROM documents WHERE position('sort table' IN text) > 0
+    """
+
+    o["code_grep_regex"] = """
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, 's(ort|can) table'))::BIGINT
+                   AS n_hits
+        FROM documents WHERE regexp_matches(text, 's(ort|can) table')
     """
 
     o["text_top_bigrams"] = f"""
