@@ -889,6 +889,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", F.round("score", 6).alias("score")))
     q["bm25_filtered"] = bm25_filtered
 
+    def bm25_phrase(spark, sf):
+        # phrase-constrained ranking: the '"table merge" must appear'
+        # positional constraint restricts WHO is ranked (exact top-10
+        # of the phrase-matching subcorpus; idf stays corpus-global)
+        e = _engine(spark, sf)
+        top = e.bm25_phrase("spark join window", "table merge", k=10)
+        dm = e.index.table("doc_map").select(
+            "docID", F.col("path").cast("long").alias("doc_id"))
+        return (top.join(dm, "docID")
+                .select("doc_id", F.round("score", 6).alias("score")))
+    q["bm25_phrase"] = bm25_phrase
+
     def related_terms(spark, sf):
         # pseudo-relevance feedback: terms most characteristic of the
         # query's top-25 BM25 docs, scored df_in_set * global idf with
@@ -2246,6 +2258,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT scores.doc_id, round(s, 6) AS score
         FROM scores JOIN documents d ON d.doc_id = scores.doc_id
         WHERE d.lang = 'en'
+        ORDER BY s DESC, scores.doc_id LIMIT 10
+    """
+
+    o["bm25_phrase"] = f"""
+        WITH {_TOKS}, {_POS},
+        ph AS (
+            SELECT DISTINCT a.doc_id
+            FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            WHERE a.term = 'table' AND b.term = 'merge'
+        ),
+        {_bm25_ctes()}
+        SELECT scores.doc_id, round(s, 6) AS score
+        FROM scores JOIN ph ON ph.doc_id = scores.doc_id
         ORDER BY s DESC, scores.doc_id LIMIT 10
     """
 

@@ -1496,6 +1496,21 @@ class QueryEngine:
         off: its threshold seed assumes unfiltered top-k (a filtered θ
         is smaller, so pruning with it would still be SAFE but the seed
         bucket must itself be scored filtered — a future refinement)."""
+        allowed_df = self._doc_map.filter(doc_filter).select("docID")
+        return self.bm25_within(query, allowed_df, k)
+
+    def bm25_within(self, query: str, allowed_docs: DataFrame,
+                    k: int = 10) -> DataFrame:
+        """BM25 top-k restricted to an ARBITRARY docID relation — the
+        retrieval-algebra composition primitive behind bm25_filtered
+        (metadata predicates), bm25_phrase (positional constraints),
+        and any caller-supplied allow list (ACLs, dedup-canonical-only
+        ranking). idf stays corpus-global (the filter changes WHO is
+        ranked, not term informativeness — the reference's ranked mode
+        scores against collection-level stats, RankedRetrieval.java).
+        Scale paths are bm25_filtered's: a selective set ships as a
+        sorted int64 array into the scoring kernel; a broad one becomes
+        an AQE-planned docID join after emit-all scoring."""
         terms = sorted({t for t in (normalize(tok)
                                     for tok in re.split(r"\s+", query.strip()))
                         if t is not None})
@@ -1507,8 +1522,7 @@ class QueryEngine:
         # pending deletes leave the allowed set before it is shipped or
         # joined (covers both paths; the kernel's excluded array would
         # cover only the pushdown one)
-        allowed_df = self._live(self._doc_map.filter(doc_filter)
-                                .select("docID"))
+        allowed_df = self._live(allowed_docs.select("docID"))
         cap = self.FILTER_PUSHDOWN_DOCS
         head = allowed_df.limit(cap + 1).collect()
         blocks = self.blocks_for(terms)
@@ -1524,6 +1538,16 @@ class QueryEngine:
         return (scores.join(self._doc_map, "docID")
                 .select("docID", "score", name)
                 .orderBy(F.desc("score"), F.asc("docID")))
+
+    def bm25_phrase(self, query: str, phrase: str, k: int = 10) -> DataFrame:
+        """Phrase-constrained ranked retrieval — the '"exact phrase"
+        must appear, rank by relevance' search-box mode: the exact
+        BM25 top-k of `query` over ONLY the docs matching `phrase`
+        (positional adjacency via phrase_docs' one-exchange pivot
+        kernel). Composes the two primitives; the allowed set is a
+        docID relation, so the selective-pushdown / broad-join scale
+        split of bm25_within applies unchanged."""
+        return self.bm25_within(query, self.phrase_docs(phrase), k)
 
     def bm25_many(self, queries, k: int = 10) -> DataFrame:
         """Batched BM25: score MANY free-text queries in ONE Spark job.

@@ -564,3 +564,68 @@ def test_collection_stats_matches_python_oracle(synth_engine, synth_oracle):
     assert row["max_df"] == max(len(ds) for ds in o.postings.values())
     assert row["max_cf"] == max(sum(len(ps) for ps in ds.values())
                                 for ds in o.postings.values())
+
+
+# -- phrase-constrained ranking (QueryEngine.bm25_phrase / bm25_within) --
+
+def _adjacent_pair(oracle):
+    """Some (t1, t2) adjacent in at least one doc — a phrase guaranteed
+    to have matches, derived from the oracle's own positional data."""
+    pos = {}
+    for t, docs in oracle.postings.items():
+        for d, ps in docs.items():
+            for p in ps:
+                pos[(d, p)] = t
+    for (d, p), t in sorted(pos.items()):
+        nxt = pos.get((d, p + 1))
+        if nxt is not None:
+            return t, nxt
+    raise AssertionError("no adjacent pair in corpus")
+
+
+def _phrase_expected(oracle, query, phrase_names, k):
+    full = oracle.bm25(query, k=10**6)
+    return [(d, s, n) for d, s, n in full if n in phrase_names][:k]
+
+
+def test_bm25_phrase_rank_identity(synth_engine, synth_oracle):
+    t1, t2 = _adjacent_pair(synth_oracle)
+    phrase = f"{t1} {t2}"
+    names = set(synth_oracle.phrase(phrase))
+    assert names  # the phrase really matches
+    query = "sym0 sym1 sym2"
+    want = _phrase_expected(synth_oracle, query, names, k=5)
+    got = synth_engine.bm25_phrase(query, phrase, k=5).collect()
+    assert [r["name"] for r in got] == [n for _, _, n in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_bm25_phrase_broad_path_identical(synth_engine, synth_oracle,
+                                          monkeypatch):
+    # force the emit-all + docID-join path: results must not change
+    t1, t2 = _adjacent_pair(synth_oracle)
+    phrase, query = f"{t1} {t2}", "sym0 sym1 sym2"
+    via_kernel = [(r["docID"], r["score"])
+                  for r in synth_engine.bm25_phrase(query, phrase, k=5).collect()]
+    monkeypatch.setattr(type(synth_engine), "FILTER_PUSHDOWN_DOCS", 0)
+    via_join = [(r["docID"], r["score"])
+                for r in synth_engine.bm25_phrase(query, phrase, k=5).collect()]
+    assert via_kernel == via_join and via_kernel
+
+
+def test_bm25_phrase_no_match_empty(synth_engine):
+    assert synth_engine.bm25_phrase("sym0 sym1", "sym0 nosuchterm").count() == 0
+
+
+def test_bm25_within_allow_list(synth_engine, synth_oracle):
+    # an explicit 3-doc allow list: page is the exact top-k OF that set
+    full = synth_oracle.bm25("sym0 sym1 sym2", k=10**6)
+    allowed = [d for d, _, _ in full[5:8]]
+    spark = synth_engine._doc_map.sparkSession
+    allow_df = spark.createDataFrame([(d,) for d in allowed], "docID long")
+    got = synth_engine.bm25_within("sym0 sym1 sym2", allow_df, k=10).collect()
+    want = [(d, s, n) for d, s, n in full if d in set(allowed)]
+    assert [r["docID"] for r in got] == [d for d, _, _ in want]
+    for r, (_, s, _) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-12)
