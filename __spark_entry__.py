@@ -681,6 +681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.bpe_piece_counts(_documents(spark, sf))
     q["text_bpe_pieces"] = text_bpe_pieces
 
+    def text_chunks(spark, sf):
+        # context-window chunking (training-data prep): whitespace
+        # tokens cut into 64-token windows at stride 48 — one map-only
+        # projection, no shuffle/UDF; final short chunks included,
+        # empty docs emit none
+        return textstats.chunk_documents(_documents(spark, sf),
+                                         window=64, stride=48)
+    q["text_chunks"] = text_chunks
+
     def code_grep(spark, sf):
         # trigram-indexed exact substring search (Cox 2012 / the
         # "grep all source code" north-star op): candidates from an
@@ -1976,6 +1985,28 @@ def oracle_sql() -> dict[str, str]:
                    x -> NOT regexp_full_match(x, '[ \\t\\n\\x0b\\f\\r]+')
                ))::BIGINT AS n_nonspace_pieces
         FROM documents
+    """
+
+    o["text_chunks"] = r"""
+        WITH t AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(coalesce(text, ''),
+                                             '[ \t\n\x0b\f\r]+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, 48)) AS start_tok
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id AS id,
+               (start_tok // 48)::BIGINT AS chunk_id,
+               start_tok::BIGINT AS start_tok,
+               len(toks[start_tok + 1 : start_tok + 64])::BIGINT AS n_tokens,
+               array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+                   AS chunk_text
+        FROM ex
     """
 
     # trigram-grep gates: the index only changes what is scanned, so

@@ -346,3 +346,43 @@ def bpe_piece_counts(df: DataFrame, id_col: str = "doc_id",
                      F.size(pieces).cast("long").alias("n_pieces"),
                      F.size(nonspace).cast("long")
                      .alias("n_nonspace_pieces"))
+
+
+def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_id, start_tok, n_tokens, chunk_text): fixed
+    token-window document chunking with overlap — the context-window
+    preparation step of an LLM training pipeline (every pretraining
+    corpus is cut into model-context pieces before packing; overlap
+    `window - stride` preserves cross-boundary n-grams).
+
+    Tokens are whitespace tokens (the same relation token_counts'
+    n_ws_tokens measures); chunk i starts at token i*stride and takes
+    up to `window` tokens, for every start < n_tokens — the simple
+    deterministic rule every engine can reproduce (the final chunks
+    may be short; a doc with 0 tokens emits none). chunk_text rejoins
+    with single spaces, so downstream tokenization is reproducible
+    regardless of the source document's whitespace shape.
+
+    Scale shape (100 TB): one map-only projection — split, a
+    `sequence` of starts, explode, `slice` + `array_join`; no shuffle,
+    no UDF, linear output in corpus tokens times the overlap factor.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            _WS_RUN_PATTERN),
+                    lambda x: x != "")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    ex = (df.select(F.col(id_col).alias("id"), toks.alias("__toks"),
+                    F.posexplode(starts).alias("chunk_id", "start_tok")))
+    piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, window)
+    return ex.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

@@ -1441,3 +1441,50 @@ def test_regex_ops_random_text_parity(spark):
         assert stats[i] == (ne, ni), (i, docs[i][1])
         assert red[i] == rtext, (i, docs[i][1])
         assert bpe[i] == (np_, nn), (i, docs[i][1])
+
+
+# -- context-window chunking (textstats.chunk_documents) ----------------
+
+def test_chunk_documents_oracle(spark):
+    import re as _re
+    docs = [
+        (0, "a b c d e f g h i j"),     # 10 toks: window 4, stride 3
+        (1, "one two three"),           # shorter than window
+        (2, ""),                        # empty -> no chunks
+        (3, None),                      # null -> no chunks
+        (4, "  x \t y \n z  "),         # messy whitespace
+        (5, " ".join(f"t{i}" for i in range(9))),  # exact multiple
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id, r.chunk_id): (r.start_tok, r.n_tokens, r.chunk_text)
+           for r in textstats.chunk_documents(df, window=4, stride=3).collect()}
+    exp = {}
+    for i, t in docs:
+        toks = [x for x in _re.split(r"[ \t\n\x0b\f\r]+", t or "") if x]
+        s = cid = 0
+        while s < len(toks):
+            exp[(i, cid)] = (s, len(toks[s:s + 4]), " ".join(toks[s:s + 4]))
+            s += 3
+            cid += 1
+    assert got == exp
+    # overlap really preserved: doc 0 chunk 1 starts inside chunk 0
+    assert exp[(0, 1)][0] == 3 and exp[(0, 0)][1] == 4
+
+
+def test_chunk_documents_non_overlapping_and_args(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    got = sorted((r.chunk_id, r.chunk_text) for r in
+                 textstats.chunk_documents(df, window=2, stride=2).collect())
+    assert got == [(0, "a b"), (1, "c d")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.chunk_documents(df, window=0, stride=2)
+    with _pytest.raises(ValueError):
+        textstats.chunk_documents(df, window=2, stride=0)
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = textstats.chunk_documents(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
