@@ -681,6 +681,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.bpe_piece_counts(_documents(spark, sf))
     q["text_bpe_pieces"] = text_bpe_pieces
 
+    def curation_report(spark, sf):
+        # the composed C4/Gopher curation decision with first-fail
+        # reject reasons — ONE fused map-only projection (shares its
+        # expression builders with the standalone language/quality/
+        # repetition gates, so semantics stay pinned)
+        return textstats.curation_report(
+            _documents(spark, sf), lang="en", min_tokens=30,
+            min_quality=0.7, max_dup_line=0.2, max_dup_ngram=0.05)
+    q["curation_report"] = curation_report
+
     def text_chunks(spark, sf):
         # context-window chunking (training-data prep): whitespace
         # tokens cut into 64-token windows at stride 48 — one map-only
@@ -1937,6 +1947,35 @@ def oracle_sql() -> dict[str, str]:
                list_min(list_transform(range(greatest(len(t) - 5, 0) + 1),
                         i -> sha256(array_to_string(list_slice(t, i + 1, i + 5), ' ')))) AS fingerprint
         FROM toks
+    """
+
+    # composed curation decision: each component relation IS the
+    # already-verified standalone oracle, embedded as a nested-WITH
+    # subquery — the reason CASE mirrors curation_report's first-fail
+    # order exactly
+    o["curation_report"] = f"""
+        WITH lang AS ({o["text_language_id"]}),
+        tok AS ({o["text_token_counts"]}),
+        qual AS ({o["text_quality_scores"]}),
+        rep AS ({o["text_repetition"]}),
+        j AS (
+            SELECT lang.id, lang.pred_lang, tok.n_ws_tokens,
+                   qual.quality, rep.dup_line_frac, rep.dup_ngram_frac
+            FROM lang JOIN tok USING (id) JOIN qual USING (id)
+                      JOIN rep USING (id)
+        ),
+        r AS (
+            SELECT *, CASE WHEN pred_lang != 'en' THEN 'language'
+                           WHEN n_ws_tokens < 30 THEN 'too_short'
+                           WHEN quality < 0.7 THEN 'low_quality'
+                           WHEN dup_line_frac > 0.2
+                                OR dup_ngram_frac > 0.05 THEN 'repetition'
+                           ELSE 'ok' END AS reason
+            FROM j
+        )
+        SELECT id, (reason = 'ok') AS kept, reason, pred_lang,
+               n_ws_tokens, quality, dup_line_frac, dup_ngram_frac
+        FROM r
     """
 
     o["text_unigram_logprob"] = f"""

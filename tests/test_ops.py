@@ -1488,3 +1488,60 @@ def test_chunk_documents_plan_is_map_only(spark):
     out = textstats.chunk_documents(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+# -- composed curation decision (textstats.curation_report) --------------
+
+def test_curation_report_matches_standalone_ops(spark):
+    docs = [
+        (0, "the quick brown fox and the lazy dog are in the yard with "
+            "the other animals that live near the old farm house today "
+            "and they all seem quite happy to be there in the sun"),
+        (1, "der hund und die katze sind in dem haus"),   # German -> language
+        (2, "the cat is on the mat"),                     # en but too short
+        (3, ""),                                          # unknown lang
+        (4, "the the the the the the the the the the the the the the the "
+            "the the the the the the the the the the the the the the the "
+            "the the the the the"),                       # en, repetitive
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(lang="en", min_tokens=30, min_quality=0.7,
+              max_dup_line=0.2, max_dup_ngram=0.05)
+    got = {r["id"]: r.asDict() for r in
+           textstats.curation_report(df, **kw).collect()}
+
+    # semantics pinned to the four standalone (already-oracled) operators
+    lang = {r["id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    ntok = {r["id"]: r["n_ws_tokens"] for r in textstats.token_counts(df).collect()}
+    qual = {r["id"]: r["quality"] for r in textstats.quality_scores(df).collect()}
+    rep = {r["id"]: (r["dup_line_frac"], r["dup_ngram_frac"])
+           for r in textstats.repetition_scores(df).collect()}
+    for i, _ in docs:
+        g = got[i]
+        assert (g["pred_lang"], g["n_ws_tokens"], g["quality"],
+                (g["dup_line_frac"], g["dup_ngram_frac"])) == \
+            (lang[i], ntok[i], qual[i], rep[i]), g
+        # first-fail reason order: language, too_short, low_quality, repetition
+        if lang[i] != "en":
+            want = "language"
+        elif ntok[i] < 30:
+            want = "too_short"
+        elif qual[i] < 0.7:
+            want = "low_quality"
+        elif rep[i][0] > 0.2 or rep[i][1] > 0.05:
+            want = "repetition"
+        else:
+            want = "ok"
+        assert g["reason"] == want and g["kept"] == (want == "ok"), g
+    assert got[0]["reason"] == "ok"          # the healthy doc is kept
+    assert got[1]["reason"] == "language"
+    assert got[2]["reason"] == "too_short"
+    assert got[4]["reason"] == "repetition"
+
+
+def test_curation_report_plan_is_map_only(spark):
+    # ONE fused projection: no Exchange (would mean a join of the four
+    # standalone ops), no Python eval in the plan
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    out = textstats.curation_report(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
