@@ -40,7 +40,8 @@ def _maybe_pin(cpus: int) -> None:
     os.execvp("taskset",
               ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv)
 
-from information_retrieval_spark import dedup, sampling, similarity, textstats
+from information_retrieval_spark import (codesearch, dedup, sampling,
+                                         similarity, textstats)
 from information_retrieval_spark.build import IndexBuilder, IndexConfig
 from information_retrieval_spark.corpus import load_testdata_documents
 from information_retrieval_spark.query import QueryEngine
@@ -264,8 +265,42 @@ def main() -> None:
         "shard_tokens": lambda: sampling.shard_by_token_budget(
             docs, budget_tokens=65536, id_col="path", text_col="content"
         ).groupBy("shard").count().count(),
+        # phrase-constrained ranking: exact BM25 top-10 of the docs
+        # matching the phrase (bm25_within composition primitive)
+        "bm25_phrase": lambda: qe.bm25_phrase(
+            "spark join window", "row column sort", k=10).collect(),
+        # context-window chunking (training-data prep): one map-only
+        # pass, 64-token windows at stride 48
+        "text_chunks": lambda: textstats.chunk_documents(
+            docs, window=64, stride=48, id_col="path", text_col="content"
+        ).agg(F.sum("n_tokens")).collect(),
+        # composed curation gate: 4 signals + first-fail reason in ONE
+        # fused map-only projection; the groupBy is the by-reason
+        # dashboard a curation run watches
+        "curation_report": lambda: textstats.curation_report(
+            docs, id_col="path", text_col="content")
+            .groupBy("reason").count().collect(),
     }
     resets: dict = {}
+    # trigram code-grep: one-time postings build (reset per repeat),
+    # then literal + regex probes against the PERSISTED gram-sorted
+    # index — the steady-state query cost, not the build
+    grep_dir = f"/tmp/irs_bench_grams_{os.path.basename(sf_dir.rstrip('/'))}"
+    grep_state: dict = {}
+    resets["code_grep_build"] = lambda: shutil.rmtree(
+        grep_dir, ignore_errors=True)
+
+    def code_grep_build():
+        grep_state["postings"] = codesearch.trigram_postings(
+            docs, id_col="path", text_col="content", postings_path=grep_dir)
+
+    steps["code_grep_build"] = code_grep_build
+    steps["code_grep"] = lambda: codesearch.grep_literal(
+        docs, "sort table", id_col="path", text_col="content",
+        postings=grep_state["postings"]).count()
+    steps["code_grep_regex"] = lambda: codesearch.grep_regex(
+        docs, "s(ort|can) table", id_col="path", text_col="content",
+        postings=grep_state["postings"]).count()
     resets["dedup_inc_build"] = lambda: shutil.rmtree(
         _DD_STORE, ignore_errors=True)
     resets["fwd_index_build"] = lambda: shutil.rmtree(
