@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from information_retrieval_spark import (codesearch, dedup, sampling,
+from information_retrieval_spark import (bpe, codesearch, dedup, sampling,
                                           similarity, textstats)
 from information_retrieval_spark.build import (
     INDEX_FORMAT_VERSION,
@@ -35,6 +35,78 @@ _T = duckdb_tokens_expr("text")
 _TOKS = f"toks AS (SELECT doc_id, {_T} AS t FROM documents)"
 _EX = "ex AS (SELECT doc_id, unnest(t) AS term FROM toks)"
 _POS = "pos AS (SELECT doc_id, unnest(t) AS term, unnest(range(len(t))) AS p FROM toks)"
+
+
+def _bpe_train_ctes(n: int, final_seg: bool = False) -> str:
+    """Unrolled-CTE replay of bpe.train's `n` merge iterations.
+    `final_seg` also applies the LAST merge, yielding seg{n+1} — the
+    fully-encoded segmentation the encode oracle aggregates (train
+    itself never needs it).
+
+    w0 = the word-frequency dictionary; seg{r} = (word, freq, pos, sym)
+    the segmentation entering iteration r; b{r} = iteration r's winning
+    pair under the pinned (count desc, left, right) order; k{r} = the
+    GREEDY LEFTMOST non-overlapping merge sites (consecutive hit runs
+    keep odd ranks — overlaps only arise when left==right, and the
+    paper's regex-replace keeps the 1st/3rd/... of a run); seg{r+1}
+    drops each kept site's right half and renumbers. MATERIALIZED is
+    load-bearing: DuckDB CTEs inline by default and each level
+    references its predecessor several times — unmaterialized, the
+    chain re-evaluates exponentially."""
+    ws = r"[ \t\n\x0b\f\r]+"
+    ctes = [f"""w0 AS MATERIALIZED (
+            SELECT word, COUNT(*)::BIGINT AS freq FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '{ws}'),
+                    x -> x != '')) AS word
+                FROM documents) GROUP BY word
+        )""", """seg1 AS MATERIALIZED (
+            SELECT word, freq, pos::BIGINT AS pos, word[pos] AS sym FROM (
+                SELECT word, freq,
+                       unnest(generate_series(1, length(word))) AS pos
+                FROM w0)
+        )"""]
+    for r in range(1, n + 1):
+        ctes.append(f"""b{r} AS MATERIALIZED (
+            SELECT l AS "left", r2 AS "right", SUM(freq)::BIGINT AS cnt
+            FROM (SELECT sym AS l,
+                         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r2,
+                         freq
+                  FROM seg{r})
+            WHERE r2 IS NOT NULL GROUP BY 1, 2
+            ORDER BY cnt DESC, "left", "right" LIMIT 1
+        )""")
+        if r < n or final_seg:
+            ctes.append(f"""k{r} AS MATERIALIZED (
+            SELECT word, pos FROM (
+                SELECT word, pos,
+                       ROW_NUMBER() OVER (PARTITION BY word, grp
+                                          ORDER BY pos) AS rn
+                FROM (SELECT word, pos,
+                             pos - ROW_NUMBER() OVER (PARTITION BY word
+                                                      ORDER BY pos) AS grp
+                      FROM (SELECT word, pos, sym,
+                                   (sym = b."left" AND
+                                    lead(sym) OVER (PARTITION BY word
+                                                    ORDER BY pos)
+                                        = b."right") AS hit
+                            FROM seg{r}, b{r} b)
+                      WHERE hit)
+            ) WHERE rn % 2 = 1
+        )""")
+            ctes.append(f"""seg{r + 1} AS MATERIALIZED (
+            SELECT s.word, s.freq,
+                   ROW_NUMBER() OVER (PARTITION BY s.word
+                                      ORDER BY s.pos)::BIGINT AS pos,
+                   CASE WHEN k.pos IS NOT NULL THEN s.sym || b."right"
+                        ELSE s.sym END AS sym
+            FROM seg{r} s
+            CROSS JOIN b{r} b
+            LEFT JOIN k{r} k  ON k.word = s.word AND k.pos = s.pos
+            LEFT JOIN k{r} k2 ON k2.word = s.word AND k2.pos = s.pos - 1
+            WHERE k2.pos IS NULL
+        )""")
+    return ",\n        ".join(ctes)
 
 
 def _bm25_ctes() -> str:
@@ -699,6 +771,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.chunk_documents(_documents(spark, sf),
                                          window=64, stride=48)
     q["text_chunks"] = text_chunks
+
+    def text_bpe_pairs(spark, sf):
+        # BPE training's first-iteration statistics: freq-weighted
+        # adjacent character pairs over the word dictionary (Sennrich
+        # 2016 get_stats) — exact top-20 by (count desc, left, right)
+        return bpe.pair_counts(_documents(spark, sf), k=20)
+    q["text_bpe_pairs"] = text_bpe_pairs
+
+    def text_bpe_merges(spark, sf):
+        # BPE tokenizer TRAINING: 6 merges learned from the corpus's
+        # word-frequency dictionary — vocab-sized iterations, corpus
+        # scanned once; deterministic tie-break makes the whole merge
+        # sequence engine-replayable (unrolled-CTE DuckDB oracle)
+        return bpe.train(_documents(spark, sf), n_merges=6)
+    q["text_bpe_merges"] = text_bpe_merges
+
+    def text_bpe_encode(spark, sf):
+        # the ENCODE step composed with training: per-doc token count
+        # under the 6 learned merges — distinct words segmented once
+        # (all merges chained into one map-only projection), counts
+        # joined back to the corpus
+        docs = _documents(spark, sf)
+        merges = [(r["left"], r["right"]) for r in
+                  bpe.train(docs, n_merges=6).orderBy("merge_rank").collect()]
+        return bpe.segment_counts(docs, merges)
+    q["text_bpe_encode"] = text_bpe_encode
 
     def code_grep(spark, sf):
         # trigram-indexed exact substring search (Cox 2012 / the
@@ -2046,6 +2144,48 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
                    AS chunk_text
         FROM ex
+    """
+
+    # BPE tokenizer training replayed exactly in SQL: the word
+    # dictionary, pair statistics, pinned tie-break and greedy-leftmost
+    # re-segmentation are all engine-portable integer/string ops
+    o["text_bpe_pairs"] = f"""
+        WITH {_bpe_train_ctes(1)}
+        SELECT "left", "right", cnt AS count
+        FROM (SELECT l AS "left", r2 AS "right", SUM(freq)::BIGINT AS cnt
+              FROM (SELECT sym AS l,
+                           lead(sym) OVER (PARTITION BY word
+                                           ORDER BY pos) AS r2, freq
+                    FROM seg1)
+              WHERE r2 IS NOT NULL GROUP BY 1, 2)
+        ORDER BY cnt DESC, "left", "right" LIMIT 20
+    """
+
+    bpe_union = "\n        UNION ALL ".join(
+        f'SELECT {r} AS merge_rank, "left", "right", cnt AS pair_count '
+        f"FROM b{r}" for r in range(1, 7))
+    o["text_bpe_merges"] = f"""
+        WITH {_bpe_train_ctes(6)}
+        {bpe_union}
+    """
+
+    o["text_bpe_encode"] = f"""
+        WITH {_bpe_train_ctes(6, final_seg=True)},
+        wp AS (SELECT word, COUNT(*)::BIGINT AS n_pieces
+               FROM seg7 GROUP BY word),
+        docw AS (
+            SELECT doc_id AS id, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''),
+                                      '[ \\t\\n\\x0b\\f\\r]+'),
+                x -> x != '')) AS word
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT id, SUM(n_pieces)::BIGINT AS n
+            FROM docw JOIN wp USING (word) GROUP BY id
+        )
+        SELECT d.doc_id AS id, COALESCE(p.n, 0)::BIGINT AS n_bpe_pieces
+        FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
     """
 
     # trigram-grep gates: the index only changes what is scanned, so

@@ -40,7 +40,7 @@ def _maybe_pin(cpus: int) -> None:
     os.execvp("taskset",
               ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv)
 
-from information_retrieval_spark import (codesearch, dedup, sampling,
+from information_retrieval_spark import (bpe, codesearch, dedup, sampling,
                                          similarity, textstats)
 from information_retrieval_spark.build import IndexBuilder, IndexConfig
 from information_retrieval_spark.corpus import load_testdata_documents
@@ -282,6 +282,20 @@ def main() -> None:
             .groupBy("reason").count().collect(),
     }
     resets: dict = {}
+    # BPE tokenizer training (vocab-sized iterations, corpus scanned
+    # once) and the dictionary-driven encode under the learned merges
+    bpe_state: dict = {}
+
+    def bpe_train():
+        bpe_state["merges"] = [
+            (r["left"], r["right"]) for r in
+            bpe.train(docs, 8, text_col="content")
+            .orderBy("merge_rank").collect()]
+
+    steps["bpe_train8"] = bpe_train
+    steps["bpe_encode"] = lambda: bpe.segment_counts(
+        docs, bpe_state["merges"], id_col="path", text_col="content"
+    ).agg(F.sum("n_bpe_pieces")).collect()
     # trigram code-grep: one-time postings build (reset per repeat),
     # then literal + regex probes against the PERSISTED gram-sorted
     # index — the steady-state query cost, not the build

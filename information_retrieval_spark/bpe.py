@@ -1,0 +1,198 @@
+"""Byte-Pair-Encoding tokenizer TRAINING and encoding at corpus scale.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich, Haddow &
+Birch, "Neural Machine Translation of Rare Words with Subword Units",
+ACL 2016), expressed Spark-first around the paper's own key trick:
+BPE trains on the WORD-FREQUENCY DICTIONARY, not the corpus.
+
+  corpus (100 TB) --ONE scan, map-side-combined agg--> word_freqs
+  (Heaps' law: vocabulary-sized, orders of magnitude smaller)
+  then every merge iteration touches only the dictionary:
+    pair counts   = one vocab-sized aggregate (freq-weighted adjacent
+                    symbol pairs, overlaps counted — the paper's
+                    get_stats),
+    best pair     = deterministic top-1 (count desc, left, right) —
+                    ONE row to the driver (the sequential dependency
+                    is inherent to BPE: merge r+1's counts depend on
+                    merge r's re-segmentation),
+    re-segment    = one map-only left-fold over each word's symbol
+                    array (greedy leftmost non-overlapping, the
+                    semantics of the paper's regex replace).
+  The dictionary is localCheckpoint-ed each round so lineage stays
+  O(1) across merges (the connected-components discipline).
+
+Encoding (applying a learned merge table) is also dictionary-driven:
+segment each DISTINCT word once — n_merges chained fold expressions in
+ONE map-only projection over the vocab — then join the per-word piece
+count back to the corpus. The corpus is scanned, never re-segmented
+per occurrence.
+
+Symbols are characters (no end-of-word marker — a documented
+simplification vs the paper's '</w>'; merges therefore cannot encode
+word-final position). Words are non-empty whitespace pieces, raw and
+case-preserved, matching textstats.token_counts's n_ws_tokens currency.
+Every step is engine-portable (no hashing, no floats), so DuckDB can
+replay training EXACTLY — the driver gates check the full merge
+sequence and the encoded piece counts against unrolled-CTE oracles.
+
+Reference parity note: the reference engine has no subword layer (its
+tokenizer is word-level stemming, Indexer.java); BPE training/encoding
+is a north-star training-data-pipeline addition per the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the empty string cannot be a symbol (symbols are non-empty character
+# runs), so it is safe as the fold accumulator's "no pending symbol"
+_NONE = ""
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over non-empty whitespace pieces — the dictionary
+    BPE trains on. One corpus scan, map-side-combined aggregate."""
+    w = F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != "")).alias("word")
+    return df.select(w).groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"))
+
+
+def _chars_expr(col: str):
+    """Symbol array = the word's characters (substring is char-based,
+    like DuckDB's word[i] — parity pinned in tests)."""
+    return F.expr(f"transform(sequence(1, char_length({col})), "
+                  f"i -> substring({col}, i, 1))")
+
+
+def _pair_count_df(seg: DataFrame) -> DataFrame:
+    """(left, right, count) freq-weighted adjacent-symbol pairs over a
+    (syms, freq) relation. Overlapping occurrences all count ("aaa" has
+    (a,a) twice) — the paper's get_stats. One explode + one map-side-
+    combined aggregate; no shuffle larger than the distinct-pair set."""
+    pair = F.explode(F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).alias("p")
+    return (seg.filter(F.size("syms") >= 2)
+            .select("freq", pair)
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("count")))
+
+
+def _merge_fold_expr(syms_expr, left: str, right: str):
+    """Greedy leftmost non-overlapping merge of adjacent (left, right)
+    symbols, as ONE aggregate (left-fold) expression over a symbol-
+    array expression — so encode can chain n_merges folds into a
+    single projection.
+
+    Accumulator: (out array, pending symbol). Each step either closes a
+    merge (pending==left and s==right -> emit left||right, clear
+    pending), or flushes the pending symbol and holds s. Scanning
+    resumes AFTER a merge — "aaa" under (a,a) becomes [aa, a], exactly
+    the paper's regex-replace semantics."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms_expr,
+        F.struct(F.expr("array()").cast("array<string>").alias("out"),
+                 F.lit(_NONE).alias("pend")),
+        lambda acc, s: F.when(
+            (acc["pend"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(F.array_append(acc["out"], merged).alias("out"),
+                     F.lit(_NONE).alias("pend")))
+        .when(acc["pend"] == F.lit(_NONE),
+              F.struct(acc["out"].alias("out"), s.alias("pend")))
+        .otherwise(F.struct(F.array_append(acc["out"], acc["pend"])
+                            .alias("out"), s.alias("pend"))),
+        lambda acc: F.when(acc["pend"] == F.lit(_NONE), acc["out"])
+        .otherwise(F.array_append(acc["out"], acc["pend"])))
+
+
+def pair_counts(df: DataFrame, k: int | None = None,
+                text_col: str = "text") -> DataFrame:
+    """(left, right, count): character-bigram counts weighted by word
+    frequency — BPE training's FIRST iteration statistics, exposed
+    standalone (the "what would merge first" report). With `k`, the
+    exact top-k by (count desc, left, right) — compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    seg = word_freqs(df, text_col).select(
+        F.col("freq"), _chars_expr("word").alias("syms"))
+    out = _pair_count_df(seg)
+    if k is not None:
+        out = out.orderBy(F.desc("count"), "left", "right").limit(k)
+    return out
+
+
+def train(df: DataFrame, n_merges: int, text_col: str = "text",
+          freqs: DataFrame | None = None) -> DataFrame:
+    """Learn `n_merges` BPE merges from the corpus. Returns
+    (merge_rank, left, right, pair_count) in learning order —
+    merge_rank 1 is the first (highest-count) merge.
+
+    Ties break (count desc, left asc, right asc) — the paper's
+    max(stats) is tie-ambiguous; a pinned order is what makes the
+    training replayable bit-for-bit across engines and cluster sizes.
+    Stops early when no pair is left (every word fully merged).
+
+    `freqs=` accepts a precomputed (word, freq) relation so several
+    trainings (or train + encode) share one corpus scan.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if freqs is None:
+        freqs = word_freqs(df, text_col)
+    seg = freqs.select("freq", _chars_expr("word").alias("syms"))
+    # the dictionary is small (Heaps' law) and hit n_merges times:
+    # materialize it once, then keep lineage O(1) per round
+    seg = seg.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (_pair_count_df(seg)
+                .orderBy(F.desc("count"), "left", "right")
+                .limit(1).collect())
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["count"]
+        merges.append((rank, left, right, int(cnt)))
+        if rank < n_merges:
+            seg = seg.select(
+                "freq",
+                _merge_fold_expr(F.col("syms"), left, right).alias("syms")
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long")
+
+
+def segment_counts(df: DataFrame, merges: list[tuple[str, str]],
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_pieces): per-doc token count under a learned merge
+    table — the corpus-side ENCODE step (the token-budget number a
+    pipeline reports once the tokenizer is trained).
+
+    Dictionary-driven: the merge chain is applied to each DISTINCT word
+    once — ALL merges as chained fold expressions in one map-only
+    projection over the vocabulary (no per-merge job, no driver loop;
+    merge order is the learning order, which is what makes chained
+    greedy folds equal to the reference encoder) — then the per-word
+    piece count joins back to the corpus words. At 100 TB the expensive
+    path touches vocab-sized data; the corpus contributes one scan plus
+    one word-keyed exchange, and empty docs keep a 0 row via a
+    left join back to the id relation."""
+    ids = df.select(F.col(id_col).alias("id"))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != "")).alias("word"))
+    syms = _chars_expr("word")
+    for left, right in merges:
+        syms = _merge_fold_expr(syms, left, right)
+    vocab = (words.select("word").distinct()
+             .select("word", F.size(syms).alias("n_pieces")))
+    per_doc = (words.join(vocab, "word")
+               .groupBy("id")
+               .agg(F.sum("n_pieces").alias("n_bpe_pieces")))
+    return (ids.join(per_doc, "id", "left")
+            .select("id", F.coalesce("n_bpe_pieces", F.lit(0))
+                    .cast("long").alias("n_bpe_pieces")))
