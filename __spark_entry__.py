@@ -653,6 +653,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    n=3, min_overlap=2)
     q["dedup_contamination"] = dedup_contamination
 
+    def dedup_spans(spark, sf):
+        # exact duplicated spans (Lee et al. 2022): maximal token runs
+        # covered by 8-token grams repeated verbatim across >= 2 docs —
+        # the exact-substring dedup family (cut the span, not the doc)
+        return dedup.duplicated_spans(_documents(spark, sf), k=8)
+    q["dedup_spans"] = dedup_spans
+
+    def dedup_span_stats(spark, sf):
+        # per-doc duplicated-coverage fraction under the same spans —
+        # the threshold number a curation pipeline filters on
+        return dedup.span_duplication_stats(_documents(spark, sf), k=8)
+    q["dedup_span_stats"] = dedup_span_stats
+
     def dedup_incremental(spark, sf):
         # incremental ingestion dedup (streaming/dedup.py): the
         # corpus-so-far — a deterministic 80% hash split — lives in a
@@ -1876,6 +1889,59 @@ def oracle_sql() -> dict[str, str]:
     # restricted to pairs with >=1 member in the 20% "new batch" hash
     # split; est_jaccard = fraction of agreeing minhash slots (exact
     # int64 arithmetic in both engines, k/16 exactly representable)
+    # exact duplicated spans: the same gram-fingerprint -> cross-doc
+    # frequency -> run-merge pipeline relationally (sha256 is the
+    # engine-portable fingerprint; run-id = lag/cumsum window parity)
+    _span_ctes = r"""
+        stk AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(coalesce(text, ''),
+                                             '[ \t\n\x0b\f\r]+'),
+                       x -> x != '') AS tk
+            FROM documents
+        ),
+        sg AS (
+            SELECT doc_id, p,
+                   substr(sha256(array_to_string(tk[p + 1 : p + 8], ' ')),
+                          1, 32) AS gh
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(0, len(tk) - 8)) AS p
+                  FROM stk WHERE len(tk) >= 8)
+        ),
+        sdup AS (SELECT gh FROM sg GROUP BY gh
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+        spos AS (SELECT doc_id, p FROM sg JOIN sdup USING (gh)),
+        sruns AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN prev IS NULL OR p - prev > 8
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS run
+            FROM (SELECT doc_id, p,
+                         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                  FROM spos)
+        ),
+        sspans AS (
+            SELECT doc_id, MIN(p)::BIGINT AS start_tok,
+                   (MAX(p) + 8)::BIGINT AS end_tok,
+                   (MAX(p) + 8 - MIN(p))::BIGINT AS n_tokens
+            FROM sruns GROUP BY doc_id, run
+        )"""
+    o["dedup_spans"] = f"""
+        WITH {_span_ctes}
+        SELECT doc_id AS id, start_tok, end_tok, n_tokens FROM sspans
+    """
+
+    o["dedup_span_stats"] = f"""
+        WITH {_span_ctes},
+        per_doc AS (SELECT doc_id, SUM(n_tokens)::BIGINT AS n_dup
+                    FROM sspans GROUP BY doc_id)
+        SELECT t.doc_id AS id, len(t.tk)::BIGINT AS n_ws_tokens,
+               COALESCE(p.n_dup, 0)::BIGINT AS n_dup_tokens,
+               round(COALESCE(p.n_dup, 0)
+                     / greatest(len(t.tk), 1), 6) AS dup_frac
+        FROM stk t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """
+
     _u_new = sampling.uniform_expr("doc_id", "inc-dd", dialect="duckdb")
     _slots16 = " + ".join(
         f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(16))

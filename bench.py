@@ -220,6 +220,10 @@ def main() -> None:
         "dedup_clusters": lambda: dedup.duplicate_clusters(
             docs, id_col="path", text_col="content", n=3, threshold=0.8,
             num_hashes=64, band_size=8).count(),
+        # exact duplicated spans (Lee et al.): gram-fingerprint shuffle
+        # + doc-frequency agg + run-merge window over dup positions only
+        "dedup_spans": lambda: dedup.duplicated_spans(
+            docs, k=8, id_col="path", text_col="content").count(),
         "dedup_simhash": lambda: dedup.simhash_signatures(
             docs, id_col="path", text_col="content").count(),
         # block-banded Hamming pairing (pigeonhole-complete candidates)

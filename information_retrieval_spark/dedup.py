@@ -838,3 +838,109 @@ def simhash_near_duplicates(df: DataFrame | None = None,
             .select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated spans (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": verbatim >=k-token spans repeated
+# across documents — the EXACT-substring dedup family, distinct from
+# the minhash/simhash whole-document near-dup family above)
+# ---------------------------------------------------------------------------
+
+# 128-bit gram fingerprint: birthday collisions reach ~50% only around
+# 2^64 distinct grams — safely past 10^12-doc corpora. sha256 keeps the
+# Spark / DuckDB / Python bit-identity contract of this module.
+_SPAN_HASH_CHARS = 32
+
+
+def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
+                    min_doc_freq: int) -> DataFrame:
+    """(id, p): token positions whose k-token gram (whitespace pieces)
+    appears in >= min_doc_freq DISTINCT documents."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda t: t != "").alias("tk"))
+    gram = (f"CASE WHEN size(tk) >= {k} THEN "
+            f"transform(sequence(0, size(tk) - {k}), "
+            f"i -> struct(i AS p, substring(sha2("
+            f"concat_ws(' ', slice(tk, i + 1, {k})), 256), 1, "
+            f"{_SPAN_HASH_CHARS}) AS gh)) ELSE array() END")
+    grams = toks.select("id", F.explode(F.expr(gram)).alias("g")) \
+        .select("id", F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
+    dup = (grams.groupBy("gh")
+           .agg(F.count_distinct("id").alias("__nd"))
+           .filter(F.col("__nd") >= min_doc_freq)
+           .select("gh"))
+    return grams.join(dup, "gh").select("id", "p")
+
+
+def duplicated_spans(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_doc_freq: int = 2) -> DataFrame:
+    """(id, start_tok, end_tok, n_tokens): MAXIMAL token runs covered by
+    k-token grams that appear verbatim in >= `min_doc_freq` distinct
+    docs — the spans Lee et al.'s suffix-array pass cuts out of
+    training data, re-expressed relationally (fixed k instead of
+    all-lengths: the paper itself thresholds at a minimum match
+    length, and a >=k-token verbatim match is exactly a run of
+    matching k-grams). end_tok is exclusive; tokens are non-empty
+    whitespace pieces (token_counts's n_ws_tokens currency).
+
+    Scale shape (100 TB): the gram explode + doc-frequency aggregate is
+    the corpus-sized shuffle — the relational analogue of the paper's
+    suffix-array scan, inherent to exact-substring dedup — but rows are
+    (128-bit sha256 fingerprint, id), not 50-token strings (~20x fewer
+    shuffle bytes), and the aggregate is map-side combined. Everything
+    after is proportional to DUPLICATION, not corpus: only positions of
+    cross-doc grams survive the join, and the run-merge window sorts
+    those per doc (overlapping-or-abutting intervals fold via the
+    lag/cumsum run-id trick — one id-keyed exchange)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"min_doc_freq must be >= 2 (cross-document duplication), "
+            f"got {min_doc_freq}")
+    pos = _span_positions(df, k, id_col, text_col, min_doc_freq)
+    w = Window.partitionBy("id").orderBy("p")
+    lag = F.lag("p").over(w)
+    new_run = F.when(lag.isNull() | (F.col("p") - lag > k), 1).otherwise(0)
+    runs = pos.withColumn(
+        "__run", F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (runs.groupBy("id", "__run")
+            .agg(F.min("p").alias("start_tok"),
+                 (F.max("p") + k).alias("end_tok"))
+            .select("id", F.col("start_tok").cast("long").alias("start_tok"),
+                    F.col("end_tok").cast("long").alias("end_tok"),
+                    (F.col("end_tok") - F.col("start_tok")).cast("long")
+                    .alias("n_tokens")))
+
+
+def span_duplication_stats(df: DataFrame, k: int = 50,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_doc_freq: int = 2) -> DataFrame:
+    """(id, n_ws_tokens, n_dup_tokens, dup_frac) for EVERY document:
+    how much of each doc is covered by cross-document verbatim >=k-token
+    spans — the per-doc number a curation pipeline thresholds on (docs
+    above ~0.8 are boilerplate/mirror copies; mid-range docs get their
+    spans cut instead). dup_frac rounds to 6 dp (the module's
+    engine-portable comparison grain); docs with no duplicated span
+    (or < k tokens) report 0."""
+    spans = duplicated_spans(df, k, id_col, text_col, min_doc_freq)
+    per_doc = spans.groupBy("id").agg(F.sum("n_tokens").alias("n_dup_tokens"))
+    # null text counts 0 tokens (split(NULL) is NULL and size(NULL)
+    # would poison the fraction)
+    ws = F.size(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                 r"\s+"),
+                         lambda t: t != ""))
+    base = df.select(F.col(id_col).alias("id"),
+                     ws.cast("long").alias("n_ws_tokens"))
+    return (base.join(per_doc, "id", "left")
+            .select("id", "n_ws_tokens",
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("long")
+                    .alias("n_dup_tokens"),
+                    F.round(F.coalesce("n_dup_tokens", F.lit(0))
+                            / F.greatest("n_ws_tokens", F.lit(1)), 6)
+                    .alias("dup_frac")))

@@ -1545,3 +1545,74 @@ def test_curation_report_plan_is_map_only(spark):
     out = textstats.curation_report(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+# -- exact duplicated spans (dedup.duplicated_spans) ---------------------
+
+def test_duplicated_spans_oracle(spark):
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f z w"),          # shares 'a b c d e f' with 0
+        (2, "p q r s t u v"),                # unique
+        (3, "x y a b c d e f z w"),          # exact dup of 1
+        (4, "c d e f g h q q c d e f g h"),  # internal repeat of a shared run
+        (5, "short"),                        # < k tokens
+        (6, ""),
+        (7, None),
+    ]
+    k = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # pure-Python oracle: gram -> distinct-doc sets -> per-doc positions
+    # -> merged maximal intervals
+    from collections import defaultdict
+    import re as _re
+    tk = {i: [w for w in _re.split(r"\s+", t) if w] if t else []
+          for i, t in docs}
+    gd = defaultdict(set)
+    for i, toks in tk.items():
+        for p in range(len(toks) - k + 1):
+            gd[tuple(toks[p:p + k])].add(i)
+    dup = {g for g, ids in gd.items() if len(ids) >= 2}
+    want = {}
+    for i, toks in tk.items():
+        runs = []
+        for p in (p for p in range(len(toks) - k + 1)
+                  if tuple(toks[p:p + k]) in dup):
+            if runs and p <= runs[-1][1]:
+                runs[-1][1] = max(runs[-1][1], p + k)
+            else:
+                runs.append([p, p + k])
+        if runs:
+            want[i] = [(a, b, b - a) for a, b in runs]
+
+    got = {}
+    for r in dedup.duplicated_spans(df, k=k).collect():
+        got.setdefault(r["id"], []).append(
+            (r["start_tok"], r["end_tok"], r["n_tokens"]))
+    for i in got:
+        got[i].sort()
+    assert got == want
+    assert got[4] == [(0, 6, 6), (8, 14, 6)]  # internal repeat NOT merged
+
+    stats = {r["id"]: (r["n_ws_tokens"], r["n_dup_tokens"], r["dup_frac"])
+             for r in dedup.span_duplication_stats(df, k=k).collect()}
+    for i, _t in docs:
+        n = len(tk[i])
+        nd = sum(s[2] for s in want.get(i, []))
+        assert stats[i] == (n, nd, round(nd / max(n, 1), 6)), (i, stats[i])
+
+
+def test_duplicated_spans_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.duplicated_spans(df, k=0)
+    with pytest.raises(ValueError):
+        dedup.duplicated_spans(df, min_doc_freq=1)  # within-doc is not dedup
+
+
+def test_duplicated_spans_min_doc_freq(spark):
+    # the same 4-gram in 2 docs: visible at min_doc_freq=2, gone at 3
+    docs = [(0, "a b c d x"), (1, "y a b c d"), (2, "q r s t u")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert dedup.duplicated_spans(df, k=4).count() == 2
+    assert dedup.duplicated_spans(df, k=4, min_doc_freq=3).count() == 0
