@@ -666,6 +666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.span_duplication_stats(_documents(spark, sf), k=8)
     q["dedup_span_stats"] = dedup_span_stats
 
+    def dedup_span_cut(spark, sf):
+        # the actionable output: every duplicated span cut out of the
+        # corpus (kept tokens rejoined; whitespace canonicalized)
+        return dedup.cut_duplicated_spans(_documents(spark, sf), k=8)
+    q["dedup_span_cut"] = dedup_span_cut
+
     def dedup_incremental(spark, sf):
         # incremental ingestion dedup (streaming/dedup.py): the
         # corpus-so-far — a deterministic 80% hash split — lives in a
@@ -1940,6 +1946,33 @@ def oracle_sql() -> dict[str, str]:
                round(COALESCE(p.n_dup, 0)
                      / greatest(len(t.tk), 1), 6) AS dup_frac
         FROM stk t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """
+
+    o["dedup_span_cut"] = f"""
+        WITH {_span_ctes},
+        tokpos AS (
+            SELECT doc_id, p, tk[p + 1] AS tok
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(0, len(tk) - 1)) AS p
+                  FROM stk WHERE len(tk) > 0)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.p, t.tok
+            FROM tokpos t
+            LEFT JOIN sspans s ON s.doc_id = t.doc_id
+                 AND t.p >= s.start_tok AND t.p < s.end_tok
+            WHERE s.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   COUNT(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(a.n_kept, 0)::BIGINT AS n_kept_tokens,
+               (len(t.tk) - COALESCE(a.n_kept, 0))::BIGINT
+                   AS n_removed_tokens
+        FROM stk t LEFT JOIN agg a ON a.doc_id = t.doc_id
     """
 
     _u_new = sampling.uniform_expr("doc_id", "inc-dd", dialect="duckdb")

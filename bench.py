@@ -224,6 +224,9 @@ def main() -> None:
         # + doc-frequency agg + run-merge window over dup positions only
         "dedup_spans": lambda: dedup.duplicated_spans(
             docs, k=8, id_col="path", text_col="content").count(),
+        "dedup_span_cut": lambda: dedup.cut_duplicated_spans(
+            docs, k=8, id_col="path", text_col="content")
+            .agg(F.sum("n_removed_tokens")).collect(),
         "dedup_simhash": lambda: dedup.simhash_signatures(
             docs, id_col="path", text_col="content").count(),
         # block-banded Hamming pairing (pigeonhole-complete candidates)

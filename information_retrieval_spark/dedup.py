@@ -944,3 +944,44 @@ def span_duplication_stats(df: DataFrame, k: int = 50,
                     F.round(F.coalesce("n_dup_tokens", F.lit(0))
                             / F.greatest("n_ws_tokens", F.lit(1)), 6)
                     .alias("dup_frac")))
+
+
+def cut_duplicated_spans(df: DataFrame, k: int = 50,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         min_doc_freq: int = 2) -> DataFrame:
+    """(id, clean_text, n_kept_tokens, n_removed_tokens): the corpus
+    with every cross-document duplicated span CUT OUT — the actionable
+    output of exact-substring dedup (Lee et al. remove every occurrence
+    of a duplicated substring; span-level surgery keeps the unique
+    remainder of a doc instead of dropping the doc).
+
+    clean_text is the kept tokens rejoined with single spaces —
+    whitespace is canonicalized (documented: span cutting is a
+    tokens-level operation; a byte-exact splice would need original
+    offsets, which whitespace tokenization does not preserve).
+
+    Scale shape: spans (proportional to duplication) aggregate to one
+    array per AFFECTED doc and join back to the corpus — Spark
+    broadcast-estimates that side when small; the cut itself is one
+    map-only filter-by-position expression per doc (no explode of the
+    corpus back through a shuffle)."""
+    spans = (duplicated_spans(df, k, id_col, text_col, min_doc_freq)
+             .groupBy("id")
+             .agg(F.collect_list(
+                 F.struct("start_tok", "end_tok")).alias("__spans")))
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            r"\s+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__tk"))
+    joined = base.join(spans, "id", "left")
+    kept = F.expr(
+        "filter(transform(__tk, (t, i) -> struct(t AS t, i AS i)), "
+        "s -> __spans IS NULL OR NOT exists(__spans, "
+        "sp -> s.i >= sp.start_tok AND s.i < sp.end_tok))")
+    return joined.select(
+        "id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+        (F.size("__tk") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"))

@@ -1616,3 +1616,39 @@ def test_duplicated_spans_min_doc_freq(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert dedup.duplicated_spans(df, k=4).count() == 2
     assert dedup.duplicated_spans(df, k=4, min_doc_freq=3).count() == 0
+
+
+def test_cut_duplicated_spans_oracle(spark):
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f z w"),
+        (2, "p q r   s t u v"),       # multi-space: canonicalized output
+        (3, "x y a b c d e f z w"),
+        (4, "c d e f g h q q c d e f g h"),
+        (5, ""),
+        (6, None),
+    ]
+    k = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import re as _re
+    from collections import defaultdict
+    tk = {i: [w for w in _re.split(r"\s+", t) if w] if t else []
+          for i, t in docs}
+    gd = defaultdict(set)
+    for i, toks in tk.items():
+        for p in range(len(toks) - k + 1):
+            gd[tuple(toks[p:p + k])].add(i)
+    dup = {g for g, ids in gd.items() if len(ids) >= 2}
+    got = {r["id"]: (r["clean_text"], r["n_kept_tokens"],
+                     r["n_removed_tokens"])
+           for r in dedup.cut_duplicated_spans(df, k=k).collect()}
+    for i, toks in tk.items():
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p:p + k]) in dup:
+                covered.update(range(p, p + k))
+        keep = [t for j, t in enumerate(toks) if j not in covered]
+        assert got[i] == (" ".join(keep), len(keep),
+                          len(toks) - len(keep)), (i, got[i])
+    # a fully-duplicated doc empties; a clean doc round-trips (canonical ws)
+    assert got[1][0] == "" and got[2][0] == "p q r s t u v"
