@@ -231,16 +231,15 @@ def _estimated_input_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-def _auto_shingles_path(df: DataFrame, n: int, id_col: str,
-                        text_col: str) -> str:
-    """Deterministic session-temp cache path for the materialized
-    shingle relation, keyed by the input plan's semantic hash, the
-    shingle parameters and the tokenizer format version (bumps when
-    tokenizer semantics change, so a stale cache from an older engine
-    never serves). Reuse caveat is the same as an explicit
-    shingles_path: identical source path with silently rewritten
-    CONTENT maps to the same key — deployments that rewrite datasets
-    in place should pass an explicit, version-keyed path instead."""
+def _auto_cache_path(df: DataFrame, kind: str, *params) -> str:
+    """Deterministic session-temp cache path for a materialized derived
+    relation, keyed by the input plan's semantic hash, the operator
+    parameters and the tokenizer format version (bumps when tokenizer
+    semantics change, so a stale cache from an older engine never
+    serves). Reuse caveat: identical source path with silently
+    rewritten CONTENT maps to the same key — deployments that rewrite
+    datasets in place should pass an explicit, version-keyed path
+    instead."""
     import hashlib
     import tempfile
 
@@ -250,9 +249,16 @@ def _auto_shingles_path(df: DataFrame, n: int, id_col: str,
     except Exception:  # semanticHash is a developer API; fall back
         plan_key = df._jdf.queryExecution().optimizedPlan().toString()
     key = hashlib.sha256(
-        f"v{INDEX_FORMAT_VERSION}|{plan_key}|{n}|{id_col}|{text_col}"
-        .encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"irs_shingles_{key}")
+        "|".join([f"v{INDEX_FORMAT_VERSION}", plan_key]
+                 + [str(p) for p in params]).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"irs_{kind}_{key}")
+
+
+def _auto_shingles_path(df: DataFrame, n: int, id_col: str,
+                        text_col: str) -> str:
+    """Cache path for the materialized shingle relation (see
+    _auto_cache_path for the keying + reuse contract)."""
+    return _auto_cache_path(df, "shingles", n, id_col, text_col)
 
 
 def near_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -854,9 +860,18 @@ _SPAN_HASH_CHARS = 32
 
 
 def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
-                    min_doc_freq: int) -> DataFrame:
+                    min_doc_freq: int, grams_path: str | None,
+                    materialize_above_bytes: int | None) -> DataFrame:
     """(id, p): token positions whose k-token gram (whitespace pieces)
-    appears in >= min_doc_freq DISTINCT documents."""
+    appears in >= min_doc_freq DISTINCT documents.
+
+    The grams relation feeds BOTH the doc-frequency aggregate and the
+    position join — without materialization Spark derives it twice
+    (two full tokenize+hash corpus scans). Above the Catalyst
+    input-size estimate (`materialize_above_bytes`, the near_duplicates
+    switch) the relation is written once to `grams_path` (auto-derived,
+    idempotent on `_SUCCESS`) and both consumers read the parquet —
+    at 10^12 docs that halves the dominant cost."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(F.col(text_col), r"\s+"),
@@ -868,6 +883,13 @@ def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
             f"{_SPAN_HASH_CHARS}) AS gh)) ELSE array() END")
     grams = toks.select("id", F.explode(F.expr(gram)).alias("g")) \
         .select("id", F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
+    if grams_path is None and materialize_above_bytes is not None and \
+            _estimated_input_bytes(df) > materialize_above_bytes:
+        grams_path = _auto_cache_path(df, "spangrams", k, id_col, text_col)
+    if grams_path is not None:
+        if not os.path.exists(os.path.join(grams_path, "_SUCCESS")):
+            grams.write.mode("overwrite").parquet(grams_path)
+        grams = df.sparkSession.read.parquet(grams_path)
     dup = (grams.groupBy("gh")
            .agg(F.count_distinct("id").alias("__nd"))
            .filter(F.col("__nd") >= min_doc_freq)
@@ -876,8 +898,10 @@ def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
 
 
 def duplicated_spans(df: DataFrame, k: int = 50, id_col: str = "doc_id",
-                     text_col: str = "text",
-                     min_doc_freq: int = 2) -> DataFrame:
+                     text_col: str = "text", min_doc_freq: int = 2,
+                     grams_path: str | None = None,
+                     materialize_above_bytes: int | None = 2 << 30
+                     ) -> DataFrame:
     """(id, start_tok, end_tok, n_tokens): MAXIMAL token runs covered by
     k-token grams that appear verbatim in >= `min_doc_freq` distinct
     docs — the spans Lee et al.'s suffix-array pass cuts out of
@@ -902,7 +926,8 @@ def duplicated_spans(df: DataFrame, k: int = 50, id_col: str = "doc_id",
         raise ValueError(
             f"min_doc_freq must be >= 2 (cross-document duplication), "
             f"got {min_doc_freq}")
-    pos = _span_positions(df, k, id_col, text_col, min_doc_freq)
+    pos = _span_positions(df, k, id_col, text_col, min_doc_freq,
+                          grams_path, materialize_above_bytes)
     w = Window.partitionBy("id").orderBy("p")
     lag = F.lag("p").over(w)
     new_run = F.when(lag.isNull() | (F.col("p") - lag > k), 1).otherwise(0)
@@ -920,7 +945,10 @@ def duplicated_spans(df: DataFrame, k: int = 50, id_col: str = "doc_id",
 
 def span_duplication_stats(df: DataFrame, k: int = 50,
                            id_col: str = "doc_id", text_col: str = "text",
-                           min_doc_freq: int = 2) -> DataFrame:
+                           min_doc_freq: int = 2,
+                           grams_path: str | None = None,
+                           materialize_above_bytes: int | None = 2 << 30
+                           ) -> DataFrame:
     """(id, n_ws_tokens, n_dup_tokens, dup_frac) for EVERY document:
     how much of each doc is covered by cross-document verbatim >=k-token
     spans — the per-doc number a curation pipeline thresholds on (docs
@@ -928,7 +956,8 @@ def span_duplication_stats(df: DataFrame, k: int = 50,
     spans cut instead). dup_frac rounds to 6 dp (the module's
     engine-portable comparison grain); docs with no duplicated span
     (or < k tokens) report 0."""
-    spans = duplicated_spans(df, k, id_col, text_col, min_doc_freq)
+    spans = duplicated_spans(df, k, id_col, text_col, min_doc_freq,
+                             grams_path, materialize_above_bytes)
     per_doc = spans.groupBy("id").agg(F.sum("n_tokens").alias("n_dup_tokens"))
     # null text counts 0 tokens (split(NULL) is NULL and size(NULL)
     # would poison the fraction)
@@ -948,7 +977,10 @@ def span_duplication_stats(df: DataFrame, k: int = 50,
 
 def cut_duplicated_spans(df: DataFrame, k: int = 50,
                          id_col: str = "doc_id", text_col: str = "text",
-                         min_doc_freq: int = 2) -> DataFrame:
+                         min_doc_freq: int = 2,
+                         grams_path: str | None = None,
+                         materialize_above_bytes: int | None = 2 << 30
+                         ) -> DataFrame:
     """(id, clean_text, n_kept_tokens, n_removed_tokens): the corpus
     with every cross-document duplicated span CUT OUT — the actionable
     output of exact-substring dedup (Lee et al. remove every occurrence
@@ -965,7 +997,8 @@ def cut_duplicated_spans(df: DataFrame, k: int = 50,
     broadcast-estimates that side when small; the cut itself is one
     map-only filter-by-position expression per doc (no explode of the
     corpus back through a shuffle)."""
-    spans = (duplicated_spans(df, k, id_col, text_col, min_doc_freq)
+    spans = (duplicated_spans(df, k, id_col, text_col, min_doc_freq,
+                              grams_path, materialize_above_bytes)
              .groupBy("id")
              .agg(F.collect_list(
                  F.struct("start_tok", "end_tok")).alias("__spans")))

@@ -134,3 +134,12 @@ def test_encode_projection_is_single_map_side_pass(docs_df):
     out = bpe.segment_counts(docs_df, [("l", "o"), ("lo", "w"), ("e", "r")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pair_counts_topk_plan(docs_df):
+    # exact top-k compiles to TakeOrderedAndProject (per-partition
+    # heaps), never a full sort shuffle; no Python eval anywhere
+    out = bpe.pair_counts(docs_df, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan

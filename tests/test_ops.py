@@ -1652,3 +1652,36 @@ def test_cut_duplicated_spans_oracle(spark):
                           len(toks) - len(keep)), (i, got[i])
     # a fully-duplicated doc empties; a clean doc round-trips (canonical ws)
     assert got[1][0] == "" and got[2][0] == "p q r s t u v"
+
+
+def test_duplicated_spans_plan(spark):
+    # one Window (the run-merge over duplicated positions only), no
+    # Python eval; the gram relation carries fingerprints, not grams —
+    # the projected hash column is the only string in the shuffle
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    out = dedup.duplicated_spans(df, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_duplicated_spans_grams_path_materializes_once(spark, tmp_path):
+    # grams_path: identical spans to the recompute path, the gram
+    # relation written exactly once (idempotent on _SUCCESS) and both
+    # consumers (dup agg + position join) scan the parquet instead of
+    # re-deriving two corpus scans
+    import os as _os
+    docs = [(0, "a b c d e f"), (1, "z a b c d e"), (2, "q r s t u v")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = sorted(tuple(r) for r in dedup.duplicated_spans(df, k=4).collect())
+    p = str(tmp_path / "grams")
+    mat = dedup.duplicated_spans(df, k=4, grams_path=p)
+    assert sorted(tuple(r) for r in mat.collect()) == base
+    assert _os.path.exists(_os.path.join(p, "_SUCCESS"))
+    plan = mat._jdf.queryExecution().sparkPlan().toString()
+    assert "grams" in plan, plan
+    mtime = _os.path.getmtime(_os.path.join(p, "_SUCCESS"))
+    assert sorted(tuple(r) for r in
+                  dedup.duplicated_spans(df, k=4, grams_path=p).collect()) \
+        == base
+    assert _os.path.getmtime(_os.path.join(p, "_SUCCESS")) == mtime
