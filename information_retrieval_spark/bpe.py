@@ -22,10 +22,10 @@ BPE trains on the WORD-FREQUENCY DICTIONARY, not the corpus.
   O(1) across merges (the connected-components discipline).
 
 Encoding (applying a learned merge table) is also dictionary-driven:
-segment each DISTINCT word once — n_merges chained fold expressions in
-ONE map-only projection over the vocab — then join the per-word piece
-count back to the corpus. The corpus is scanned, never re-segmented
-per occurrence.
+segment each DISTINCT word once — chained JVM fold expressions for
+small tables, an Arrow-batched vocabulary UDF for real-sized ones (see
+segment_counts) — then join the per-word piece count back to the
+corpus. The corpus is scanned, never re-segmented per occurrence.
 
 Symbols are characters (no end-of-word marker — a documented
 simplification vs the paper's '</w>'; merges therefore cannot encode
@@ -42,6 +42,7 @@ is a north-star training-data-pipeline addition per the task brief.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,33 +167,87 @@ def train(df: DataFrame, n_merges: int, text_col: str = "text",
 
 def segment_counts(df: DataFrame, merges: list[tuple[str, str]],
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   expr_chain_max: int = 32) -> DataFrame:
     """(id, n_bpe_pieces): per-doc token count under a learned merge
     table — the corpus-side ENCODE step (the token-budget number a
     pipeline reports once the tokenizer is trained).
 
-    Dictionary-driven: the merge chain is applied to each DISTINCT word
-    once — ALL merges as chained fold expressions in one map-only
-    projection over the vocabulary (no per-merge job, no driver loop;
-    merge order is the learning order, which is what makes chained
-    greedy folds equal to the reference encoder) — then the per-word
-    piece count joins back to the corpus words. At 100 TB the expensive
-    path touches vocab-sized data; the corpus contributes one scan plus
-    one word-keyed exchange, and empty docs keep a 0 row via a
-    left join back to the id relation."""
+    Dictionary-driven either way: each DISTINCT word is segmented once,
+    then the per-word piece count joins back to the corpus. At 100 TB
+    the expensive path touches vocab-sized data; the corpus contributes
+    one scan plus one word-keyed exchange, and empty docs keep a 0 row
+    via a left join back to the id relation.
+
+    Two segmentation paths with IDENTICAL semantics (merges applied in
+    rank order, each greedy-leftmost — pinned equal by test):
+    - <= `expr_chain_max` merges: chained JVM fold expressions in one
+      map-only projection (no Python). The chain cannot grow unbounded:
+      Catalyst's analyzer hits its iteration ceiling near ~128 chained
+      folds and analysis cost grows superlinearly before that (measured
+      2.5s@8 -> 6.9s@64 -> fails@128), hence the cap.
+    - larger tables (a real tokenizer ships ~32k merges): an
+      Arrow-batched pandas UDF runs the same sequential merge loop per
+      distinct word, with an O(1) symbol-presence skip so the common
+      all-misses merge costs one set lookup. Still vocabulary-sized
+      work; production encoders cut the per-word constant further with
+      rank-priority heaps, which for a TRAINED table (every merge's
+      operands created by earlier merges) computes the same
+      segmentation."""
     ids = df.select(F.col(id_col).alias("id"))
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
                            lambda t: t != "")).alias("word"))
-    syms = _chars_expr("word")
-    for left, right in merges:
-        syms = _merge_fold_expr(syms, left, right)
+    if len(merges) <= expr_chain_max:
+        syms = _chars_expr("word")
+        for left, right in merges:
+            syms = _merge_fold_expr(syms, left, right)
+        n_pieces = F.size(syms)
+    else:
+        n_pieces = _encode_len_udf(list(merges))(F.col("word"))
     vocab = (words.select("word").distinct()
-             .select("word", F.size(syms).alias("n_pieces")))
+             .select("word", n_pieces.alias("n_pieces")))
     per_doc = (words.join(vocab, "word")
                .groupBy("id")
                .agg(F.sum("n_pieces").alias("n_bpe_pieces")))
     return (ids.join(per_doc, "id", "left")
             .select("id", F.coalesce("n_bpe_pieces", F.lit(0))
                     .cast("long").alias("n_bpe_pieces")))
+
+
+def _encode_len_udf(merges: list):
+    """Arrow-batched per-word piece count under a LARGE merge table —
+    the same sequential greedy-leftmost semantics as the fold chain,
+    one Python pass per DISTINCT word (vocabulary-sized work). A merge
+    whose left or right symbol is absent from the word's current symbol
+    set costs one set lookup (the overwhelmingly common case on real
+    tables)."""
+    @F.pandas_udf("long")
+    def enc(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            syms = list(w) if w else []
+            present = set(syms)
+            for left, right in merges:
+                if left not in present or right not in present:
+                    continue
+                merged, res, pend = left + right, [], None
+                for s in syms:
+                    if pend == left and s == right:
+                        res.append(merged)
+                        pend = None
+                    elif pend is None:
+                        pend = s
+                    else:
+                        res.append(pend)
+                        pend = s
+                if pend is not None:
+                    res.append(pend)
+                if len(res) != len(syms):
+                    syms = res
+                    present = set(syms)
+            out.append(len(syms))
+        return pd.Series(out, dtype="int64")
+
+    return enc

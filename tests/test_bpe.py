@@ -143,3 +143,27 @@ def test_pair_counts_topk_plan(docs_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_segment_counts_udf_path_equals_expr_path(spark):
+    # the two encode paths (chained JVM folds vs Arrow-batched vocab
+    # UDF) must segment identically; large tables must run at all (the
+    # fold chain hits Catalyst's analyzer ceiling near ~128)
+    import random
+    rng = random.Random(7)
+    docs = [(i, " ".join("".join(rng.choice("ab")
+                                 for _ in range(rng.randint(1, 8)))
+                         for _ in range(rng.randint(1, 10))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mt = [(r["left"], r["right"])
+          for r in bpe.train(df, 10).orderBy("merge_rank").collect()]
+    a = sorted(tuple(r) for r in bpe.segment_counts(df, mt).collect())
+    b = sorted(tuple(r) for r in
+               bpe.segment_counts(df, mt, expr_chain_max=0).collect())
+    assert a == b
+    # 500-entry table (mostly never-matching merges): runs, and the
+    # no-op merges change nothing
+    big = mt + [(f"q{i}x", f"z{i}y") for i in range(490)]
+    c = sorted(tuple(r) for r in bpe.segment_counts(df, big).collect())
+    assert c == a
