@@ -25,6 +25,11 @@ Scale notes (100 TB / 10^12 docs):
   adjacency lists, O(log n) rounds) -> (id, canonical cluster_id,
   cluster_size) — the grouping step a curation pipeline keeps/drops
   documents by.
+- duplicated spans (Lee et al. 2022): cross-document verbatim k-token
+  runs via 128-bit gram fingerprints + a doc-frequency aggregate (the
+  one corpus-sized shuffle; auto-materialized above a size estimate so
+  both consumers share one derivation), run-merged per doc; plus
+  per-doc coverage stats and span surgery (cut_duplicated_spans).
 """
 
 from __future__ import annotations
