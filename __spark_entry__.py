@@ -672,6 +672,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.cut_duplicated_spans(_documents(spark, sf), k=8)
     q["dedup_span_cut"] = dedup_span_cut
 
+    def sample_token_mix(spark, sf):
+        # data mixing: per-stratum token budgets filled by a
+        # deterministic hash-ordered greedy prefix (the mixture-weights
+        # step of corpus assembly); fr's budget exceeds its supply, so
+        # that stratum keeps everything (the unfillable edge)
+        return sampling.token_budget_mix(
+            _documents(spark, sf), {"en": 5000, "de": 1500, "fr": 4000})
+    q["sample_token_mix"] = sample_token_mix
+
     def dedup_incremental(spark, sf):
         # incremental ingestion dedup (streaming/dedup.py): the
         # corpus-so-far — a deterministic 80% hash split — lives in a
@@ -1973,6 +1982,31 @@ def oracle_sql() -> dict[str, str]:
                (len(t.tk) - COALESCE(a.n_kept, 0))::BIGINT
                    AS n_removed_tokens
         FROM stk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+    _u_mix = sampling.uniform_expr("doc_id", "mix", dialect="duckdb")
+    o["sample_token_mix"] = f"""
+        WITH base AS (
+            SELECT doc_id AS id, lang AS stratum,
+                   len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''),
+                                             '[ \\t\\n\\x0b\\f\\r]+'),
+                       x -> x != ''))::BIGINT AS n_tokens,
+                   {_u_mix} AS u
+            FROM documents WHERE lang IN ('en', 'de', 'fr')
+        ),
+        c AS (
+            SELECT id, stratum, n_tokens,
+                   (SUM(n_tokens) OVER (PARTITION BY stratum
+                                        ORDER BY u, id)
+                    - n_tokens)::BIGINT AS cum_before
+            FROM base
+        )
+        SELECT id, stratum, n_tokens, cum_before,
+               cum_before < CASE stratum WHEN 'en' THEN 5000
+                                         WHEN 'de' THEN 1500
+                                         ELSE 4000 END AS kept
+        FROM c
     """
 
     _u_new = sampling.uniform_expr("doc_id", "inc-dd", dialect="duckdb")

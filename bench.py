@@ -261,6 +261,12 @@ def main() -> None:
         # reused for the totals) + vocabulary-sized joins
         "text_pmi": lambda: textstats.pmi_bigrams(
             docs, k=20, min_count=3, text_col="content").collect(),
+        # data mixing: per-lang token budgets via the exact window path
+        "sample_token_mix": lambda: sampling.token_budget_mix(
+            docs, {"en": 100_000, "de": 40_000}, strata_col="lang",
+            id_col="path", text_col="content")
+            .filter("kept").groupBy("stratum")
+            .agg(F.sum("n_tokens")).collect(),
         "sample_split": lambda: sampling.train_val_split(
             sampling.hash_sample(docs, 0.5, key_col="path"), 0.25,
             key_col="path").groupBy("split").count().collect(),

@@ -223,3 +223,65 @@ def train_val_split(df: DataFrame, val_fraction: float,
     return df.withColumn(
         "split", F.when(u < F.lit(float(val_fraction)), F.lit("val"))
         .otherwise(F.lit("train")))
+
+
+def token_budget_mix(df: DataFrame, budgets: dict,
+                     strata_col: str = "lang", id_col: str = "doc_id",
+                     text_col: str = "text", seed: str = "mix",
+                     approx: bool = False) -> DataFrame:
+    """Data MIXING: assemble a training corpus that hits a per-stratum
+    TOKEN budget ("20B tokens of en, 5B of de, 2B of code") — the
+    mixture-weights step between curation and training. Returns
+    (id, stratum, n_tokens, cum_before, kept) for every doc whose
+    stratum has a budget (other strata are out of the mix by
+    definition); `kept` marks the selected docs.
+
+    Selection is a deterministic hash-ordered greedy fill: docs order
+    by (u, id) where u = sha256-uniform of (seed, id) — an unbiased
+    within-stratum sample, replayable across engines/cluster sizes/
+    retries — and a doc is kept while the tokens BEFORE it are under
+    budget (so the budget is always reached when the stratum can fill
+    it, overshooting by at most one doc). Adding corpus docs reshuffles
+    which docs fall inside a FIXED budget (inherent: the budget is a
+    prefix property, unlike hash_sample's pointwise rate).
+
+    Exact path: ONE exchange keyed by stratum — cum_before is a window
+    cumsum over the (u, id) order. At 10^12 docs a stratum's window
+    sort is the cost that matters; `approx=True` switches to a
+    threshold fill: keep u < budget/stratum_total_tokens (one map-side
+    combinable aggregate broadcast back, no sort), which hits the
+    budget in expectation with O(sqrt) deviation — the
+    top_fraction_per_group trade, applied to tokens. cum_before is
+    null on the approx path (it is the sort's output)."""
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"budget must be >= 0 for stratum {s!r}: {b}")
+    _ = uniform_expr(id_col, seed)  # validates seed/ident charsets
+    ws = F.size(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                 r"\s+"),
+                         lambda t: t != ""))
+    budget = F.create_map(*[x for s, b in sorted(budgets.items())
+                            for x in (F.lit(s), F.lit(int(b)))])
+    base = (df.filter(F.col(strata_col).isin(list(budgets)))
+            .select(F.col(id_col).alias("id"),
+                    F.col(strata_col).alias("stratum"),
+                    ws.cast("long").alias("n_tokens"),
+                    F.expr(uniform_expr(id_col, seed)).alias("__u")))
+    b_of = budget[F.col("stratum")]
+    if approx:
+        tot = base.groupBy("stratum").agg(
+            F.sum("n_tokens").alias("__tot"))
+        return (base.join(F.broadcast(tot), "stratum")
+                .select("id", "stratum", "n_tokens",
+                        F.lit(None).cast("long").alias("cum_before"),
+                        (F.col("__u") * F.col("__tot") < b_of)
+                        .alias("kept")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("stratum").orderBy("__u", "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
+    out = base.select("id", "stratum", "n_tokens", cum, "__u")
+    return out.select("id", "stratum", "n_tokens", "cum_before",
+                      (F.col("cum_before") < b_of).alias("kept"))

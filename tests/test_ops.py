@@ -1685,3 +1685,54 @@ def test_duplicated_spans_grams_path_materializes_once(spark, tmp_path):
                   dedup.duplicated_spans(df, k=4, grams_path=p).collect()) \
         == base
     assert _os.path.getmtime(_os.path.join(p, "_SUCCESS")) == mtime
+
+
+# -- data mixing (sampling.token_budget_mix) -----------------------------
+
+def test_token_budget_mix_oracle(spark):
+    from information_retrieval_spark import sampling
+    from information_retrieval_spark.sampling import uniform_of
+
+    docs = [(i, ("en" if i % 3 else "de"),
+             " ".join(f"w{j}" for j in range((i * 7) % 13 + 1)))
+            for i in range(60)] + [(60, "fr", "seul doc"), (61, "en", "")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    budgets = {"en": 50, "de": 25, "fr": 100}
+    got = {r["id"]: (r["stratum"], r["n_tokens"], r["cum_before"], r["kept"])
+           for r in sampling.token_budget_mix(df, budgets).collect()}
+
+    rows = [(i, l, len(t.split())) for i, l, t in docs if l in budgets]
+    want = {}
+    for s in budgets:
+        cum = 0
+        for i, l, n in sorted((r for r in rows if r[1] == s),
+                              key=lambda r: (uniform_of(r[0], "mix"), r[0])):
+            want[i] = (l, n, cum, cum < budgets[s])
+            cum += n
+    assert got == want
+    # fillable strata reach their budget; overshoot bounded by one doc
+    for s in ("en", "de"):
+        kept = sorted((c, n) for i, (l, n, c, k) in got.items()
+                      if l == s and k)
+        tot = sum(n for _c, n in kept)
+        assert tot >= budgets[s] and tot - kept[-1][1] < budgets[s]
+    # unfillable stratum keeps everything
+    assert got[60][3] is True
+    # a zero-token doc inside the prefix is kept at zero cost
+    assert got[61][1] == 0
+
+
+def test_token_budget_mix_approx_and_validation(spark):
+    from information_retrieval_spark import sampling
+
+    docs = [(i, "en", " ".join("w" for _ in range(10))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    ap = sampling.token_budget_mix(df, {"en": 1000}, approx=True).collect()
+    assert all(r["cum_before"] is None for r in ap)
+    kept = sum(r["n_tokens"] for r in ap if r["kept"])
+    # expectation 1000 of 2000 total; sqrt-band tolerance
+    assert 600 <= kept <= 1400, kept
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(df, {})
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(df, {"en": -1})
