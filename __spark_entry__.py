@@ -791,6 +791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_quality=0.7, max_dup_line=0.2, max_dup_ngram=0.05)
     q["curation_report"] = curation_report
 
+    def text_lm_bigram(spark, sf):
+        # CCNet-style LM quality filter: every doc scored by mean
+        # ln-prob of its ordered bigrams under a bigram LM trained on
+        # a deterministic 50% reference split (interpolated with an
+        # add-one unigram floor, lam=0.9)
+        return textstats.lm_bigram_logprob_scores(
+            _documents(spark, sf), ref_rate=0.5, lam=0.9)
+    q["text_lm_bigram"] = text_lm_bigram
+
     def text_chunks(spark, sf):
         # context-window chunking (training-data prep): whitespace
         # tokens cut into 64-token windows at stride 48 — one map-only
@@ -2222,6 +2231,45 @@ def oracle_sql() -> dict[str, str]:
                round(sum(c * ln(cf / T)) / sum(c), 6) AS mean_logprob,
                sum(c)::BIGINT AS n_terms
         FROM tfd JOIN cf USING (term) CROSS JOIN tot
+        GROUP BY id
+    """
+
+    # CCNet-style bigram-LM filter: the model (reference-split counts,
+    # interpolation, add-one floor) replayed relationally; the float
+    # formula text matches the Spark expression term for term
+    _u_lm = sampling.uniform_expr("doc_id", "lmref", dialect="duckdb")
+    o["text_lm_bigram"] = f"""
+        WITH {_TOKS},
+        bg AS (
+            SELECT id, u, v, count(*)::BIGINT AS m FROM (
+                SELECT doc_id AS id, t[i] AS u, t[i + 1] AS v
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM toks WHERE len(t) >= 2)
+            ) GROUP BY 1, 2, 3
+        ),
+        ref AS (SELECT doc_id, t FROM toks WHERE {_u_lm} < 0.5),
+        c1 AS (SELECT term, count(*)::BIGINT AS c1
+               FROM (SELECT unnest(t) AS term FROM ref) GROUP BY term),
+        c2 AS (
+            SELECT u, v, count(*)::BIGINT AS c2 FROM (
+                SELECT t[i] AS u, t[i + 1] AS v
+                FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM ref WHERE len(t) >= 2)
+            ) GROUP BY 1, 2
+        ),
+        st AS (SELECT sum(c1)::DOUBLE AS ref_t,
+                      count(*)::DOUBLE AS ref_v FROM c1)
+        SELECT id,
+               round(sum(m * ln(0.9 * coalesce(c2 / c1u.c1, 0)
+                                + (1 - 0.9) * ((coalesce(c1v.c1, 0) + 1)
+                                               / (ref_t + ref_v + 1)))) / sum(m),
+                     6) AS mean_logprob,
+               sum(m)::BIGINT AS n_bigrams
+        FROM bg LEFT JOIN c2 USING (u, v)
+                LEFT JOIN c1 c1u ON c1u.term = bg.u
+                LEFT JOIN c1 c1v ON c1v.term = bg.v
+                CROSS JOIN st
         GROUP BY id
     """
 

@@ -253,6 +253,11 @@ def main() -> None:
         "text_bpe": lambda: textstats.bpe_piece_counts(
             docs, id_col="path", text_col="content")
             .agg(F.sum("n_nonspace_pieces")).collect(),
+        # CCNet-style bigram-LM quality filter: reference-split model
+        # + per-doc mean transition logprob
+        "text_lm_bigram": lambda: textstats.lm_bigram_logprob_scores(
+            docs, id_col="path", text_col="content")
+            .agg(F.min("mean_logprob")).collect(),
         # corpus bigram top-20: one explode + map-side-combined agg,
         # TakeOrderedAndProject cut (never a full sort shuffle)
         "text_bigrams": lambda: textstats.ngram_counts(

@@ -452,3 +452,71 @@ def curation_report(df: DataFrame, lang: str = "en",
         "id", (reason == "ok").alias("kept"), reason.alias("reason"),
         pred.alias("pred_lang"), "n_ws_tokens", "quality",
         "dup_line_frac", "dup_ngram_frac")
+
+
+def lm_bigram_logprob_scores(df: DataFrame, ref_rate: float = 0.5,
+                             lam: float = 0.9, seed: str = "lmref",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, mean_logprob, n_bigrams): CCNet-style language-model
+    quality filter — every doc scored by the mean ln-probability of
+    its ordered kept-term bigrams under a bigram LM trained on a
+    deterministic REFERENCE SPLIT of the corpus (hash_sample semantics:
+    u(seed, id) < ref_rate). Low scores flag noise/boilerplate the
+    unigram signal misses (scrambled word salad has typical unigrams
+    but improbable transitions); the reference split stands in for
+    CCNet's "clean" LM corpus and is itself scored too (as CCNet does).
+
+    Model, pinned exactly (the oracle replays it bit-for-bit):
+      p(v|u) = lam * c2(u,v)/c1(u)  +  (1-lam) * (c1(v)+1)/(T+V+1)
+    with c1/c2 = reference unigram/adjacent-bigram counts, T = total
+    reference tokens, V = reference vocabulary size; unseen u drops the
+    first term, unseen v rides the add-one floor, so p > 0 always.
+    (c1(u) in the denominator counts ALL instances of u — a filter's
+    deficient-mass shortcut, documented, not a generative model.)
+    mean_logprob rounds to 6 dp (the module's cross-engine double
+    grain). Docs with < 2 kept terms are absent (no bigrams).
+
+    Scale shape (100 TB): bigram extraction is a map-only array
+    transform (no position self-join); per-(id,u,v) counts combine
+    map-side before the shuffle; the model relations are
+    vocabulary-sized (c1) and bigram-vocabulary-sized (c2), joined
+    sort-merge on their keys; T/V broadcast as one row. No UDF."""
+    from .sampling import uniform_expr
+    if not (0.0 < float(ref_rate) <= 1.0):
+        raise ValueError(f"ref_rate must be in (0, 1], got {ref_rate}")
+    if not (0.0 < float(lam) < 1.0):
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    toks = _toks(df, text_col).select(F.col(id_col).alias("id"), "__toks")
+    pair_expr = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(__toks[i - 1] AS u, __toks[i] AS v)) "
+        "ELSE array() END")
+    bg = (toks.select("id", F.explode(pair_expr).alias("p"))
+          .groupBy("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+          .agg(F.count(F.lit(1)).alias("m")))
+    ref = toks.filter(F.expr(uniform_expr("id", seed)) < float(ref_rate))
+    c1 = (ref.select(F.explode("__toks").alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("c1")))
+    c2 = (ref.select(F.explode(pair_expr).alias("p"))
+          .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+          .agg(F.count(F.lit(1)).alias("c2")))
+    # __-prefixed: Spark's default case-insensitive resolution would
+    # otherwise collide a plain "V" with the bigram column "v"
+    stats = c1.agg(F.sum("c1").cast("double").alias("__T"),
+                   F.count(F.lit(1)).cast("double").alias("__V"))
+    c1u = c1.select(F.col("term").alias("u"), F.col("c1").alias("c1u"))
+    c1v = c1.select(F.col("term").alias("v"), F.col("c1").alias("c1v"))
+    p = (F.lit(float(lam))
+         * F.coalesce(F.col("c2") / F.col("c1u"), F.lit(0.0))
+         + F.lit(1.0 - float(lam))
+         * ((F.coalesce(F.col("c1v"), F.lit(0)) + 1)
+            / (F.col("__T") + F.col("__V") + 1)))
+    return (bg.join(c2, ["u", "v"], "left")
+            .join(c1u, "u", "left").join(c1v, "v", "left")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("id")
+            .agg(F.round(F.sum(F.col("m") * F.log(p)) / F.sum("m"), 6)
+                 .alias("mean_logprob"),
+                 F.sum("m").cast("long").alias("n_bigrams")))

@@ -1736,3 +1736,55 @@ def test_token_budget_mix_approx_and_validation(spark):
         sampling.token_budget_mix(df, {})
     with pytest.raises(ValueError):
         sampling.token_budget_mix(df, {"en": -1})
+
+
+def test_lm_bigram_logprob_oracle(spark):
+    import math
+    from collections import Counter
+    from information_retrieval_spark.normalize import tokenize
+    from information_retrieval_spark.sampling import uniform_of
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox naps under the old tree"),
+        (2, "dog lazy the over jumps fox brown quick the"),  # scrambled
+        (3, "completely unrelated zebra words here"),
+        (4, "the the the"),
+        (5, "one"),                                          # < 2 terms
+        (6, ""),
+    ]
+    rate, lam, seed = 0.6, 0.9, "lmref"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["mean_logprob"], r["n_bigrams"]) for r in
+           textstats.lm_bigram_logprob_scores(
+               df, ref_rate=rate, lam=lam, seed=seed).collect()}
+
+    toks = {i: tokenize(t) for i, t in docs}
+    ref_ids = [i for i, _ in docs if uniform_of(i, seed) < rate]
+    c1, c2 = Counter(), Counter()
+    for i in ref_ids:
+        c1.update(toks[i])
+        c2.update(zip(toks[i], toks[i][1:]))
+    T, V = sum(c1.values()), len(c1)
+    want = {}
+    for i, _ in docs:
+        bgs = list(zip(toks[i], toks[i][1:]))
+        if not bgs:
+            continue
+        s = sum(math.log(lam * (c2[(u, v)] / c1[u] if c1[u] else 0.0)
+                         + (1 - lam) * ((c1[v] + 1) / (T + V + 1)))
+                for u, v in bgs)
+        want[i] = (round(s / len(bgs), 6), len(bgs))
+    assert got == want
+    # the scrambled doc scores below its fluent twin (the signal)
+    assert got[2][0] < got[0][0]
+    # < 2 kept terms -> absent
+    assert 5 not in got and 6 not in got
+
+
+def test_lm_bigram_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.lm_bigram_logprob_scores(df, ref_rate=0.0)
+    with pytest.raises(ValueError):
+        textstats.lm_bigram_logprob_scores(df, lam=1.0)
