@@ -681,6 +681,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), {"en": 5000, "de": 1500, "fr": 4000})
     q["sample_token_mix"] = sample_token_mix
 
+    def pipeline_curate(spark, sf):
+        # the END-TO-END curation pipeline as one relation — the audit
+        # table that says where every token went: curation gate
+        # (language/length/quality/repetition, first-fail reason) ->
+        # exact-span surgery ON THE SURVIVORS -> per-doc tokens
+        # in/out. Pure composition of three already-gated operators.
+        docs = _documents(spark, sf)
+        cur = textstats.curation_report(
+            docs, lang="en", min_tokens=30, min_quality=0.7,
+            max_dup_line=0.2, max_dup_ngram=0.05)
+        kept_ids = cur.filter("kept").select(F.col("id").alias("doc_id"))
+        # materialize the gate's survivors before span surgery — the
+        # span stage derives its gram relation twice and would re-run
+        # the curation projection per derivation (at scale the gate
+        # output is persisted between stages; localCheckpoint is that
+        # practice at test scale)
+        kept_docs = docs.join(kept_ids, "doc_id").localCheckpoint(eager=True)
+        cut = dedup.cut_duplicated_spans(kept_docs, k=8)
+        return (cur.join(cut.select("id", "n_kept_tokens"), "id", "left")
+                .select("id", F.col("reason").alias("stage_reason"),
+                        F.col("n_ws_tokens").alias("n_tokens_in"),
+                        F.coalesce("n_kept_tokens", F.lit(0)).cast("long")
+                        .alias("n_tokens_out")))
+    q["pipeline_curate"] = pipeline_curate
+
     def dedup_incremental(spark, sf):
         # incremental ingestion dedup (streaming/dedup.py): the
         # corpus-so-far — a deterministic 80% hash split — lives in a
@@ -1974,7 +1999,7 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(0, len(tk) - 1)) AS p
                   FROM stk WHERE len(tk) > 0)
         ),
-        kept AS (
+        sckept AS (
             SELECT t.doc_id, t.p, t.tok
             FROM tokpos t
             LEFT JOIN sspans s ON s.doc_id = t.doc_id
@@ -1984,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
                    COUNT(*)::BIGINT AS n_kept
-            FROM kept GROUP BY doc_id
+            FROM sckept GROUP BY doc_id
         )
         SELECT t.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text,
                COALESCE(a.n_kept, 0)::BIGINT AS n_kept_tokens,
@@ -2683,4 +2708,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_tokens, (bf // 4096)::BIGINT AS shard FROM c
     """
+    # the end-to-end pipeline: each stage IS its already-verified
+    # oracle, embedded whole; the span-cut stage's source relation is
+    # retargeted from the corpus to the curation survivors
+    o["pipeline_curate"] = f"""
+        WITH cur AS ({o["curation_report"]}),
+        keptdocs AS (
+            SELECT d.* FROM documents d
+            JOIN cur ON cur.id = d.doc_id AND cur.kept
+        ),
+        cutrel AS ({o["dedup_span_cut"].replace("FROM documents",
+                                                "FROM keptdocs")})
+        SELECT cur.id, cur.reason AS stage_reason,
+               cur.n_ws_tokens AS n_tokens_in,
+               COALESCE(cutrel.n_kept_tokens, 0)::BIGINT AS n_tokens_out
+        FROM cur LEFT JOIN cutrel ON cutrel.id = cur.id
+    """
+
+
     return o

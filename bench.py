@@ -266,6 +266,19 @@ def main() -> None:
         # reused for the totals) + vocabulary-sized joins
         "text_pmi": lambda: textstats.pmi_bigrams(
             docs, k=20, min_count=3, text_col="content").collect(),
+        # end-to-end curation: gate -> span surgery on survivors ->
+        # tokens-in/out audit; survivors are checkpointed between the
+        # stages (the persisted-gate-output practice — the span stage
+        # derives its gram relation twice)
+        "pipeline_curate": lambda: dedup.cut_duplicated_spans(
+            docs.join(textstats.curation_report(
+                docs, lang="en", min_tokens=30, min_quality=0.7,
+                max_dup_line=0.2, max_dup_ngram=0.05, id_col="path",
+                text_col="content").filter("kept")
+                .select(F.col("id").alias("path")), "path")
+            .localCheckpoint(eager=True),
+            k=8, id_col="path", text_col="content")
+            .agg(F.sum("n_kept_tokens")).collect(),
         # data mixing: per-lang token budgets via the exact window path
         "sample_token_mix": lambda: sampling.token_budget_mix(
             docs, {"en": 100_000, "de": 40_000}, strata_col="lang",

@@ -417,3 +417,32 @@ def test_bm25_proximity_single_term_equals_bm25_rounded(synth_engine):
     prox = [(r["docID"], r["score"])
             for r in synth_engine.bm25_proximity("needle", k=10).collect()]
     assert prox == base
+
+
+def test_pipeline_curate_gate_composition(spark):
+    # the composed end-to-end gate: rejected docs emit 0 tokens out;
+    # kept docs emit exactly the span-cut kept count (== tokens in for
+    # docs untouched by span surgery)
+    import __spark_entry__ as entry
+    out = {r["id"]: r.asDict()
+           for r in entry.queries()["pipeline_curate"](
+               spark, "/root/testdata/sf0.001").collect()}
+    from information_retrieval_spark import dedup, textstats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cur = {r["id"]: r.asDict() for r in textstats.curation_report(
+        docs, lang="en", min_tokens=30, min_quality=0.7,
+        max_dup_line=0.2, max_dup_ngram=0.05).collect()}
+    assert set(out) == set(cur)
+    kept_ids = {i for i, c in cur.items() if c["kept"]}
+    from pyspark.sql import functions as F
+    cut = {r["id"]: r["n_kept_tokens"] for r in dedup.cut_duplicated_spans(
+        docs.join(spark.createDataFrame([(i,) for i in kept_ids],
+                                        "doc_id long"), "doc_id"),
+        k=8).collect()}
+    for i, row in out.items():
+        assert row["stage_reason"] == cur[i]["reason"]
+        assert row["n_tokens_in"] == cur[i]["n_ws_tokens"]
+        want_out = cut[i] if i in kept_ids else 0
+        assert row["n_tokens_out"] == want_out, (i, row)
+    assert any(v["n_tokens_out"] == 0 and v["stage_reason"] != "ok"
+               for v in out.values())
