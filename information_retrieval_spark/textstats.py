@@ -497,8 +497,12 @@ def lm_bigram_logprob_scores(df: DataFrame, ref_rate: float = 0.5,
           .groupBy("id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
           .agg(F.count(F.lit(1)).alias("m")))
     ref = toks.filter(F.expr(uniform_expr("id", seed)) < float(ref_rate))
+    # c1 feeds THREE consumers (the u-join, the v-join and the T/V
+    # totals); uncached, each re-tokenizes the reference corpus — at
+    # 100 TB that is three redundant scans. The relation is
+    # vocabulary-sized (Heaps' law), so caching it is the right trade.
     c1 = (ref.select(F.explode("__toks").alias("term"))
-          .groupBy("term").agg(F.count(F.lit(1)).alias("c1")))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("c1"))).cache()
     c2 = (ref.select(F.explode(pair_expr).alias("p"))
           .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
           .agg(F.count(F.lit(1)).alias("c2")))

@@ -1788,3 +1788,28 @@ def test_lm_bigram_validation(spark):
         textstats.lm_bigram_logprob_scores(df, ref_rate=0.0)
     with pytest.raises(ValueError):
         textstats.lm_bigram_logprob_scores(df, lam=1.0)
+
+
+def test_token_budget_mix_plan_is_single_exchange(spark):
+    from information_retrieval_spark import sampling
+    df = spark.createDataFrame([(0, "en", "a b")],
+                               "doc_id long, lang string, text string")
+    out = sampling.token_budget_mix(df, {"en": 10})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ONE stratum-keyed exchange shared by the window; no Python eval
+    assert plan.count("Exchange") == 1 and plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_lm_bigram_reference_model_computed_once(spark):
+    df = spark.createDataFrame([(i, "w x y z") for i in range(6)],
+                               "doc_id long, text string")
+    out = textstats.lm_bigram_logprob_scores(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all THREE c1 consumers (u-join, v-join, T/V totals) read the
+    # cache — the reference corpus is tokenized once for the unigram
+    # model, not once per consumer (the plan still PRINTS the fill
+    # subtree under each InMemoryRelation, so textual scan counts
+    # over-report; the InMemoryTableScan count is the real property)
+    assert plan.count("InMemoryTableScan") == 3, plan
+    assert "BatchEvalPython" not in plan, plan
