@@ -1813,3 +1813,66 @@ def test_lm_bigram_reference_model_computed_once(spark):
     # over-report; the InMemoryTableScan count is the real property)
     assert plan.count("InMemoryTableScan") == 3, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_spans_and_lm_random_corpus_parity(spark):
+    # randomized small-alphabet sweep: dense gram collisions stress the
+    # run-merge and the LM's tie/OOV paths against pure-Python oracles
+    import math
+    import random
+    from collections import Counter, defaultdict
+    from information_retrieval_spark import sampling, textstats
+    from information_retrieval_spark.normalize import tokenize
+
+    rng = random.Random(20260819)
+    docs = [(i, " ".join(rng.choice(["aa", "bb", "cc", "dd"])
+                         for _ in range(rng.randint(0, 14))))
+            for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # --- duplicated_spans (k=3) ---
+    k = 3
+    tk = {i: t.split() for i, t in docs}
+    gd = defaultdict(set)
+    for i, toks in tk.items():
+        for p in range(len(toks) - k + 1):
+            gd[tuple(toks[p:p + k])].add(i)
+    dup = {g for g, ids in gd.items() if len(ids) >= 2}
+    want = {}
+    for i, toks in tk.items():
+        runs = []
+        for p in (p for p in range(len(toks) - k + 1)
+                  if tuple(toks[p:p + k]) in dup):
+            if runs and p <= runs[-1][1]:
+                runs[-1][1] = max(runs[-1][1], p + k)
+            else:
+                runs.append([p, p + k])
+        for a, b in runs:
+            want.setdefault(i, []).append((a, b, b - a))
+    got = {}
+    for r in dedup.duplicated_spans(df, k=k).collect():
+        got.setdefault(r["id"], []).append(
+            (r["start_tok"], r["end_tok"], r["n_tokens"]))
+    assert {i: sorted(v) for i, v in got.items()} == want
+
+    # --- lm_bigram (ref_rate=0.5) ---
+    rate, lam, seed = 0.5, 0.9, "lmref"
+    toks = {i: tokenize(t) for i, t in docs}
+    ref = [i for i, _ in docs if sampling.uniform_of(i, seed) < rate]
+    c1, c2 = Counter(), Counter()
+    for i in ref:
+        c1.update(toks[i])
+        c2.update(zip(toks[i], toks[i][1:]))
+    T, V = sum(c1.values()), len(c1)
+    lwant = {}
+    for i, _ in docs:
+        bgs = list(zip(toks[i], toks[i][1:]))
+        if bgs:
+            s = sum(math.log(lam * (c2[(u, v)] / c1[u] if c1[u] else 0.0)
+                             + (1 - lam) * ((c1[v] + 1) / (T + V + 1)))
+                    for u, v in bgs)
+            lwant[i] = (round(s / len(bgs), 6), len(bgs))
+    lgot = {r["id"]: (r["mean_logprob"], r["n_bigrams"]) for r in
+            textstats.lm_bigram_logprob_scores(
+                df, ref_rate=rate, lam=lam, seed=seed).collect()}
+    assert lgot == lwant
