@@ -157,15 +157,29 @@ def synthetic_corpus_distributed(spark: SparkSession, n_docs: int = 100_000,
 
 
 def load_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map the driver's documents parquet into the input_hint shape."""
+    """Map the driver's documents parquet into the input_hint shape.
+
+    The scan is widened to the session's parallelism when the source
+    packs into fewer splits: a single-file corpus under
+    `spark.sql.files.maxPartitionBytes` otherwise scans as ONE task, and
+    every downstream map-only operator (tokenize, quality, PII, ...)
+    inherits that single partition — serializing a many-core box onto
+    one thread. The round-robin exchange moves the corpus once (callers
+    cache the result, so it is paid once per session); partitioning
+    carries no semantics here — every operator is content-keyed.
+    """
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return raw.select(
+    out = raw.select(
         F.col("source").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
         F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )
+    par = spark.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par)
+    return out
 
 
 def with_sha256(df: DataFrame) -> DataFrame:

@@ -405,6 +405,30 @@ def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
         F.array_join(piece, " ").alias("chunk_text"))
 
 
+def _opt_fence(col):
+    """Value-identity optimizer fence: `when(rand() != -1, col)` always
+    yields `col` unchanged (rand() lies in [0, 1), so the predicate is a
+    tautology), but the expression is non-deterministic, so Catalyst
+    will neither inline it into downstream expressions (CollapseProject)
+    nor push caller predicates below it (PushPredicateThroughNonJoin).
+    The shape matters: Spark 4's optimizer DOES fold ordering
+    comparisons against rand()'s value interval (`rand() >= -1` is
+    simplified to true and the fence silently disappears); the
+    inequality form survives.
+
+    Why it exists: curation_report's decision columns reference each
+    heavy signal (tokenize chain, regex quality, n-gram repetition)
+    many times. A caller's `.filter("kept")` — the standard gate-then-
+    process composition — substitutes the aliases into the filter
+    condition, duplicating each signal expression ~a dozen times; the
+    resulting condition tree is too large for whole-stage-codegen
+    subexpression elimination and falls back to interpreted, per-copy
+    evaluation (measured 73 s vs 1.3 s for the honest one-pass scan at
+    sf0.1). The fence pins each signal to exactly one evaluation per
+    row while leaving every value bit-identical."""
+    return F.when(F.rand(7) != F.lit(-1.0), col)
+
+
 def curation_report(df: DataFrame, lang: str = "en",
                     min_tokens: int = 30, min_quality: float = 0.5,
                     max_dup_line: float = 0.2, max_dup_ngram: float = 0.3,
@@ -426,15 +450,20 @@ def curation_report(df: DataFrame, lang: str = "en",
     the semantics are pinned identical.
     """
     toks = _toks(df, text_col)
-    score_cols = [s.alias(f"__s_{lg}") for lg, s in _lang_score_exprs()]
+    score_cols = [_opt_fence(s).alias(f"__s_{lg}")
+                  for lg, s in _lang_score_exprs()]
     ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
                          lambda t: t != ""))
     dup_l, dup_g = _repetition_exprs(text_col)
+    # every signal rides the fence: computed once per row in THIS
+    # projection, never re-inlined into the decision chain or a caller's
+    # pushed-down filter (see _opt_fence)
     base = toks.select(
         F.col(id_col).alias("id"), *score_cols,
-        ws.cast("long").alias("n_ws_tokens"),
-        _quality_expr(text_col).alias("quality"),
-        dup_l.alias("dup_line_frac"), dup_g.alias("dup_ngram_frac"))
+        _opt_fence(ws.cast("long")).alias("n_ws_tokens"),
+        _opt_fence(_quality_expr(text_col)).alias("quality"),
+        _opt_fence(dup_l).alias("dup_line_frac"),
+        _opt_fence(dup_g).alias("dup_ngram_frac"))
     m = F.greatest(*[F.col(f"__s_{lg}") for lg in LANG_PROFILES])
     pred = F.lit("unknown")
     for lg in reversed(list(LANG_PROFILES)):
