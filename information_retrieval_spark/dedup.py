@@ -86,7 +86,16 @@ def _jaccard_verify(sh: DataFrame, threshold: float,
     the intersection join is DRIVEN FROM the candidate set — work is
     O(candidates * shingles_per_doc), never all-pairs. Without it, the
     shared-shingle self-join forms every co-shingled pair (small inputs
-    only)."""
+    only).
+
+    (A semi-join reduction of `sh` to candidate ids plus scoped
+    persists of the reduced relation and the candidate set was tried
+    in round 6 and REVERTED: at bench scale the persist barriers and
+    the cached subplans' loss of AQE coalescing cost 1.5-2x more than
+    the pipelined recompute they save — interleaved A/B, min-of-4.
+    At 10^12 docs the candidate-id reduction becomes the right shape;
+    pair it with an explicit shingles_path so the reduce scans
+    materialized parquet, not a recomputed pipeline.)"""
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -230,10 +239,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def _estimated_input_bytes(df: DataFrame) -> int:
-    """Catalyst's optimized-plan size estimate for the input relation
-    (file-size based for parquet scans) — the signal the shingle
-    auto-materialization switch keys on."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    """Size estimate for the input relation — the signal the shingle /
+    gram auto-materialization switch keys on. Two hardenings over the
+    raw root `stats().sizeInBytes()`:
+
+    - the estimate is the SUM OF LEAF sizes (file stats for parquet
+      scans, materialized bytes for cached relations), because root
+      stats are inflated multiplicatively through joins (a broadcast-
+      joined 2 MB corpus reported 738 GB at the root, which flipped the
+      switch on and wrote a fresh gram cache per call);
+    - a plan whose leaves include an RDD barrier (`LogicalRDD`, i.e. a
+      checkpointed or RDD-sourced input) reports 0 ("unknown, assume
+      small"): such leaves carry inherited guesses, not measurements.
+      A caller at true scale feeding checkpointed inputs passes an
+      explicit grams_path/shingles_path instead."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.nodeName() == "LogicalRDD":
+            return 0
+        total += int(leaf.stats().sizeInBytes())
+    return total
 
 
 def _auto_cache_path(df: DataFrame, kind: str, *params) -> str:
@@ -895,10 +922,18 @@ def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
         if not os.path.exists(os.path.join(grams_path, "_SUCCESS")):
             grams.write.mode("overwrite").parquet(grams_path)
         grams = df.sparkSession.read.parquet(grams_path)
-    dup = (grams.groupBy("gh")
-           .agg(F.count_distinct("id").alias("__nd"))
-           .filter(F.col("__nd") >= min_doc_freq)
-           .select("gh"))
+    if min_doc_freq == 2:
+        # >=2 distinct ids iff min(id) != max(id): one partial-agg
+        # shuffle instead of count_distinct's two-phase expand plan
+        dup = (grams.groupBy("gh")
+               .agg(F.min("id").alias("__i0"), F.max("id").alias("__i1"))
+               .filter(F.col("__i0") != F.col("__i1"))
+               .select("gh"))
+    else:
+        dup = (grams.groupBy("gh")
+               .agg(F.count_distinct("id").alias("__nd"))
+               .filter(F.col("__nd") >= min_doc_freq)
+               .select("gh"))
     return grams.join(dup, "gh").select("id", "p")
 
 
