@@ -88,29 +88,46 @@ def _jaccard_verify(sh: DataFrame, threshold: float,
     shared-shingle self-join forms every co-shingled pair (small inputs
     only).
 
-    (A semi-join reduction of `sh` to candidate ids plus scoped
-    persists of the reduced relation and the candidate set was tried
-    in round 6 and REVERTED: at bench scale the persist barriers and
-    the cached subplans' loss of AQE coalescing cost 1.5-2x more than
-    the pipelined recompute they save — interleaved A/B, min-of-4.
-    At 10^12 docs the candidate-id reduction becomes the right shape;
-    pair it with an explicit shingles_path so the reduce scans
-    materialized parquet, not a recomputed pipeline.)"""
+    Candidate-path shape (round 6): ONE pass over the shingle relation.
+    Each candidate pair explodes into two (id_a, id_b, id) membership
+    rows; joining membership to `sh` on id tags every shingle of either
+    member with its pair, and one two-level aggregate then yields both
+    |A ∩ B| (shingles seen from BOTH sides of the pair, c = 2 — `sh` is
+    distinct per (id, shingle), so c is exactly the side count) and
+    |A| + |B| (= sum of c), from which |A ∪ B| = |A| + |B| − |A ∩ B|.
+    The previous shape joined `sh` three times (a-side, b-side, per-id
+    sizes) — three full derivations of the tokenize+shingle pipeline;
+    this one derives it once, and all post-join work is proportional to
+    candidate-member shingles, never the corpus. (A semi-join reduction
+    with scoped persists was also tried and REVERTED: at bench scale
+    the persist barriers and the cached subplans' loss of AQE
+    coalescing cost 1.5-2x more than the recompute they save.)"""
+    if candidates is not None:
+        mem = candidates.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id"))
+        per_sh = (mem.join(sh, "id")
+                  .groupBy("id_a", "id_b", "shingle")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        stats = (per_sh.groupBy("id_a", "id_b")
+                 .agg(F.sum("c").alias("__t"),
+                      F.sum((F.col("c") == 2).cast("long")).alias("inter")))
+        return (stats
+                # inter > 0 keeps exact parity with the join-based
+                # formulation, which never emitted zero-overlap pairs
+                # (visible only at threshold <= 0)
+                .filter(F.col("inter") > 0)
+                .withColumn("jaccard",
+                            F.col("inter") / (F.col("__t") - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    if candidates is not None:
-        inter = (
-            candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-        )
-    else:
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-        )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -252,7 +269,9 @@ def _estimated_input_bytes(df: DataFrame) -> int:
       checkpointed or RDD-sourced input) reports 0 ("unknown, assume
       small"): such leaves carry inherited guesses, not measurements.
       A caller at true scale feeding checkpointed inputs passes an
-      explicit grams_path/shingles_path instead."""
+      explicit grams_path/shingles_path instead. (The switch compares
+      with >=, so a 0 threshold still FORCES materialization even for
+      such unknown-size inputs.)"""
     leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
     total = 0
     for i in range(leaves.size()):
@@ -335,7 +354,7 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     # Iceberg/Hadoop catalog instead.
     sh = shingle_sets(df, id_col, text_col, n)
     if shingles_path is None and materialize_above_bytes is not None and \
-            _estimated_input_bytes(df) > materialize_above_bytes:
+            _estimated_input_bytes(df) >= materialize_above_bytes:
         # the scale path engages ITSELF above the size estimate
         # (round-4 shipped the mechanism but nothing selected it):
         # at 10^12 docs the tokenize+shingle pass must run once total,
@@ -916,7 +935,7 @@ def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
     grams = toks.select("id", F.explode(F.expr(gram)).alias("g")) \
         .select("id", F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
     if grams_path is None and materialize_above_bytes is not None and \
-            _estimated_input_bytes(df) > materialize_above_bytes:
+            _estimated_input_bytes(df) >= materialize_above_bytes:
         grams_path = _auto_cache_path(df, "spangrams", k, id_col, text_col)
     if grams_path is not None:
         if not os.path.exists(os.path.join(grams_path, "_SUCCESS")):
