@@ -125,7 +125,8 @@ def pair_counts(df: DataFrame, k: int | None = None,
 
 
 def train(df: DataFrame, n_merges: int, text_col: str = "text",
-          freqs: DataFrame | None = None) -> DataFrame:
+          freqs: DataFrame | None = None, batch_max: int = 32,
+          scan_k: int = 256) -> DataFrame:
     """Learn `n_merges` BPE merges from the corpus. Returns
     (merge_rank, left, right, pair_count) in learning order —
     merge_rank 1 is the first (highest-count) merge.
@@ -137,30 +138,82 @@ def train(df: DataFrame, n_merges: int, text_col: str = "text",
 
     `freqs=` accepts a precomputed (word, freq) relation so several
     trainings (or train + encode) share one corpus scan.
+
+    Merge selection is BATCHED (round 6): one top-`scan_k` collect per
+    round admits up to `batch_max` merges instead of one, cutting the
+    driver round-trips (a realistic 32k-merge training is otherwise
+    32k Spark jobs). The batch is provably equal to the sequential
+    greedy result — each admitted merge must still be the recount
+    maximum at its turn, which holds when the admitted prefix is:
+
+      - pairwise SYMBOL-DISJOINT, including against symbols CREATED by
+        earlier batch members (disjoint rewrites commute and leave each
+        other's counts untouched, so the recorded pair_count equals
+        the sequential recount);
+      - STRICTLY above `c_stop`, the count of the first scanned pair
+        that shares a symbol with the batch (any pair a batch merge
+        creates — (x, ab) from merging (a,b) — is bounded by its
+        pre-image (x, a), which shares a symbol and therefore counts
+        <= c_stop; existing pair counts only ever decrease, so nothing
+        at or below c_stop can overtake an admitted merge).
+
+    The first scanned pair is always admitted (it IS the sequential
+    choice). Worst case (heavily tying counts, tiny alphabets) the
+    batch degenerates to 1 merge per round — exactly the sequential
+    algorithm; typical text dictionaries admit near-`batch_max` per
+    round. Each round's re-segmentation chains the batch's folds into
+    ONE projection and ONE localCheckpoint, and the superseded
+    checkpoint is released (the connected_components discipline), so
+    block-manager storage stays O(1) in n_merges.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if freqs is None:
         freqs = word_freqs(df, text_col)
     seg = freqs.select("freq", _chars_expr("word").alias("syms"))
-    # the dictionary is small (Heaps' law) and hit n_merges times:
+    # the dictionary is small (Heaps' law) and hit every round:
     # materialize it once, then keep lineage O(1) per round
     seg = seg.localCheckpoint(eager=True)
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (_pair_count_df(seg)
+    while len(merges) < n_merges:
+        rows = (_pair_count_df(seg)
                 .orderBy(F.desc("count"), "left", "right")
-                .limit(1).collect())
-        if not best:
+                .limit(int(scan_k)).collect())
+        if not rows:
             break
-        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["count"]
-        merges.append((rank, left, right, int(cnt)))
-        if rank < n_merges:
-            seg = seg.select(
-                "freq",
-                _merge_fold_expr(F.col("syms"), left, right).alias("syms")
-            ).localCheckpoint(eager=True)
+        remaining = n_merges - len(merges)
+        used: set = set()
+        created: set = set()
+        accepted: list = []
+        c_stop = None
+        for r in rows:
+            l, rt, c = r["left"], r["right"], int(r["count"])
+            if {l, rt} & (used | created):
+                c_stop = c
+                break
+            if len(accepted) < min(remaining, int(batch_max)):
+                accepted.append((l, rt, c))
+                used.update((l, rt))
+                created.add(l + rt)
+        if c_stop is None:
+            # no sharing pair inside the horizon: if the whole table was
+            # scanned there is none at all; otherwise pairs beyond the
+            # horizon count <= the last scanned row
+            c_stop = -1 if len(rows) < int(scan_k) else int(rows[-1]["count"])
+        batch = [m for i, m in enumerate(accepted)
+                 if i == 0 or m[2] > c_stop]
+        for l, rt, c in batch:
+            merges.append((len(merges) + 1, l, rt, c))
+        if len(merges) >= n_merges:
+            break
+        syms = F.col("syms")
+        for l, rt, _ in batch:
+            syms = _merge_fold_expr(syms, l, rt)
+        prev = seg
+        seg = prev.select("freq", syms.alias("syms")).localCheckpoint(
+            eager=True)
+        prev.unpersist()  # release the superseded round's checkpoint
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long")
 
@@ -194,6 +247,14 @@ def segment_counts(df: DataFrame, merges: list[tuple[str, str]],
       rank-priority heaps, which for a TRAINED table (every merge's
       operands created by earlier merges) computes the same
       segmentation."""
+    for left, right in merges:
+        if not left or not right:
+            # an empty symbol would collide with the fold accumulator's
+            # "" sentinel (and the pandas path's None sentinel) — train
+            # never emits one, so this only hardens the public API
+            raise ValueError(
+                f"merge operands must be non-empty symbols, got "
+                f"({left!r}, {right!r})")
     ids = df.select(F.col(id_col).alias("id"))
     words = df.select(
         F.col(id_col).alias("id"),

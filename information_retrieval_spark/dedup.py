@@ -220,11 +220,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                                     for i in range(num_hashes)]).alias("minhash")))
 
 
+def _minhash_bands_expr(num_hashes: int, band_size: int):
+    """Exploded (band, band_key) struct array over the `minhash` column."""
+    n_bands = num_hashes // band_size
+    return F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(":", *[F.col("minhash")[b * band_size + j]
+                                    for j in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)])).alias("bk")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
                       band_size: int = 2, n: int = 1,
                       seed: int = 7,
-                      features: DataFrame | None = None) -> DataFrame:
+                      features: DataFrame | None = None,
+                      collapse_identical_above_bytes: int | None = 2 << 30
+                      ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
 
     bands = num_hashes / band_size; band key = ':'-joined minhashes of
@@ -235,16 +247,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     pick band_size so the corpus's background similarity level stays
     non-colliding (for the synthetic corpus: shingle features n=3 with
     band_size >= 4).
+
+    Hot-bucket defense (round 6, the simhash twin's round-5 ask): a
+    page boilerplated M times puts M identical signatures in one band
+    bucket, making the band self-join's WORK quadratic in M — and it
+    re-discovers each such pair in EVERY band (x n_bands) before the
+    distinct. Above `collapse_identical_above_bytes` of estimated input
+    (leaf-size estimate; >= so 0 forces, None disables) the join runs
+    over ONE REPRESENTATIVE per distinct signature instead:
+
+      - pairs within an identical-signature group are emitted directly
+        (they collide in every band by definition);
+      - the banded self-join pairs distinct signatures (<=1 row per
+        signature per band — a hot bucket of M copies carries ONE row);
+      - representative pairs expand back to member pairs.
+
+    The result is EXACTLY the plain join's pair set (two docs collide
+    in a band iff their signatures' band slices agree, a function of
+    the signature alone) — unlike a representative-star cap, nothing is
+    dropped at any scale, so the operator's oracle stays exact even on
+    pathological corpora. The collapsed path's relations ride
+    call-scoped persists (signature relation: 5 consumers); the gate
+    keeps the plain single-exchange plan at bench/driver scale where
+    persists cost more than they save.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n=n, seed=seed,
                              features=features)
-    n_bands = num_hashes // band_size
-    bands = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws(":", *[F.col("minhash")[b * band_size + j]
-                                    for j in range(band_size)]).alias("band_key"))
-        for b in range(n_bands)])).alias("bk")
-    banded = sig.select("id", bands).select(
+    if collapse_identical_above_bytes is not None and \
+            _estimated_input_bytes(df) >= collapse_identical_above_bytes:
+        return _minhash_pairs_collapsed(sig, num_hashes, band_size)
+    banded = sig.select("id", _minhash_bands_expr(num_hashes, band_size)).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     l = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     r = banded.select(F.col("id").alias("id_b"), "band", "band_key")
@@ -253,6 +285,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+
+
+def _minhash_pairs_collapsed(sig: DataFrame, num_hashes: int,
+                             band_size: int) -> DataFrame:
+    """Signature-collapsed band join (see minhash_lsh_pairs): exact
+    pair set, band-join input bounded by DISTINCT signatures."""
+    from pyspark.storagelevel import StorageLevel
+    _release_candidate_caches()
+    skey = F.array_join(F.transform("minhash",
+                                    lambda x: x.cast("string")), ":")
+    rel = (sig.select("id", skey.alias("__sig"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _CANDIDATE_CACHES.append(rel)
+    groups = (sig.select(skey.alias("__sig"), "minhash")
+              .groupBy("__sig", "minhash").agg(F.count(F.lit(1)).alias("__m"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    _CANDIDATE_CACHES.append(groups)
+    # pairs among identical signatures: they agree on every band
+    a = rel.select(F.col("__sig").alias("__s"), F.col("id").alias("id_a"))
+    b = rel.select(F.col("__sig").alias("__s"), F.col("id").alias("id_b"))
+    intra = (a.join(b, "__s").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    # banded join over one row per distinct signature
+    banded = (groups.select("__sig",
+                            _minhash_bands_expr(num_hashes, band_size))
+              .select("__sig", F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key")))
+    ga = banded.select(F.col("__sig").alias("__sig_a"), "band", "band_key")
+    gb = banded.select(F.col("__sig").alias("__sig_b"), "band", "band_key")
+    sig_pairs = (ga.join(gb, ["band", "band_key"])
+                 .filter(F.col("__sig_a") < F.col("__sig_b"))
+                 .select("__sig_a", "__sig_b").distinct())
+    ma = rel.select(F.col("__sig").alias("__sig_a"), F.col("id").alias("ia"))
+    mb = rel.select(F.col("__sig").alias("__sig_b"), F.col("id").alias("ib"))
+    cross = (sig_pairs.join(ma, "__sig_a").join(mb, "__sig_b")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b")))
+    return intra.union(cross).distinct()
 
 
 def _estimated_input_bytes(df: DataFrame) -> int:
@@ -312,6 +382,31 @@ def _auto_shingles_path(df: DataFrame, n: int, id_col: str,
     return _auto_cache_path(df, "shingles", n, id_col, text_col)
 
 
+def _materialize_once(rel: DataFrame, path: str) -> DataFrame:
+    """Idempotently materialize `rel` as parquet at `path` and return a
+    scan of it. Concurrent-session safe on POSIX/NFS paths: the write
+    goes to a session-unique sibling dir and PUBLISHES via an atomic
+    rename — two sessions racing on the same auto-derived path can no
+    longer interleave a check-then-overwrite (the rename loser simply
+    discards its copy and reads the winner's). A pre-existing dir
+    without `_SUCCESS` (a crashed writer) is cleared first. An
+    object-store deployment should route publication through its
+    catalog instead (same caveat as the TableStore backend)."""
+    import shutil
+    import uuid
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:12]}"
+        rel.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):  # crashed writer's partial output
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the publish race: another session won
+            shutil.rmtree(tmp, ignore_errors=True)
+    return rel.sparkSession.read.parquet(path)
+
+
 def near_duplicates(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     threshold: float = 0.8, num_hashes: int = 64,
@@ -361,9 +456,7 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
         # not once per consumer
         shingles_path = _auto_shingles_path(df, n, id_col, text_col)
     if shingles_path is not None:
-        if not os.path.exists(os.path.join(shingles_path, "_SUCCESS")):
-            sh.write.mode("overwrite").parquet(shingles_path)
-        sh = df.sparkSession.read.parquet(shingles_path)
+        sh = _materialize_once(sh, shingles_path)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size,
                              n=n, features=sh.withColumnRenamed("shingle",
                                                                 "feature"))
@@ -938,9 +1031,7 @@ def _span_positions(df: DataFrame, k: int, id_col: str, text_col: str,
             _estimated_input_bytes(df) >= materialize_above_bytes:
         grams_path = _auto_cache_path(df, "spangrams", k, id_col, text_col)
     if grams_path is not None:
-        if not os.path.exists(os.path.join(grams_path, "_SUCCESS")):
-            grams.write.mode("overwrite").parquet(grams_path)
-        grams = df.sparkSession.read.parquet(grams_path)
+        grams = _materialize_once(grams, grams_path)
     if min_doc_freq == 2:
         # >=2 distinct ids iff min(id) != max(id): one partial-agg
         # shuffle instead of count_distinct's two-phase expand plan

@@ -118,6 +118,71 @@ def test_random_corpus_parity(spark):
     assert enc == want
 
 
+def _train_counting_jobs(spark, df, n, tag):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, "train job budget")
+    try:
+        got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"])
+               for r in bpe.train(df, n).orderBy("merge_rank").collect()]
+    finally:
+        sc.setJobGroup(None, None)
+    return got, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+
+def test_batched_train_parity_and_job_budget(spark):
+    # Round-6 batched merge selection. Exactness comes first: the batch
+    # admission rule (contiguous, symbol-disjoint incl. created
+    # symbols, strictly above the first sharing pair's count) must
+    # reproduce the sequential reference bit-for-bit. The job budget
+    # then depends on how symbol-diverse the merge frontier is:
+    #
+    # (a) a symbol-disjoint dictionary (every word its own letters,
+    #     distinct counts) admits whole batches -> <= n/8 driver jobs;
+    n = 24
+    letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    words = [letters[2 * i] + letters[2 * i + 1] for i in range(26)]
+    docs = [(i, " ".join([words[i]] * (100 - i))) for i in range(26)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ref_merges, _ = ref_bpe([t for _, t in docs], n)
+    got, n_jobs = _train_counting_jobs(spark, df, n, "bpe-batch-disjoint")
+    assert got == ref_merges
+    # one batch round here: jobs = a small session constant (initial
+    # checkpoint, AQE stage jobs, final collect), NOT ~2 per merge; the
+    # n/8 criterion binds asymptotically (256 merges -> <= 8 rounds)
+    assert 0 < n_jobs <= n // 8 + 8, f"{n_jobs} jobs for {n} merges"
+    # and directly vs the sequential loop (batch_max=1 forces it):
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-seq", "sequential baseline")
+    try:
+        seq_rows = [(r["merge_rank"], r["left"], r["right"], r["pair_count"])
+                    for r in bpe.train(df, n, batch_max=1)
+                    .orderBy("merge_rank").collect()]
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs_seq = len(sc.statusTracker().getJobIdsForGroup("bpe-seq"))
+    assert seq_rows == ref_merges
+    assert 4 * n_jobs <= n_jobs_seq, (n_jobs, n_jobs_seq)
+
+    # (b) a sharing-heavy natural-word corpus (letter pairs overlap,
+    #     batches shrink toward 1) must still be exact and never spend
+    #     MORE jobs than the sequential 2-per-merge loop;
+    import random
+    rng = random.Random(20260821)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    docs2 = [(i, " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(3, 15))))
+             for i in range(60)]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    n2 = 24
+    ref2, _ = ref_bpe([t for _, t in docs2], n2)
+    got2, n_jobs2 = _train_counting_jobs(spark, df2, n2, "bpe-batch-natural")
+    assert got2 == ref2
+    # a round costs ~3 jobs (AQE stage jobs + checkpoint); worst case
+    # one merge per round — never more rounds than merges
+    assert n_jobs2 <= 3 * n2 + 4, f"{n_jobs2} jobs for {n2} merges"
+
+
 def test_shared_freqs_relation(docs_df):
     # train accepts a precomputed dictionary (one corpus scan shared)
     freqs = bpe.word_freqs(docs_df).localCheckpoint(eager=True)

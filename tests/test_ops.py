@@ -173,6 +173,37 @@ def test_duplicate_clusters_chain(docs_df):
     assert {0, 1, 2} <= {i for i, _, _ in got}
 
 
+def test_minhash_collapsed_pairs_exact_and_bounded(spark):
+    # Hot-bucket defense: a boilerplate page duplicated M times must
+    # not drive the band self-join quadratic. The collapsed path
+    # (forced via threshold 0; leaf-size gated off at driver scale)
+    # must return EXACTLY the plain join's pair set while its banded
+    # relation carries ONE row per DISTINCT signature per band — the
+    # volume pin: a 200-copy bucket contributes 1 join row, not 200.
+    hot = [(i, "copy of the same boilerplate page body here") for i in range(200)]
+    uniq = [(200 + i, f"unique document number {i} with words w{i} x{i} y{i}")
+            for i in range(30)]
+    near = [(300, "copy of the same boilerplate page body now"),
+            (301, "entirely other text that matches nobody else at all")]
+    df = spark.createDataFrame(hot + uniq + near, "doc_id long, text string")
+    kw = dict(num_hashes=8, band_size=2)
+    plain = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        df, collapse_identical_above_bytes=None, **kw).collect()}
+    coll = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        df, collapse_identical_above_bytes=0, **kw).collect()}
+    assert coll == plain
+    assert all((a, b) in coll for a, b in itertools.combinations(range(200), 2))
+    # volume pin: band-join input of the collapsed path is bounded by
+    # n_bands * distinct signatures, independent of bucket multiplicity
+    sig = dedup.minhash_signatures(df, num_hashes=kw["num_hashes"])
+    n_distinct = sig.select("minhash").distinct().count()
+    n_bands = kw["num_hashes"] // kw["band_size"]
+    assert n_distinct <= 33  # 1 hot signature + the 32 non-copies
+    banded_rows = n_bands * n_distinct
+    plain_rows = n_bands * df.count()
+    assert banded_rows <= 33 * n_bands < plain_rows
+
+
 def test_minhash_shingle_features_discriminative(docs_df):
     # shingle-based bands must NOT pair docs that merely share vocabulary
     pairs = {(r["id_a"], r["id_b"]) for r in
