@@ -924,7 +924,7 @@ def simhash_near_duplicates(df: DataFrame | None = None,
                             signatures: DataFrame | None = None,
                             bucket_cap: int | None = 256,
                             split_above_candidates: int = 50_000_000,
-                            defend_above_bytes: int | None = 2 << 30
+                            defend_above_bytes: int | None = 4 << 20
                             ) -> DataFrame:
     """(id_a, id_b, hamming) for every pair within `max_hamming` bits of
     simhash distance — the pairing operator over simhash_signatures.
@@ -972,9 +972,12 @@ def simhash_near_duplicates(df: DataFrame | None = None,
     3.91 s), while the quadratic work it guards against only matters
     on large corpora — and the RESULT is exact on either path (the
     integer Hamming verify runs regardless; the paths differ only in
-    join work). `>=` comparison, so 0 forces the
-    defense on (tests); None always runs it (the pre-round-6
-    behavior). The gate applies to the `df=` path only — a caller
+    join work). The 4 MB default is calibrated from the measured
+    quadratic: ~3.1M worst-case candidates at a 1.8 MB corpus estimate
+    (5k docs) reaches the 50M crossover near ~20k docs / ~7 MB — the
+    gate hands over to the histogram well before that. `>=` comparison,
+    so 0 forces the defense on (tests); None always runs it (the
+    pre-round-6 behavior). The gate applies to the `df=` path only — a caller
     supplying `signatures=` (whose input estimate says nothing about
     the corpus) controls the defense explicitly via `bucket_cap`.
     """
