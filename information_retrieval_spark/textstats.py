@@ -225,8 +225,11 @@ def pmi_bigrams(df: DataFrame, k: int | None = 20, min_count: int = 5,
     first — the engine-portable hard-cut discipline.
 
     Scale shape (100 TB): two corpus scans (unigram agg + bigram agg,
-    both map-side combined — a production variant could fuse them into
-    one tagged union stream, at the cost of a mixed-key exchange), then
+    both map-side combined; a fused tagged-union single-scan variant
+    was A/B-measured SLOWER on a cached input — AQE exchange reuse
+    already computes each repeated aggregate subtree once at runtime,
+    so fusion only widens the exchange — and is worth revisiting only
+    when the input is an uncached storage scan), then
     vocabulary-sized joins only: bigram counts join unigram counts on
     each side (AQE picks broadcast when the vocabulary fits) and the
     two totals ride in as 1-row broadcast cross joins — no driver
