@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
 def _dot_expr(vec_col: str, lit_vec: str) -> str:
     return (f"aggregate(zip_with({vec_col}, {lit_vec}, "
             f"(x, y) -> cast(x as double) * y), cast(0.0 as double), (a, v) -> a + v)")
@@ -599,8 +600,16 @@ def persist_ivf(df: DataFrame, path: str, n_lists: int = 8, iters: int = 2,
             [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
             "list_id long, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(cpath)
+        # Hash-cluster on list_id, NOT repartitionByRange: the
+        # RangePartitioner's sampling job executes the child plan — the
+        # assignment kernel including the full vector scan — a second
+        # time before the real shuffle. Hash keeps every property the
+        # probe relies on (each list wholly in one file, rows sorted by
+        # list_id within the file, so `list_id IN (...)` prunes row
+        # groups identically) for ONE pass instead of two; the only
+        # trade is file-size balance across the n_partitions files.
         (ivf_assignments(df, cents, id_col, vec_col)
-         .repartitionByRange(n_partitions, "list_id")
+         .repartition(n_partitions, "list_id")
          .sortWithinPartitions("list_id")
          .write.mode("overwrite").parquet(apath))
     t = pq.read_table(cpath).sort_by("list_id")

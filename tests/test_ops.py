@@ -648,6 +648,28 @@ def test_ivf_persisted_roundtrip(emb_df, tmp_path):
     assert [tuple(r) for r in persisted] == [tuple(r) for r in inline]
 
 
+def test_ivf_persisted_layout_prunable(emb_df, tmp_path):
+    # the hash-clustered assignment layout keeps the two properties the
+    # probe's `list_id IN (...)` pruning relies on: rows are sorted by
+    # list_id within every output file, and each list lives wholly in
+    # exactly one file
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df, _ = emb_df
+    _, asg = similarity.persist_ivf(df, str(tmp_path / "ivf"),
+                                    n_lists=4, iters=2, n_partitions=2)
+    owners: dict = {}
+    for f in glob.glob(str(tmp_path / "ivf" / "assignments" / "*.parquet")):
+        lids = pq.read_table(f).column("list_id").to_pylist()
+        assert lids == sorted(lids)
+        for lid in set(lids):
+            assert owners.setdefault(lid, f) == f
+    assert set(owners) == {r["list_id"] for r in
+                           asg.select("list_id").distinct().collect()}
+
+
 def test_ivf_quantize_spark_dialect_parity(emb_df):
     # the Spark SQL quantizer must agree with the python/kernel path
     df, _ = emb_df
