@@ -436,6 +436,25 @@ def test_doc_term_vector_matches_tokenizer(synth_engine, synth_docs):
         assert got == want, d
 
 
+def test_forward_index_pin_path_identical(synth_engine):
+    # the pinned-decode path (range-sampling reads a checkpointed copy
+    # of the decoded postings instead of re-running the decode kernel)
+    # must persist the same doc_vec table; 0 forces the pin
+    store = synth_engine.index.store
+    store.drop("doc_vec")
+    try:
+        synth_engine.build_forward_index(n_partitions=4)
+        plain = sorted(map(tuple, store.read("doc_vec")
+                           .select("docID", "term", "tf").collect()))
+        store.drop("doc_vec")
+        synth_engine.build_forward_index(n_partitions=4, pin_above_bytes=0)
+        pinned = sorted(map(tuple, store.read("doc_vec")
+                            .select("docID", "term", "tf").collect()))
+        assert pinned == plain
+    finally:
+        store.drop("doc_vec")
+
+
 def test_forward_index_path_matches_inverted(synth_engine, synth_docs):
     # build_forward_index materializes doc_vec; doc_term_vector must
     # switch to the file-pruned forward scan (no postings decode in the

@@ -1273,6 +1273,23 @@ def test_shard_by_token_budget_matches_window_oracle(spark):
         before += nt[i]
 
 
+def test_shard_by_token_budget_pin_path_identical(spark):
+    # the pinned-base path (range-sampling reads a checkpointed
+    # (id, n_tokens) relation instead of re-splitting the corpus) must
+    # produce the same shards as the unpinned path; 0 forces the pin
+    from information_retrieval_spark import sampling
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), " ".join(["w"] * int(rng.randint(1, 30))))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(tuple(r) for r in sampling.shard_by_token_budget(
+        df, 80, n_partitions=5).collect())
+    pinned = sorted(tuple(r) for r in sampling.shard_by_token_budget(
+        df, 80, n_partitions=5, pin_above_bytes=0).collect())
+    assert pinned == plain
+
+
 def test_shard_by_token_budget_partition_invariant(spark):
     from information_retrieval_spark import sampling
 
