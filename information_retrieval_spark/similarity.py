@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-
 def _dot_expr(vec_col: str, lit_vec: str) -> str:
     return (f"aggregate(zip_with({vec_col}, {lit_vec}, "
             f"(x, y) -> cast(x as double) * y), cast(0.0 as double), (a, v) -> a + v)")
